@@ -1,0 +1,17 @@
+"""nmf_toolbox_tpu — a TPU-native non-negative matrix factorization framework.
+
+A from-scratch JAX/XLA re-design with the capabilities of the MATLAB
+"NMF Toolbox" (colinvaz/nmf-toolbox): eleven solver families, the full
+config/parameter surface, and utilities — built TPU-first (Gram-form
+updates, on-device convergence loops, Pallas fused kernels, mesh
+sharding) rather than as a translation.
+"""
+from .core import EPS, Result
+from .ops import reconstruct, projfunc
+from .models import nmf, lnmf, seminmf, convexnmf, chnmf, cnmf
+
+reconstruct_from_decomposition = reconstruct  # reference-style alias
+
+__all__ = ["EPS", "Result", "reconstruct", "reconstruct_from_decomposition",
+           "projfunc", "nmf", "lnmf", "seminmf", "convexnmf", "chnmf", "cnmf"]
+__version__ = "0.1.0"

@@ -1,0 +1,137 @@
+"""Convex-hull NMF (Thurau et al. 2011): V ~ S G H, S = hull anchors of V.
+
+TPU-native re-design of chnmf.m.  The expensive one-time init (covariance
+eigenvectors + per-pair 2-D convex hulls, chnmf.m:85-106) lives in
+utils/init.convex_hull_anchors — eigvecs via on-device eigh or randomized
+subspace iteration (the m-by-m covariance is never materialized for large
+m), hulls via a host monotone chain.  The loop itself touches only p-by-n
+and k-by-n quantities; the cost uses the Gram identity so the m-by-n
+reconstruction of chnmf.m:191 is never formed.
+
+Compat note (COMPAT.md): the reference's H update (chnmf.m:187) omits the
+G' projection and is shape-inconsistent unless p == k.  The paper-correct
+update (the analog of convexnmf.m:101, without sqrt to stay close to the
+reference's form) is used here:
+
+    H <- H .* (G'(S_V_pos + S_S_neg G H)) ./ max(G'(S_V_neg + S_S_pos G H) + H_sparsity, eps)
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import EPS, Result, merge_config, resolve_dtype
+from ..ops import loop as looplib
+from ..ops.gram import pos_neg_split
+from ..ops.normalize import unit_sum_columns
+from ..utils.init import convex_hull_anchors
+
+
+class _Spec(NamedTuple):
+    maxiter: int
+    g_fixed: bool
+    h_fixed: bool
+    eps: float
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: _Spec):
+    @jax.jit
+    def solve(V, S, G0, H0, g_sparsity, h_sparsity, tolerance):
+        eps = jnp.asarray(spec.eps, V.dtype)
+        # One-time Grams (chnmf.m:169-172).
+        StV = S.T @ V
+        StS = S.T @ S
+        sv_pos, sv_neg = pos_neg_split(StV)
+        ss_pos, ss_neg = pos_neg_split(StS)
+        v_sq = jnp.sum(V * V)
+
+        def step(carry, i):
+            G, H = carry
+            if not spec.g_fixed:
+                HHt = H @ H.T
+                # ((S_V_pos + S_S_neg G H) H') -> S_V_pos H' + (S_S_neg G)(H H')
+                nG = sv_pos @ H.T + (ss_neg @ G) @ HHt
+                pG = sv_neg @ H.T + (ss_pos @ G) @ HHt
+                G = G * (nG / jnp.maximum(pG + g_sparsity, eps))  # chnmf.m:180
+                G = unit_sum_columns(G)                           # chnmf.m:181
+            if not spec.h_fixed:
+                GtSV_pos = G.T @ sv_pos
+                GtSV_neg = G.T @ sv_neg
+                nH = GtSV_pos + (G.T @ ss_neg @ G) @ H
+                pH = GtSV_neg + (G.T @ ss_pos @ G) @ H
+                H = H * (nH / jnp.maximum(pH + h_sparsity, eps))
+            # cost 0.5||V - S G H||^2 via Grams (W = S G, chnmf.m:183,190-192)
+            StVG = StV.T @ G           # (n, k) — V'(S G)
+            GtStSG = G.T @ (StS @ G)   # (k, k)
+            c = 0.5 * (v_sq - 2.0 * jnp.sum(StVG * H.T)
+                       + jnp.sum(GtStSG * (H @ H.T)))
+            return (G, H), c, jnp.asarray(False)
+
+        return looplib.run(step, (G0, H0), spec.maxiter, tolerance,
+                           cost_dtype=V.dtype)
+    return solve
+
+
+def chnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
+    """Convex-hull NMF.  Returns Result as (W, H, S, G, cost), W = S @ G.
+
+    Parameters (chnmf.m:71-167): S_init (hull anchors; default extracted
+    from V), pct_eigval_energy (0.95), G_init, H_init, G_sparsity,
+    H_sparsity, G_fixed, H_fixed, maxiter (100), tolerance (1e-3).
+    Extras: dtype, seed, max_eigvecs (cap on principal directions
+    examined, default 16).
+    """
+    cfg = merge_config(config, kwargs)
+    dtype = resolve_dtype(V, cfg.get("dtype"))
+    V = jnp.asarray(V, dtype)
+    m, n = V.shape
+    k = int(num_basis_elems)
+
+    maxiter = int(cfg.get("maxiter", 100) or 100)
+    if maxiter <= 0:
+        maxiter = 100
+    tolerance = float(cfg.get("tolerance", 1e-3))
+    if tolerance <= 0:
+        tolerance = 1e-3
+    eps = float(cfg.get("eps", EPS))
+    pct = float(cfg.get("pct_eigval_energy", 0.95))
+    if not (0.0 <= pct <= 1.0):
+        pct = 0.95
+    seed = int(cfg.get("seed", 0))
+    key = jax.random.PRNGKey(seed)
+    kg, kh = jax.random.split(key)
+
+    S = cfg.get("S_init")
+    if S is None:
+        S = convex_hull_anchors(V, pct, int(cfg.get("max_eigvecs", 16)), seed)
+    S = jnp.asarray(S, dtype)
+    p = S.shape[1]
+
+    G0 = cfg.get("G_init")
+    if G0 is None:
+        G0 = jax.random.uniform(kg, (p, k), dtype)  # chnmf.m:111-113
+    G0 = unit_sum_columns(jnp.asarray(G0, dtype))   # chnmf.m:115
+    H0 = cfg.get("H_init")
+    if H0 is None:
+        H0 = jax.random.uniform(kh, (k, n), dtype)  # chnmf.m:135
+    H0 = jnp.asarray(H0, dtype)
+
+    g_sp = max(float(cfg.get("G_sparsity", 0.0) or 0.0), 0.0)
+    h_sp = max(float(cfg.get("H_sparsity", 0.0) or 0.0), 0.0)
+
+    spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),
+                 bool(cfg.get("H_fixed", False)), eps)
+    out = _build_solver(spec)(V, S, G0, H0,
+                              jnp.asarray(g_sp, dtype), jnp.asarray(h_sp, dtype),
+                              jnp.asarray(tolerance, dtype))
+    G, H = out.state
+    return Result(fields=("W", "H", "S", "G", "cost"),
+                  W=np.asarray(S @ G), H=np.asarray(H),
+                  S=np.asarray(S), G=np.asarray(G),
+                  cost=looplib.trim_cost(out, maxiter),
+                  n_iters=int(out.n_iters), converged=bool(out.stopped))

@@ -1,0 +1,188 @@
+"""Convolutive NMF (Smaragdis 2007) with unified AB-divergence updates.
+
+TPU-native re-design of cnmf.m.  The reference's per-shift t-loops
+(cnmf.m:180-195, 216-227) become batched matmuls over stacked shifts
+(ops/shift.py): the W gradient for all T frames is ONE einsum against the
+(T, k, n) stack of right-shifted H's, and the H gradient accumulation
+uses the identity W_t' @ shift_left(Phi, t) == shift_left(W_t' @ Phi, t)
+so no (T, m, n) tensor is ever formed.
+
+Multi-source cell arrays concatenate along the basis axis; every update
+(including the diagonal normalization-correction terms and the
+cross-frame Frobenius renormalization of cnmf.m:161-165,196-199) is
+column-local, so the hot loop has no per-source logic.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import (EPS, Result, as_list, merge_config, per_column,
+                    fixed_col_mask, promote_inits, promote_per_source,
+                    resolve_dtype, source_blocks, unwrap_sources,
+                    uniform_init)
+from ..ops import divergence as dv
+from ..ops import loop as looplib
+from ..ops.normalize import cross_frame_norm, unit_l2_columns
+from ..ops.shift import conv_phi_ht, conv_reconstruct, conv_wt_phi
+
+
+class _Spec(NamedTuple):
+    divergence: str      # canonical name (drives the KL no-shift special case)
+    alpha: float
+    beta: float
+    context_len: int
+    maxiter: int
+    w_fixed: tuple
+    h_fixed: tuple
+    blocks: tuple
+    eps: float
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: _Spec):
+    a, b = spec.alpha, spec.beta
+    T = spec.context_len
+    dual = a == 0.0
+    power = (1.0 / b) if dual else (None if a == 1.0 else 1.0 / a)
+    ks = [bb - aa for aa, bb in spec.blocks]
+    w_mask = fixed_col_mask(spec.w_fixed, ks)
+    h_mask = fixed_col_mask(spec.h_fixed, ks)
+    w_any = not all(spec.w_fixed)
+    h_any = not all(spec.h_fixed)
+    w_all_free = not any(spec.w_fixed)
+    h_all_free = not any(spec.h_fixed)
+    kl = spec.divergence == "kl"
+
+    @jax.jit
+    def solve(V, W0, H0, wsp, hsp, tolerance):
+        eps = jnp.asarray(spec.eps, V.dtype)
+
+        def step(carry, i):
+            W, H = carry  # W: (m, k, T), H: (k, n)
+            if w_any:
+                V_hat = conv_reconstruct(W, H)
+                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b)
+                # One batched matmul per field against all T shifted H's
+                # (cnmf.m:180-195).
+                A = conv_phi_ht(phi_neg, H, T)      # (m, k, T)
+                B = conv_phi_ht(phi_pos, H, T)      # (m, k, T)
+                dneg = jnp.sum(W * B, axis=0)       # diag(Hs Phi_pos' W_t), (k, T)
+                dpos = jnp.sum(W * A, axis=0)
+                neg = dv.apply_power(A + W * dneg[None], power)
+                pos = dv.apply_power(B + W * dpos[None], power)
+                Wn = W * (neg / jnp.maximum(pos + wsp[None, :, None], eps))
+                # Cross-frame renorm per basis element (cnmf.m:196-199).
+                Wn, _ = cross_frame_norm(Wn, None, T)
+                W = Wn if w_all_free else jnp.where(w_mask[None, :, None], W, Wn)
+            if h_any:
+                V_hat = conv_reconstruct(W, H)
+                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b)
+                gneg = conv_wt_phi(W, phi_neg)      # (k, n)
+                if kl:
+                    # KL special case: V_pos is NOT shifted (cnmf.m:220-224),
+                    # and Phi_pos == ones: sum_t W_t' @ ones(m, n) is a
+                    # broadcast of sum(W) over (m, t).
+                    gpos = jnp.broadcast_to(
+                        jnp.sum(W, axis=(0, 2))[:, None], gneg.shape)
+                else:
+                    gpos = conv_wt_phi(W, phi_pos)
+                gneg = dv.apply_power(gneg, power)
+                gpos = dv.apply_power(gpos, power)
+                Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+                H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
+            V_hat = conv_reconstruct(W, H)
+            c = dv.cost(spec.divergence, V, V_hat, a, b)
+            c = c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
+                     + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
+            return (W, H), c, jnp.asarray(False)
+
+        return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
+                           cost_dtype=V.dtype)
+    return solve
+
+
+def cnmf(V, num_basis_elems, context_len: int,
+         config: dict | None = None, **kwargs):
+    """Convolutive NMF: V ~ sum_t W[:, :, t] @ shift_right(H, t).
+
+    Parameter surface mirrors cnmf.m:17-80: divergence/alpha/beta
+    (euclidean, kl, is are mapped onto AB (alpha, beta) — cnmf.m:137-147),
+    W_init (m, k, T), H_init, W_sparsity/H_sparsity, W_fixed/H_fixed,
+    maxiter, tolerance.  Returns Result as (W, H, cost).
+    """
+    cfg = merge_config(config, kwargs)
+    dtype = resolve_dtype(V, cfg.get("dtype"))
+    V = jnp.asarray(V, dtype)
+    m, n = V.shape
+    T = int(context_len)
+
+    ks, was_seq = as_list(num_basis_elems)
+    ks = [int(k) for k in ks]
+    S = len(ks)
+    blocks = source_blocks(ks)
+
+    div = dv.canon(cfg.get("divergence", "euclidean"))
+    alpha, beta = dv.ab_params(div, cfg.get("alpha", 1.0), cfg.get("beta", 1.0))
+    if div == "ab" and alpha == 0.0 and beta == 0.0:
+        raise ValueError("alpha = 0 and beta = 0 is not supported at this time.")
+
+    w_sp = [max(float(v), 0.0) for v in
+            promote_per_source(cfg.get("W_sparsity"), S, "W_sparsity", 0.0)]
+    h_sp = [max(float(v), 0.0) for v in
+            promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)]
+    w_fx = tuple(bool(x) for x in promote_per_source(cfg.get("W_fixed"), S, "W_fixed", False))
+    h_fx = tuple(bool(x) for x in promote_per_source(cfg.get("H_fixed"), S, "H_fixed", False))
+    maxiter = int(cfg.get("maxiter", 100) or 100)
+    if maxiter <= 0:
+        maxiter = 100
+    tolerance = float(cfg.get("tolerance", 1e-3))
+    if tolerance <= 0:
+        tolerance = 1e-3
+    eps = float(cfg.get("eps", EPS))
+    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    kw, kh = jax.random.split(key)
+
+    w_list, w_was_seq = promote_inits(cfg.get("W_init"), S, "basis")
+    h_list, h_was_seq = promote_inits(cfg.get("H_init"), S, "encoding")
+    if w_list is None:
+        # rand (m, k, T) with per-frame unit-L2 columns
+        # (ValidateParameters.m:82-88).
+        keys = jax.random.split(kw, S)
+        w_list = [unit_l2_columns(uniform_init(kk, (m, k, T), dtype))
+                  for kk, k in zip(keys, ks)]
+        w_was_seq = was_seq
+    if h_list is None:
+        keys = jax.random.split(kh, S)
+        w_list_h = [uniform_init(kk, (k, n), dtype) for kk, k in zip(keys, ks)]
+        h_list = w_list_h
+        h_was_seq = was_seq
+    for s, (w, h, k) in enumerate(zip(w_list, h_list, ks)):
+        if np.shape(w) != (m, k, T):
+            raise ValueError(f"W_init[{s}] has shape {np.shape(w)}, expected {(m, k, T)}")
+        if np.shape(h) != (k, n):
+            raise ValueError(f"H_init[{s}] has shape {np.shape(h)}, expected {(k, n)}")
+
+    W0 = jnp.concatenate([jnp.asarray(w, dtype) for w in w_list], axis=1)
+    H0 = jnp.concatenate([jnp.asarray(h, dtype) for h in h_list], axis=0)
+    # Cross-frame init normalization with norm transfer into H
+    # (cnmf.m:157-166).
+    W0, H0 = cross_frame_norm(W0, H0, T)
+
+    wsp = per_column(w_sp, ks, dtype)
+    hsp = per_column(h_sp, ks, dtype)
+
+    spec = _Spec(div, alpha, beta, T, maxiter, w_fx, h_fx, blocks, eps)
+    out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
+    W, H = out.state
+    return Result(
+        fields=("W", "H", "cost"),
+        W=unwrap_sources(W, blocks, 1, w_was_seq),
+        H=unwrap_sources(H, blocks, 0, h_was_seq),
+        cost=looplib.trim_cost(out, maxiter),
+        n_iters=int(out.n_iters), converged=bool(out.stopped),
+    )

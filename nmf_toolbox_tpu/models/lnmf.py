@@ -1,0 +1,98 @@
+"""Local NMF (Li et al. 2001) — KL-based, column-sum-1 basis.
+
+TPU-native re-design of lnmf.m.  Distinctives preserved from the
+reference: the sqrt H update (lnmf.m:81), the column-sum normalization of
+W (lnmf.m:64,75), the <=-style convergence comparison, and the quirk that
+the cost vector is NOT trimmed on early exit (lnmf.m:89-91).
+
+TPU notes: the W-update denominator ones(m,n) @ H' (lnmf.m:74) is a
+broadcast of H's row sums — no m-by-n ones matrix is ever built.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import EPS, Result, merge_config, resolve_dtype, uniform_init
+from ..ops import loop as looplib
+from ..ops.normalize import unit_sum_columns
+
+
+class _Spec(NamedTuple):
+    maxiter: int
+    w_fixed: bool
+    h_fixed: bool
+    eps: float
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: _Spec):
+    @jax.jit
+    def solve(V, W0, H0, tolerance):
+        eps = jnp.asarray(spec.eps, V.dtype)
+        # Precompute the constant part of the KL cost.
+        v_logv = jnp.sum(V * jnp.log(V)) - jnp.sum(V)
+
+        def step(carry, i):
+            W, H = carry
+            if not spec.w_fixed:
+                V_hat = W @ H
+                h_rowsum = jnp.sum(H, axis=1)  # ones(m,n) @ H' (lnmf.m:74)
+                W = W * (((V / V_hat) @ H.T) / jnp.maximum(h_rowsum[None, :], eps))
+                W = unit_sum_columns(W)
+            if not spec.h_fixed:
+                V_hat = W @ H
+                H = jnp.sqrt(H * (W.T @ (V / V_hat)))  # lnmf.m:81
+            V_hat = W @ H
+            c = v_logv - jnp.sum(V * jnp.log(V_hat)) + jnp.sum(V_hat)
+            return (W, H), c, jnp.asarray(False)
+
+        return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
+                           inclusive=True, cost_dtype=V.dtype)
+    return solve
+
+
+def lnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
+    """Local NMF; returns Result unpacking as (W, H, cost).
+
+    Parameters (lnmf.m:96-134): W_init, H_init, W_fixed, H_fixed,
+    maxiter (100), tolerance (1e-3).  Extras: dtype, seed, eps.
+    """
+    cfg = merge_config(config, kwargs)
+    dtype = resolve_dtype(V, cfg.get("dtype"))
+    V = jnp.asarray(V, dtype)
+    m, n = V.shape
+    k = int(num_basis_elems)
+
+    maxiter = int(cfg.get("maxiter", 100) or 100)
+    if maxiter <= 0:
+        maxiter = 100
+    tolerance = float(cfg.get("tolerance", 1e-3))
+    if tolerance <= 0:
+        tolerance = 1e-3
+    eps = float(cfg.get("eps", EPS))
+    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    kw, kh = jax.random.split(key)
+
+    W0 = cfg.get("W_init")
+    if W0 is None:
+        W0 = uniform_init(kw, (m, k), dtype)
+        W0 = unit_sum_columns(W0)  # lnmf.m:112-113
+    H0 = cfg.get("H_init")
+    if H0 is None:
+        H0 = uniform_init(kh, (k, n), dtype)
+    W0 = unit_sum_columns(jnp.asarray(W0, dtype))  # lnmf.m:64
+    H0 = jnp.asarray(H0, dtype)
+
+    spec = _Spec(maxiter, bool(cfg.get("W_fixed", False)),
+                 bool(cfg.get("H_fixed", False)), eps)
+    out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
+    W, H = out.state
+    import numpy as np
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=np.asarray(H),
+                  cost=looplib.trim_cost(out, maxiter, trim=False),
+                  n_iters=int(out.n_iters), converged=bool(out.stopped))

@@ -1,0 +1,237 @@
+"""NMF with multiplicative updates over four divergences.
+
+TPU-native re-design of the reference solver (nmf.m):
+
+* Multi-source "cell arrays" (nmf.m:114-117) become static column blocks
+  of one concatenated (m, k_total) basis — the per-source diagonal
+  correction terms of nmf.m:149-150 are column-local, so the hot loop has
+  no per-source logic at all.
+* Euclidean mode runs in **Gram form**: the m-by-n reconstruction W @ H is
+  never materialized.  Per iteration only two full-size matmuls remain
+  (V @ H' and W' @ V); every other term is assembled from k-by-k Grams,
+  and the cost uses the identity
+  0.5*||V - WH||^2 = 0.5*(||V||^2 - 2<W'V, H> + <W'W H, H>).
+  This is mathematically identical to nmf.m:147-224 (different floating-
+  point association only) and cuts both FLOPs and HBM traffic ~3x.
+* KL/IS/AB modes materialize the reconstruction (the fields are nonlinear
+  in V_hat) — see ops/divergence.py; the ones-field of KL is kept
+  implicit (no m-by-n ones matrix, nmf.m:152-153).
+* The iteration loop runs on device in ``lax.while_loop`` with the
+  tolerance check of nmf.m:221-224 evaluated on device.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import (EPS, Result, as_list, default_h_init, default_w_init,
+                    fixed_col_mask, merge_config, per_column, promote_inits,
+                    promote_per_source, resolve_dtype, source_blocks,
+                    unwrap_sources)
+from ..ops import divergence as dv
+from ..ops import loop as looplib
+from ..ops.gram import euclidean_cost_gram, sq_norm
+from ..ops.normalize import unit_l2_columns
+
+
+class _Spec(NamedTuple):
+    divergence: str
+    alpha: float
+    beta: float
+    method: str          # 'gram' | 'naive'
+    maxiter: int
+    w_fixed: tuple
+    h_fixed: tuple
+    blocks: tuple
+    eps: float
+
+
+def _kl_ones_b(H, m):
+    """ones(m, n) @ H' without the m-by-n ones matrix (nmf.m:153)."""
+    return jnp.broadcast_to(jnp.sum(H, axis=1)[None, :], (m, H.shape[0]))
+
+
+def _kl_ones_pos_h(W, n):
+    """W' @ ones(m, n) without the ones matrix (nmf.m:184)."""
+    return jnp.broadcast_to(jnp.sum(W, axis=0)[:, None], (W.shape[1], n))
+
+
+def _sparsity_penalty(W, H, wsp, hsp):
+    """Per-source L1 penalties added to the cost (nmf.m:216-218)."""
+    return (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=0))
+            + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: _Spec):
+    div, alpha, beta = spec.divergence, spec.alpha, spec.beta
+    w_any = not all(spec.w_fixed)
+    h_any = not all(spec.h_fixed)
+    ks = [b - a for a, b in spec.blocks]
+    w_mask = fixed_col_mask(spec.w_fixed, ks)
+    h_mask = fixed_col_mask(spec.h_fixed, ks)
+    w_all_free = not any(spec.w_fixed)
+    h_all_free = not any(spec.h_fixed)
+
+    def gram_step(V, v_sq, wsp, hsp, eps):
+        def step(carry, i):
+            W, H = carry
+            if w_any:
+                HHt = H @ H.T
+                VHt = V @ H.T                      # [mnk]
+                WG = W @ HHt                       # = V_hat @ H'
+                dneg = jnp.sum(W * WG, axis=0)     # diag(Hs V_hat' Ws), col-local
+                dpos = jnp.sum(W * VHt, axis=0)    # diag(Hs V' Ws)
+                neg = VHt + W * dneg[None, :]
+                pos = WG + W * dpos[None, :]
+                Wn = W * (neg / jnp.maximum(pos + wsp[None, :], eps))
+                Wn = unit_l2_columns(Wn)
+                W = Wn if w_all_free else jnp.where(w_mask[None, :], W, Wn)
+            WtV = W.T @ V                          # [mnk]
+            WtW = W.T @ W
+            if h_any:
+                Hn = H * (WtV / jnp.maximum(WtW @ H + hsp[:, None], eps))
+                H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
+            c = euclidean_cost_gram(v_sq, WtV, WtW, H)
+            c = c + _sparsity_penalty(W, H, wsp, hsp)
+            return (W, H), c, jnp.asarray(False)
+        return step
+
+    def naive_step(V, v_sq, wsp, hsp, eps):
+        m, n = V.shape
+
+        def step(carry, i):
+            W, H = carry
+            V_hat = W @ H
+            if w_any:
+                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta)
+                A = phi_neg @ H.T
+                B = _kl_ones_b(H, m) if phi_pos is None else phi_pos @ H.T
+                dneg = jnp.sum(W * B, axis=0)
+                dpos = jnp.sum(W * A, axis=0)
+                neg = dv.apply_power(A + W * dneg[None, :], power)
+                pos = dv.apply_power(B + W * dpos[None, :], power)
+                Wn = W * (neg / jnp.maximum(pos + wsp[None, :], eps))
+                Wn = unit_l2_columns(Wn)
+                W = Wn if w_all_free else jnp.where(w_mask[None, :], W, Wn)
+                V_hat = W @ H
+            if h_any:
+                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta)
+                neg = dv.apply_power(W.T @ phi_neg, power)
+                pos = _kl_ones_pos_h(W, n) if phi_pos is None else W.T @ phi_pos
+                pos = dv.apply_power(pos, power)
+                Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
+                H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
+                V_hat = W @ H
+            c = dv.cost(div, V, V_hat, alpha, beta)
+            c = c + _sparsity_penalty(W, H, wsp, hsp)
+            return (W, H), c, jnp.asarray(False)
+        return step
+
+    make_step = gram_step if spec.method == "gram" else naive_step
+
+    @jax.jit
+    def solve(V, W0, H0, wsp, hsp, tolerance):
+        eps = jnp.asarray(spec.eps, V.dtype)
+        v_sq = sq_norm(V) if spec.method == "gram" else None
+        step = make_step(V, v_sq, wsp, hsp, eps)
+        return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
+                           cost_dtype=V.dtype)
+
+    return solve
+
+
+def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
+    """Decompose a non-negative matrix V ~ W @ H.
+
+    Parameter surface mirrors the reference (nmf.m:17-65): ``divergence``
+    ('euclidean' | 'kl' | 'is' | 'ab' + aliases), ``alpha``/``beta`` (AB
+    only), ``W_init``/``H_init`` (array or per-source list),
+    ``W_sparsity``/``H_sparsity``, ``W_fixed``/``H_fixed``,
+    ``maxiter`` (100), ``tolerance`` (1e-3).  Extras: ``dtype``, ``seed``,
+    ``method`` ('auto' | 'gram' | 'naive'), ``eps``.
+
+    Returns a :class:`Result` unpacking as (W, H, cost).
+    """
+    cfg = merge_config(config, kwargs)
+    dtype = resolve_dtype(V, cfg.get("dtype"))
+    V = jnp.asarray(V, dtype)
+    m, n = V.shape
+
+    ks, was_seq = as_list(num_basis_elems)
+    ks = [int(k) for k in ks]
+    S = len(ks)
+    blocks = source_blocks(ks)
+
+    div = dv.canon(cfg.get("divergence", "euclidean"))
+    if div == "ab":
+        alpha = float(cfg.get("alpha", 1.0))
+        beta = float(cfg.get("beta", 1.0))
+        if alpha == 0.0 and beta == 0.0:
+            raise ValueError("alpha = 0 and beta = 0 is not supported at this time.")
+    else:
+        alpha, beta = 1.0, 1.0  # forced outside AB (nmf.m:255-266)
+
+    method = cfg.get("method", "auto")
+    if method == "auto":
+        method = "gram" if div == "euclidean" else "naive"
+    if method == "gram" and div != "euclidean":
+        raise ValueError("method='gram' is only valid for the euclidean divergence")
+
+    w_sp = promote_per_source(cfg.get("W_sparsity"), S, "W_sparsity", 0.0)
+    h_sp = promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)
+    w_sp = [max(float(v), 0.0) for v in w_sp]
+    h_sp = [max(float(v), 0.0) for v in h_sp]
+    w_fx = tuple(bool(b) for b in promote_per_source(cfg.get("W_fixed"), S, "W_fixed", False))
+    h_fx = tuple(bool(b) for b in promote_per_source(cfg.get("H_fixed"), S, "H_fixed", False))
+    maxiter = int(cfg.get("maxiter", 100) or 100)
+    if maxiter <= 0:
+        maxiter = 100
+    tolerance = float(cfg.get("tolerance", 1e-3))
+    if tolerance <= 0:
+        tolerance = 1e-3
+    eps = float(cfg.get("eps", EPS))
+    seed = int(cfg.get("seed", 0))
+
+    w_list, w_was_seq = promote_inits(cfg.get("W_init"), S, "basis")
+    h_list, h_was_seq = promote_inits(cfg.get("H_init"), S, "encoding")
+    key = jax.random.PRNGKey(seed)
+    kw, kh = jax.random.split(key)
+    if w_list is None:
+        w_list = default_w_init(kw, m, ks, dtype)
+        w_was_seq = was_seq
+    if h_list is None:
+        h_list = default_h_init(kh, ks, n, dtype)
+        h_was_seq = was_seq
+    for s, (w, h, k) in enumerate(zip(w_list, h_list, ks)):
+        if np.shape(w) != (m, k):
+            raise ValueError(f"W_init[{s}] has shape {np.shape(w)}, expected {(m, k)}")
+        if np.shape(h) != (k, n):
+            raise ValueError(f"H_init[{s}] has shape {np.shape(h)}, expected {(k, n)}")
+
+    W0 = jnp.concatenate([jnp.asarray(w, dtype) for w in w_list], axis=1)
+    H0 = jnp.concatenate([jnp.asarray(h, dtype) for h in h_list], axis=0)
+    # Unit-L2 column normalization of the (possibly user-supplied) init
+    # (nmf.m:132-134).
+    W0 = unit_l2_columns(W0)
+
+    wsp = per_column(w_sp, ks, dtype)
+    hsp = per_column(h_sp, ks, dtype)
+
+    spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps)
+    out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
+
+    W, H = out.state
+    cost = looplib.trim_cost(out, maxiter)
+    return Result(
+        fields=("W", "H", "cost"),
+        W=unwrap_sources(W, blocks, 1, w_was_seq),
+        H=unwrap_sources(H, blocks, 0, h_was_seq),
+        cost=cost,
+        n_iters=int(out.n_iters),
+        converged=bool(out.stopped),
+    )

@@ -1,0 +1,122 @@
+"""Divergence library: gradient fields and cost functions.
+
+Every multiplicative update in the reference factors through two m-by-n
+"fields" Phi_neg / Phi_pos of (V, V_hat):
+
+  W-update:  neg = Phi_neg @ Hs'  + Ws * diag(Hs @ Phi_pos' @ Ws)
+             pos = Phi_pos @ Hs'  + Ws * diag(Hs @ Phi_neg' @ Ws)
+             (then ^(1/alpha) or ^(1/beta) for the AB family)
+  H-update:  neg = Ws' @ Phi_neg ; pos = Ws' @ Phi_pos   (same power)
+
+Reference equations: nmf.m:147-167 (W), nmf.m:178-199 (H),
+cnmf.m:180-232 (with the (alpha,beta) mapping at cnmf.m:137-147),
+constrainednmf.m:186-235.
+
+``Phi_pos`` is ``None`` when it is the all-ones field (KL divergence):
+callers exploit this to avoid materializing an m-by-n ones matrix
+(ones(m,n) @ H' == broadcast of row-sums of H, nmf.m:153,184).
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+DIVERGENCES = ("euclidean", "kl_divergence", "kl", "is_divergence", "is",
+               "ab_divergence", "ab", "frobenius")
+
+
+def canon(divergence: str) -> str:
+    """Canonicalize divergence aliases (nmf.m:19-22, cnmf.m:137-147)."""
+    d = divergence.lower()
+    if d in ("euclidean", "frobenius"):
+        return "euclidean"
+    if d in ("kl_divergence", "kl"):
+        return "kl"
+    if d in ("is_divergence", "is"):
+        return "is"
+    if d in ("ab_divergence", "ab"):
+        return "ab"
+    raise ValueError(
+        f"No update equations defined for cost function with divergence type {divergence}"
+    )
+
+
+def ab_params(divergence: str, alpha: float, beta: float) -> tuple[float, float]:
+    """Map a named divergence onto AB-divergence (alpha, beta) — cnmf.m:137-147."""
+    d = canon(divergence)
+    if d == "euclidean":
+        return 1.0, 1.0
+    if d == "kl":
+        return 1.0, 0.0
+    if d == "is":
+        return 1.0, -1.0
+    return float(alpha), float(beta)
+
+
+def fields(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0):
+    """Return (Phi_neg, Phi_pos, power).
+
+    ``Phi_pos`` of None means the all-ones field; ``power`` of None means no
+    exponent is applied to the assembled gradients (the non-AB updates).
+    Reference: nmf.m:147-167.
+    """
+    d = canon(divergence)
+    if d == "euclidean":
+        return V, V_hat, None
+    if d == "kl":
+        return V / V_hat, None, None
+    if d == "is":
+        return V / (V_hat * V_hat), 1.0 / V_hat, None
+    # AB family; alpha == 0 uses the dual equations (nmf.m:124-128,159-160).
+    if alpha == 0.0:
+        phi_neg = V ** (alpha - 1.0) * V_hat ** beta
+        phi_pos = V ** (alpha + beta - 1.0)
+        return phi_neg, phi_pos, 1.0 / beta
+    phi_neg = V ** alpha * V_hat ** (beta - 1.0)
+    phi_pos = V_hat ** (alpha + beta - 1.0)
+    return phi_neg, phi_pos, 1.0 / alpha
+
+
+def ab_fields(V, V_hat, alpha: float, beta: float):
+    """AB fields for the convolutive family where every divergence is mapped
+    to (alpha, beta) first (cnmf.m:137-153, 180-232)."""
+    if alpha == 0.0:
+        return (V ** (alpha - 1.0) * V_hat ** beta,
+                V ** (alpha + beta - 1.0),
+                1.0 / beta)
+    one = jnp.ones((), V.dtype)
+    phi_neg = V if (alpha == 1.0 and beta == 1.0) else V ** alpha * V_hat ** (beta - 1.0)
+    if alpha + beta == 1.0:
+        phi_pos = jnp.broadcast_to(one, V_hat.shape)
+    elif alpha + beta == 2.0:
+        phi_pos = V_hat
+    else:
+        phi_pos = V_hat ** (alpha + beta - 1.0)
+    power = None if alpha == 1.0 else 1.0 / alpha
+    return phi_neg, phi_pos, power
+
+
+def apply_power(x, power):
+    return x if power is None or power == 1.0 else x ** power
+
+
+def cost(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0):
+    """Per-iteration cost (nmf.m:206-215; identical in cnmf.m:239-248 and
+    constrainednmf.m:241-250)."""
+    d = canon(divergence)
+    if d == "euclidean":
+        r = V - V_hat
+        return 0.5 * jnp.sum(r * r)
+    if d == "kl":
+        return jnp.sum(V * jnp.log(V / V_hat) - V + V_hat)
+    if d == "is":
+        return jnp.sum(jnp.log(V_hat / V) + V / V_hat - 1.0)
+    a, b = alpha, beta
+    # MATLAB 1/0 == Inf: with alpha*beta == 0 the reference's AB cost is
+    # +-Inf (nmf.m:214); the convergence rule then simply never fires.
+    factor = -1.0 / (a * b) if a * b != 0.0 else -math.inf
+    return factor * jnp.sum(
+        V ** a * V_hat ** b
+        - (a * V ** (a + b) + b * V_hat ** (a + b) + b) / (a + b)
+    )

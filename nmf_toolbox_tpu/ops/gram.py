@@ -1,0 +1,41 @@
+"""Gram-matrix utilities: pos/neg splits and Gram-form Euclidean costs.
+
+The semi-NMF / convex family splits Gram matrices into positive and
+negative parts (convexnmf.m:86-87, seminmf.m:73-76, chnmf.m:169-172):
+
+    A_pos = (|A| + A) / 2,   A_neg = (|A| - A) / 2.
+
+The Euclidean cost identities below are the TPU-first core of this
+framework: 0.5*||V - W H||_F^2 is evaluated from k-by-k Grams without
+ever materializing the m-by-n reconstruction, turning the reference's
+~6 full-size matmuls per iteration into 2 (SURVEY.md section 2.4).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pos_neg_split(A):
+    """Return (A_pos, A_neg) with A = A_pos - A_neg, both non-negative."""
+    absA = jnp.abs(A)
+    return 0.5 * (absA + A), 0.5 * (absA - A)
+
+
+def sq_norm(V):
+    """||V||_F^2 (precomputed once; constant across iterations)."""
+    return jnp.sum(V * V)
+
+
+def euclidean_cost_gram(v_sq, WtV, WtW, H):
+    """0.5*||V - W H||^2 = 0.5*(||V||^2 - 2<W'V, H> + <W'W H, H>).
+
+    All operands are k-by-n / k-by-k; no m-by-n intermediate.
+    """
+    return 0.5 * (v_sq - 2.0 * jnp.sum(WtV * H) + jnp.sum((WtW @ H) * H))
+
+
+def euclidean_cost_gram_w(v_sq, VHt, HHt, W):
+    """Same identity arranged for a W line search (H fixed):
+    0.5*(||V||^2 - 2<V H', W> + <W'W, H H'>)."""
+    WtW = W.T @ W
+    return 0.5 * (v_sq - 2.0 * jnp.sum(VHt * W) + jnp.sum(WtW * HHt))

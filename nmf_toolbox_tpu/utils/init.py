@@ -1,0 +1,206 @@
+"""Initialization recipes that live off the hot path.
+
+The reference leans on MATLAB toolbox built-ins for some inits:
+kmeans for the semi/convex family's indicator H (ValidateParameters.m:45-54,
+seminmf.m:109-117) and cov/eig/convhull for the convex-hull family's
+anchor points (chnmf.m:85-106).  Here:
+
+* k-means runs fully on device (kmeans++ seeding + Lloyd iterations in a
+  ``lax.while_loop``) — no host round trip, works under jit.
+* hull extraction computes the top principal directions on device
+  (exact eigh for small m, randomized subspace iteration for large m so
+  the m-by-m covariance of chnmf.m:90 is never materialized), then runs a
+  2-D monotone-chain convex hull on host per eigenvector pair (one-time,
+  data-dependent output size — SURVEY.md section 7 "Hard parts").
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# k-means (device)
+# ---------------------------------------------------------------------------
+
+def kmeans(key, X, k: int, *, maxiter: int = 100, tol: float = 1e-6):
+    """Lloyd's k-means on rows of X (n, d) with kmeans++ seeding.
+
+    Returns (labels (n,), centers (k, d)).  Replaces the Statistics-Toolbox
+    ``kmeans`` used at ValidateParameters.m:48 / seminmf.m:111.
+    """
+    X = jnp.asarray(X)
+    n, d = X.shape
+    x_sq = jnp.sum(X * X, axis=1)
+
+    # -- kmeans++ seeding ---------------------------------------------------
+    k0, key = jax.random.split(key)
+    first = jax.random.randint(k0, (), 0, n)
+    centers0 = jnp.zeros((k, d), X.dtype).at[0].set(X[first])
+
+    def seed_body(i, carry):
+        centers, key = carry
+        dists = x_sq[:, None] - 2.0 * X @ centers.T + jnp.sum(centers**2, axis=1)[None, :]
+        mask = jnp.arange(k)[None, :] < i
+        dmin = jnp.min(jnp.where(mask, dists, jnp.inf), axis=1)
+        dmin = jnp.maximum(dmin, 0.0)
+        key, sub = jax.random.split(key)
+        total = jnp.sum(dmin)
+        probs = jnp.where(total > 0, dmin / total, jnp.ones_like(dmin) / n)
+        idx = jax.random.choice(sub, n, p=probs)
+        return centers.at[i].set(X[idx]), key
+
+    centers, key = jax.lax.fori_loop(1, k, seed_body, (centers0, key))
+
+    # -- Lloyd iterations ---------------------------------------------------
+    def assign(centers):
+        dists = x_sq[:, None] - 2.0 * X @ centers.T + jnp.sum(centers**2, axis=1)[None, :]
+        return jnp.argmin(dists, axis=1)
+
+    def cond(carry):
+        _, _, it, moved = carry
+        return (it < maxiter) & moved
+
+    def body(carry):
+        centers, labels, it, _ = carry
+        onehot = (labels[:, None] == jnp.arange(k)[None, :]).astype(X.dtype)
+        counts = jnp.sum(onehot, axis=0)
+        sums = onehot.T @ X
+        new_centers = jnp.where(counts[:, None] > 0,
+                                sums / jnp.maximum(counts[:, None], 1.0),
+                                centers)
+        new_labels = assign(new_centers)
+        moved = jnp.max(jnp.sum((new_centers - centers) ** 2, axis=1)) > tol
+        return new_centers, new_labels, it + 1, moved
+
+    labels = assign(centers)
+    centers, labels, _, _ = jax.lax.while_loop(
+        cond, body, (centers, labels, jnp.int32(0), jnp.asarray(True)))
+    return labels, centers
+
+
+def kmeans_indicator_h(key, V, k: int, dtype, offset: float = 0.2):
+    """Indicator-matrix H init: H[c_j, j] = 1, then + offset.
+
+    Reference: ValidateParameters.m:45-54 / seminmf.m:109-117 (the
+    reference has a missing-{i} cell bug at ValidateParameters.m:51; this
+    is the intended behavior).
+    """
+    labels, _ = kmeans(key, jnp.asarray(V, dtype).T, k)
+    H = (labels[None, :] == jnp.arange(k)[:, None]).astype(dtype)
+    return H + jnp.asarray(offset, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Convex-hull anchor extraction (chnmf.m:85-106 / chcnmf.m:96-120)
+# ---------------------------------------------------------------------------
+
+def _top_eigvecs_exact(Vc):
+    """Exact covariance eigendecomposition for small m (chnmf.m:90-93)."""
+    C = jnp.cov(Vc)  # (m, m), rows are variables — matches MATLAB cov(V')
+    vals, vecs = jnp.linalg.eigh(C)
+    order = jnp.argsort(vals)[::-1]
+    return vals[order], vecs[:, order]
+
+
+def _top_eigvecs_randomized(V, num: int, seed: int = 0, iters: int = 4):
+    """Randomized subspace iteration for the top eigenpairs of cov(V').
+
+    Never materializes the m-by-m covariance: only products
+    cov @ Q = (Vc @ (Vc' @ Q)) / (n - 1) are formed.  TPU-first replacement
+    for eig(cov(V')) at chnmf.m:90-93 when m is large.
+    """
+    m, n = V.shape
+    mean = jnp.mean(V, axis=1, keepdims=True)
+    key = jax.random.PRNGKey(seed)
+    Q = jax.random.normal(key, (m, num), V.dtype)
+
+    Vc = V - mean
+
+    def matvec_c(Q):
+        return Vc @ (Vc.T @ Q) / (n - 1.0)
+
+    for _ in range(iters):
+        Q, _ = jnp.linalg.qr(matvec_c(Q))
+    B = Q.T @ matvec_c(Q)
+    vals, S = jnp.linalg.eigh(B)
+    order = jnp.argsort(vals)[::-1]
+    return vals[order], (Q @ S)[:, order]
+
+
+def _convhull_2d(points: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D convex hull (Andrew's monotone chain), host-side.
+
+    Replaces MATLAB convhull (chnmf.m:100).
+    """
+    n = points.shape[0]
+    order = np.lexsort((points[:, 1], points[:, 0]))
+
+    def half(idx_iter):
+        hull = []
+        for i in idx_iter:
+            while len(hull) >= 2:
+                o, a = points[hull[-2]], points[hull[-1]]
+                if (a[0] - o[0]) * (points[i][1] - o[1]) - (a[1] - o[1]) * (points[i][0] - o[0]) <= 0:
+                    hull.pop()
+                else:
+                    break
+            hull.append(i)
+        return hull
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.unique(np.array(lower[:-1] + upper[:-1], dtype=np.int64))
+
+
+def convex_hull_anchors(V, pct_eigval_energy: float = 0.95,
+                        max_eigvecs: int = 16, seed: int = 0) -> np.ndarray:
+    """Extract hull anchor columns S of V (chnmf.m:85-106).
+
+    Keeps the top-E principal directions covering ``pct_eigval_energy`` of
+    the squared-eigenvalue energy (min 2, chnmf.m:94-95), projects V onto
+    each eigenvector pair, takes the 2-D convex hull, and collects the
+    corresponding (deduplicated) columns of V.
+
+    One-time host-synced init; returns a NumPy (m, p) array whose column
+    count p is data-dependent.
+    """
+    V = jnp.asarray(V)
+    m, n = V.shape
+    if m == 1:  # chnmf.m:87-89
+        return np.array([[float(jnp.min(V)), float(jnp.max(V))]])
+    if n <= 2:  # chcnmf.m:101-102
+        return np.asarray(V)
+
+    num_request = int(min(max_eigvecs, m, n - 1 if n > 1 else 1))
+    if m <= 1024:
+        vals, vecs = _top_eigvecs_exact(V)
+        vals = vals[:num_request]
+        vecs = vecs[:, :num_request]
+    else:
+        vals, vecs = _top_eigvecs_randomized(V, num_request, seed=seed)
+    vals = np.asarray(vals)
+    vecs = np.asarray(vecs)
+
+    # num_eigvals_keep: first index where cumulative squared-eigenvalue
+    # energy exceeds the threshold (chnmf.m:94-95), at least 2.
+    sq = vals ** 2
+    cum = np.cumsum(sq) / max(np.sum(sq), np.finfo(vals.dtype).tiny)
+    above = np.nonzero(cum > pct_eigval_energy)[0]
+    keep = int(above[0] + 1) if above.size else len(vals)
+    keep = max(keep, 2)
+    keep = min(keep, vecs.shape[1])
+
+    Vnp = np.asarray(V)
+    proj_all = np.asarray(V.T @ jnp.asarray(vecs[:, :keep]))  # (n, keep), on device
+    collected = None
+    for e1 in range(keep - 1):
+        for e2 in range(e1 + 1, keep):
+            pts = proj_all[:, [e1, e2]]
+            idx = _convhull_2d(pts)
+            new = Vnp[:, idx]
+            collected = new if collected is None else np.concatenate([collected, new], axis=1)
+            # dedupe rows of S' (chnmf.m:102)
+            collected = np.unique(collected.T, axis=0).T
+    return collected
