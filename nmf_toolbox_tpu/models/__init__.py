@@ -4,5 +4,11 @@ from .seminmf import seminmf
 from .convexnmf import convexnmf
 from .chnmf import chnmf
 from .cnmf import cnmf
+from .nmfsc import nmfsc
+from .cnmfsc import cnmfsc
+from .cmfwisa import cmfwisa
+from .chcnmf import chcnmf
+from .constrainednmf import constrainednmf
 
-__all__ = ["nmf", "lnmf", "seminmf", "convexnmf", "chnmf", "cnmf"]
+__all__ = ["nmf", "lnmf", "seminmf", "convexnmf", "chnmf", "cnmf",
+           "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf"]

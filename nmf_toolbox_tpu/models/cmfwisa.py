@@ -1,0 +1,185 @@
+"""Complex matrix factorization with intra-source additivity (King 2012).
+
+TPU-native re-design of cmfwisa.m: V ~ sum_i (W_i H_i) .* P_i where W/H
+are non-negative real factors and P_i are unit-modulus complex phase
+matrices.  Runs in native complex64 (complex128 under x64) on device.
+
+Reproduced reference semantics:
+* auxiliary ratios beta_i = (W_i H_i) / (W_all H_all) and per-source
+  targets V_bar_i = V_hat_i + beta_i (V - V_hat) (cmfwisa.m:177-180);
+* phase update P_i = exp(1j angle(V_bar_i)) (cmfwisa.m:185);
+* W/H multiplicative updates against the STALE full reconstruction
+  (W_all/H_all rebuilt only after both updates — cmfwisa.m:192-205), the
+  H denominator with the reference's (W_i' W_all) H_all association;
+* cost = sum |V - V_hat|^2 + sum_i H_sparsity_i sum(H_i)
+  (cmfwisa.m:214-217 — no 0.5 factor);
+* W_sparsity is accepted but ignored, exactly like the reference (the
+  validation surface admits it but no update uses it — see COMPAT.md).
+
+TPU-first: per-source reconstructions are one stacked (S, m, n) tensor;
+the shared denominators are single concatenated matmuls sliced per block.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import (EPS, Result, as_list, merge_config, per_column,
+                    promote_inits, promote_per_source, resolve_dtype,
+                    source_blocks, unwrap_sources, uniform_init,
+                    real_dtype_of)
+from ..ops import loop as looplib
+from ..ops.normalize import unit_l2_columns
+
+
+class _Spec(NamedTuple):
+    maxiter: int
+    w_fixed: tuple
+    h_fixed: tuple
+    p_fixed: tuple
+    blocks: tuple
+    eps: float
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: _Spec):
+    blocks = spec.blocks
+    S = len(blocks)
+
+    @jax.jit
+    def solve(V, W0, H0, P0, hsp, tolerance):
+        rdt = W0.dtype
+        eps = jnp.asarray(spec.eps, rdt)
+
+        def per_source_wh(W, H):
+            # stacked (S, m, n) per-source reconstructions W_i @ H_i
+            return jnp.stack([W[:, a:b] @ H[a:b, :] for a, b in blocks])
+
+        def step(carry, i):
+            W, H, P, WH = carry
+            V_hat = jnp.sum(WH * P, axis=0)
+            R = jnp.sum(WH, axis=0)                # stale W_all H_all (real)
+            beta = WH / R                          # cmfwisa.m:178
+            V_bar = WH * P + beta * (V - V_hat)    # cmfwisa.m:179
+            # Phase update (cmfwisa.m:183-187).
+            P_new = jnp.exp(1j * jnp.angle(V_bar)).astype(P.dtype)
+            if any(spec.p_fixed):
+                P = jnp.stack([P[s] if spec.p_fixed[s] else P_new[s]
+                               for s in range(S)])
+            else:
+                P = P_new
+            G = jnp.abs(V_bar) / beta              # (S, m, n) real
+
+            # W updates (cmfwisa.m:190-195) — denominators share R @ H_i'.
+            RHt = R @ H.T                          # (m, k_all)
+            cols = []
+            for s, (a, b) in enumerate(blocks):
+                if spec.w_fixed[s]:
+                    cols.append(W[:, a:b])
+                else:
+                    num = G[s] @ H[a:b, :].T
+                    Ws = W[:, a:b] * (num / jnp.maximum(RHt[:, a:b], eps))
+                    cols.append(unit_l2_columns(Ws))
+            W_new = jnp.concatenate(cols, axis=1)
+
+            # H updates (cmfwisa.m:198-202) — W_i is the UPDATED block, the
+            # denominator (W_i' W_all) H_all uses the stale factors.
+            M = (W_new.T @ W) @ H                  # (k_all, n); W/H stale
+            rows = []
+            for s, (a, b) in enumerate(blocks):
+                if spec.h_fixed[s]:
+                    rows.append(H[a:b, :])
+                else:
+                    num = W_new[:, a:b].T @ G[s]
+                    rows.append(H[a:b, :] * (num / jnp.maximum(M[a:b, :] + hsp[a:b, None], eps)))
+            H_new = jnp.concatenate(rows, axis=0)
+
+            WH_new = per_source_wh(W_new, H_new)
+            V_hat = jnp.sum(WH_new * P, axis=0)
+            diff = V - V_hat
+            c = jnp.sum(jnp.real(diff * jnp.conj(diff)))
+            c = c + jnp.sum(hsp * jnp.sum(H_new, axis=1))
+            return (W_new, H_new, P, WH_new), c, jnp.asarray(False)
+
+        WH0 = per_source_wh(W0, H0)
+        return looplib.run(step, (W0, H0, P0, WH0), spec.maxiter, tolerance,
+                           cost_dtype=rdt)
+    return solve
+
+
+def cmfwisa(V, num_basis_elems, config: dict | None = None, **kwargs):
+    """Complex MF with intra-source additivity.  Returns (W, H, P, cost).
+
+    Parameters (cmfwisa.m:10-80): W_init/H_init (real, per-source),
+    P_init (complex unit-modulus, default exp(1j angle(V))),
+    W_sparsity (accepted, unused — reference parity), H_sparsity,
+    W_fixed/H_fixed/P_fixed, maxiter (100), tolerance (1e-3).
+    """
+    cfg = merge_config(config, kwargs)
+    cdt = resolve_dtype(V, cfg.get("dtype"))
+    if not jnp.issubdtype(cdt, jnp.complexfloating):
+        cdt = jnp.dtype(np.complex128) if cdt == jnp.float64 else jnp.dtype(np.complex64)
+    rdt = real_dtype_of(cdt)
+    V = jnp.asarray(V, cdt)
+    m, n = V.shape
+
+    ks, was_seq = as_list(num_basis_elems)
+    ks = [int(k) for k in ks]
+    S = len(ks)
+    blocks = source_blocks(ks)
+
+    h_sp = [max(float(v), 0.0) for v in
+            promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)]
+    # W_sparsity: accepted but unused (reference behavior, cmfwisa.m).
+    promote_per_source(cfg.get("W_sparsity"), S, "W_sparsity", 0.0)
+    w_fx = tuple(bool(x) for x in promote_per_source(cfg.get("W_fixed"), S, "W_fixed", False))
+    h_fx = tuple(bool(x) for x in promote_per_source(cfg.get("H_fixed"), S, "H_fixed", False))
+    p_fx = tuple(bool(x) for x in promote_per_source(cfg.get("P_fixed"), S, "P_fixed", False))
+    maxiter = int(cfg.get("maxiter", 100) or 100)
+    if maxiter <= 0:
+        maxiter = 100
+    tolerance = float(cfg.get("tolerance", 1e-3))
+    if tolerance <= 0:
+        tolerance = 1e-3
+    eps = float(cfg.get("eps", EPS))
+    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    kw, kh = jax.random.split(key)
+
+    w_list, w_was_seq = promote_inits(cfg.get("W_init"), S, "basis")
+    h_list, h_was_seq = promote_inits(cfg.get("H_init"), S, "encoding")
+    p_list, p_was_seq = promote_inits(cfg.get("P_init"), S, "phase")
+    if w_list is None:
+        keys = jax.random.split(kw, S)
+        w_list = [unit_l2_columns(uniform_init(kk, (m, k), rdt))
+                  for kk, k in zip(keys, ks)]
+        w_was_seq = was_seq
+    if h_list is None:
+        keys = jax.random.split(kh, S)
+        h_list = [uniform_init(kk, (k, n), rdt) for kk, k in zip(keys, ks)]
+        h_was_seq = was_seq
+    if p_list is None:
+        p0 = jnp.exp(1j * jnp.angle(V)).astype(cdt)  # cmfwisa.m:119
+        p_list = [p0] * S
+        p_was_seq = was_seq
+
+    W0 = unit_l2_columns(jnp.concatenate([jnp.asarray(w, rdt) for w in w_list], axis=1))
+    H0 = jnp.concatenate([jnp.asarray(h, rdt) for h in h_list], axis=0)
+    P0 = jnp.stack([jnp.asarray(p, cdt) for p in p_list])
+    hsp = per_column(h_sp, ks, rdt)
+
+    spec = _Spec(maxiter, w_fx, h_fx, p_fx, blocks, eps)
+    out = _build_solver(spec)(V, W0, H0, P0, hsp, jnp.asarray(tolerance, rdt))
+    W, H, P, _ = out.state
+    P_parts = [np.asarray(P[s]) for s in range(S)]
+    return Result(
+        fields=("W", "H", "P", "cost"),
+        W=unwrap_sources(W, blocks, 1, w_was_seq),
+        H=unwrap_sources(H, blocks, 0, h_was_seq),
+        P=P_parts if p_was_seq else P_parts[0],
+        cost=looplib.trim_cost(out, maxiter),
+        n_iters=int(out.n_iters), converged=bool(out.stopped),
+    )

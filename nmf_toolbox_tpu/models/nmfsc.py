@@ -1,0 +1,217 @@
+"""NMF with sparseness constraints (Hoyer 2004).
+
+TPU-native re-design of nmfsc.m.  Structure preserved from the reference:
+Euclidean only, single source; sparsity in [0, 1] maps to an L1 target for
+unit-L2 vectors (nmfsc.m:93,106); sparse factors move by projected
+gradient descent with a backtracking line search (halve until the
+objective decreases, grow 1.2x on success, declare convergence when the
+stepsize underflows 1e-200 — nmfsc.m:148-233); non-sparse factors fall
+back to plain MU with an H-row renormalization that transfers norms into
+W (nmfsc.m:182-187).
+
+TPU-first details:
+* the line-search objective 0.5*||V - W Hnew||^2 is evaluated in Gram
+  form — W is frozen during the H search, so each trial costs O(n k^2)
+  instead of a full m-by-n reconstruction (nmfsc.m:160-161); same for the
+  W search with H frozen.
+* each trial projects ALL rows/columns at once through the vectorized
+  Hoyer projection (ops/projection.py).
+* both line searches are bounded ``lax.while_loop``s nested inside the
+  on-device outer iteration loop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import EPS, STEP_UNDERFLOW, Result, merge_config, resolve_dtype
+from ..ops import loop as looplib
+from ..ops.projection import hoyer_l1_target, project_columns
+from ..ops.normalize import row_l2_transfer
+
+
+class _Spec(NamedTuple):
+    maxiter: int
+    w_sparse: bool
+    h_sparse: bool
+    w_fixed: bool
+    h_fixed: bool
+    eps: float
+    l1_w: float
+    l1_h: float
+
+
+def _line_search(obj_fn, X, dX, step0, project, begobj):
+    """Backtracking line search (nmfsc.m:152-179).
+
+    Returns (X_new, step_new, underflow).  On underflow X is returned
+    unchanged (MATLAB returns with the un-accepted factor).
+    """
+    dt = X.dtype
+
+    def cond(carry):
+        _, _, _, accepted, underflow = carry
+        return (~accepted) & (~underflow)
+
+    def body(carry):
+        step, Xb, _, _, _ = carry
+        Xnew = project(X - step * dX)
+        newobj = obj_fn(Xnew)
+        accepted = newobj <= begobj
+        step_next = jnp.where(accepted, step, step / 2.0)
+        underflow = (~accepted) & (step_next < STEP_UNDERFLOW)
+        return step_next, jnp.where(accepted, Xnew, Xb), newobj, accepted, underflow
+
+    step, Xn, _, accepted, underflow = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(step0, dt), X, jnp.zeros((), dt),
+         jnp.asarray(False), jnp.asarray(False)))
+    X_out = jnp.where(accepted, Xn, X)
+    step_out = jnp.where(accepted, 1.2 * step, step)  # nmfsc.m:178
+    return X_out, step_out, underflow
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: _Spec):
+    @jax.jit
+    def solve(V, W0, H0, tolerance):
+        dt = V.dtype
+        eps = jnp.asarray(spec.eps, dt)
+        v_sq = jnp.sum(V * V)
+        one = jnp.ones((), dt)
+
+        def obj_h(WtV, WtW):
+            # 0.5||V - W H||^2 with W frozen (Gram form)
+            def f(H):
+                return 0.5 * (v_sq - 2.0 * jnp.sum(WtV * H)
+                              + jnp.sum((WtW @ H) * H))
+            return f
+
+        def obj_w(VHt, HHt):
+            def f(W):
+                return 0.5 * (v_sq - 2.0 * jnp.sum(VHt * W)
+                              + jnp.sum((W.T @ W) * HHt))
+            return f
+
+        def proj_rows(H):
+            return project_columns(H.T, spec.l1_h, one)[0].T
+
+        def proj_cols(W):
+            return project_columns(W, spec.l1_w, one)[0]
+
+        def initial_cost(W, H):
+            WtV = W.T @ V
+            WtW = W.T @ W
+            return 0.5 * (v_sq - 2.0 * jnp.sum(WtV * H) + jnp.sum((WtW @ H) * H))
+
+        def step(carry, i):
+            W, H, step_w, step_h, prev_cost = carry
+            term = jnp.asarray(False)
+
+            # ---- H update (nmfsc.m:143-189) ----
+            if not spec.h_fixed:
+                WtV = W.T @ V
+                WtW = W.T @ W
+                if spec.h_sparse:
+                    dH = WtW @ H - WtV  # positive_grad - negative_grad
+                    H, step_h, under_h = _line_search(
+                        obj_h(WtV, WtW), H, dH, step_h, proj_rows, prev_cost)
+                    term = term | under_h
+                else:
+                    H = H * (WtV / jnp.maximum(WtW @ H, eps))
+                    H, W_scaled = row_l2_transfer(H, W)
+                    W = W_scaled
+
+            # ---- W update (nmfsc.m:192-233) ----
+            if not spec.w_fixed:
+                HHt = H @ H.T
+                VHt = V @ H.T
+                if spec.w_sparse:
+                    f_w = obj_w(VHt, HHt)
+                    begobj = f_w(W)  # nmfsc.m:197 (fresh objective)
+                    dW = W @ HHt - VHt
+                    W1, step_w1, under_w = _line_search(
+                        f_w, W, dW, step_w, proj_cols, begobj)
+                    # discard the W phase entirely if the H search already
+                    # terminated (the reference returned before reaching it)
+                    W = jnp.where(term, W, W1)
+                    step_w = jnp.where(term, step_w, step_w1)
+                    term = term | (under_w & ~term)
+                else:
+                    Wn = W * (VHt / jnp.maximum(W @ HHt, eps))
+                    W = jnp.where(term, W, Wn)
+
+            c = initial_cost(W, H)  # nmfsc.m:237-238
+            return (W, H, step_w, step_h, c), c, term
+
+        c0 = initial_cost(W0, H0)
+        st = jnp.ones((), dt)
+        return looplib.run(step, (W0, H0, st, st, c0), spec.maxiter,
+                           tolerance, offset=1, initial_cost=c0,
+                           cost_dtype=dt)
+    return solve
+
+
+def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
+    """Hoyer sparse NMF.  Returns Result as (W, H, cost).
+
+    Parameters (nmfsc.m:9-41): W_init, H_init, W_sparsity/H_sparsity in
+    [0, 1] (Hoyer sparseness, clamped to 1 — nmfsc.m:90-92), W_fixed,
+    H_fixed, maxiter (100), tolerance (1e-3).  V must be non-negative; it
+    is rescaled by its max (nmfsc.m:57-62).  cost[0] is the initial cost
+    (length maxiter+1 semantics, nmfsc.m:137-139).
+    """
+    cfg = merge_config(config, kwargs)
+    dtype = resolve_dtype(V, cfg.get("dtype"))
+    V = np.asarray(V)
+    if V.min() < 0:
+        raise ValueError("Negative values in data!")  # nmfsc.m:57-59
+    V = jnp.asarray(V / V.max(), dtype)  # nmfsc.m:62
+    m, n = V.shape
+    k = int(num_basis_elems)
+
+    maxiter = int(cfg.get("maxiter", 100) or 100)
+    if maxiter <= 0:
+        maxiter = 100
+    tolerance = float(cfg.get("tolerance", 1e-3))
+    if tolerance <= 0:
+        tolerance = 1e-3
+    eps = float(cfg.get("eps", EPS))
+    w_sp = float(cfg.get("W_sparsity", 0.0) or 0.0)
+    h_sp = float(cfg.get("H_sparsity", 0.0) or 0.0)
+    w_sp = min(w_sp, 1.0)  # nmfsc.m:90-92
+    h_sp = min(h_sp, 1.0)
+    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    kw, kh = jax.random.split(key)
+
+    W0 = cfg.get("W_init")
+    if W0 is None:
+        W0 = jax.random.uniform(kw, (m, k), dtype)  # nmfsc.m:73-75
+    W0 = jnp.asarray(W0, dtype)
+    H0 = cfg.get("H_init")
+    if H0 is None:
+        H0 = jax.random.uniform(kh, (k, n), dtype)
+        H0 = H0 / jnp.sqrt(jnp.sum(H0 * H0, axis=1, keepdims=True))  # nmfsc.m:78-81
+    H0 = jnp.asarray(H0, dtype)
+
+    l1_w = hoyer_l1_target(m, w_sp) if w_sp > 0 else 0.0
+    l1_h = hoyer_l1_target(n, h_sp) if h_sp > 0 else 0.0
+    if w_sp > 0:  # initial projection (nmfsc.m:93-96)
+        W0 = project_columns(W0, l1_w, 1.0)[0]
+    if h_sp > 0:  # nmfsc.m:106-109
+        H0 = project_columns(H0.T, l1_h, 1.0)[0].T
+
+    spec = _Spec(maxiter, w_sp > 0, h_sp > 0,
+                 bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
+                 eps, float(l1_w), float(l1_h))
+    out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
+    W, H = out.state[0], out.state[1]
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=np.asarray(H),
+                  cost=looplib.trim_cost(out, maxiter, offset=1),
+                  n_iters=int(out.n_iters),
+                  converged=bool(out.stopped) or bool(out.terminated))

@@ -13,6 +13,10 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend and sets
+# jax_platforms="axon,cpu" regardless of the env var; override via config
+# so tests really run on the 8 virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: while_loop solvers are compile-heavy on CPU;

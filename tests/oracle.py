@@ -348,3 +348,385 @@ def chnmf(V, S, G_init, H_init, maxiter=100, tolerance=1e-3,
             cost = cost[: it + 1]
             break
     return W, H, G, cost
+
+
+def _hoyer_l1(dim, s):
+    return np.sqrt(dim) - (np.sqrt(dim) - 1.0) * s
+
+
+def nmfsc(V, W_init, H_init, W_sparsity=0.0, H_sparsity=0.0,
+          W_fixed=False, H_fixed=False, maxiter=100, tolerance=1e-3):
+    """nmfsc.m:56-245 — literal transliteration including the line
+    searches.  Returns (W, H, cost)."""
+    V = np.asarray(V, np.float64)
+    if V.min() < 0:
+        raise ValueError("Negative values in data!")
+    V = V / V.max()
+    m, n = V.shape
+    W = np.array(W_init, np.float64)
+    H = np.array(H_init, np.float64)
+    k = H.shape[0]
+    L1a = _hoyer_l1(m, min(W_sparsity, 1.0)) if W_sparsity > 0 else None
+    L1s = _hoyer_l1(n, min(H_sparsity, 1.0)) if H_sparsity > 0 else None
+    if W_sparsity > 0:
+        for j in range(k):
+            W[:, j] = projfunc(W[:, j], L1a, 1, nn=True)[0]
+    if H_sparsity > 0:
+        for j in range(k):
+            H[j, :] = projfunc(H[j, :], L1s, 1, nn=True)[0]
+    stepW, stepH = 1.0, 1.0
+    cost = np.zeros(maxiter + 1)
+    V_hat = W @ H
+    cost[0] = 0.5 * np.sum((V - V_hat) ** 2)
+    for it in range(maxiter):
+        if not H_fixed:
+            neg = W.T @ V
+            pos = W.T @ V_hat
+            if H_sparsity > 0:
+                dH = pos - neg
+                begobj = cost[it]
+                while True:
+                    Hnew = H - stepH * dH
+                    for j in range(k):
+                        Hnew[j, :] = projfunc(Hnew[j, :], L1s, 1, nn=True)[0]
+                    V_hat = W @ Hnew
+                    newobj = 0.5 * np.sum((V - V_hat) ** 2)
+                    if newobj <= begobj:
+                        break
+                    stepH /= 2
+                    if stepH < 1e-200:
+                        return W, H, cost[: it + 1]
+                stepH *= 1.2
+                H = Hnew
+            else:
+                H = H * (neg / np.maximum(pos, EPS))
+                norms = np.sqrt(np.sum(H**2, axis=1))
+                H = H / norms[:, None]
+                W = W * norms[None, :]
+        if not W_fixed:
+            V_hat = W @ H
+            neg = V @ H.T
+            pos = V_hat @ H.T
+            if W_sparsity > 0:
+                begobj = 0.5 * np.sum((V - V_hat) ** 2)
+                dW = pos - neg
+                while True:
+                    Wnew = W - stepW * dW
+                    for j in range(k):
+                        Wnew[:, j] = projfunc(Wnew[:, j], L1a, 1, nn=True)[0]
+                    V_hat = Wnew @ H
+                    newobj = 0.5 * np.sum((V - V_hat) ** 2)
+                    if newobj <= begobj:
+                        break
+                    stepW /= 2
+                    if stepW < 1e-200:
+                        return W, H, cost[: it + 1]
+                stepW *= 1.2
+                W = Wnew
+            else:
+                W = W * (neg / np.maximum(pos, EPS))
+        V_hat = W @ H
+        cost[it + 1] = 0.5 * np.sum((V - V_hat) ** 2)
+        if it > 0 and cost[it + 1] < cost[it] and cost[it] - cost[it + 1] < tolerance:
+            cost = cost[: it + 2]
+            break
+    return W, H, cost
+
+
+def cnmfsc(V, W_init, H_init, context_len, W_sparsity=0.0, H_sparsity=0.0,
+           W_fixed=False, H_fixed=False, maxiter=100, tolerance=1e-3):
+    """cnmfsc.m:67-277 — literal transliteration (double-buffered W0/W,
+    per-frame stepsizes, the 2-D reconstruct inside the W line search at
+    cnmfsc.m:235, the incremental clamped V_hat update at cnmfsc.m:262,
+    and the (pos + eps) guard at cnmfsc.m:202)."""
+    V = np.asarray(V, np.float64)
+    if V.min() < 0:
+        raise ValueError("Negative values in data!")
+    V = V / V.max()
+    m, n = V.shape
+    W0 = np.array(W_init, np.float64)
+    W = W0.copy()
+    H = np.array(H_init, np.float64)
+    k = H.shape[0]
+    T = context_len
+    L1a = _hoyer_l1(m, min(W_sparsity, 1.0)) if W_sparsity > 0 else None
+    L1s = _hoyer_l1(n, min(H_sparsity, 1.0)) if H_sparsity > 0 else None
+    if W_sparsity > 0:
+        # NOTE: the reference projects W but NOT the W0 buffer
+        # (cnmfsc.m:94-110), so iteration 1's H gradients use the
+        # unprojected basis while the initial cost uses the projected one.
+        for t in range(T):
+            for j in range(k):
+                W[:, j, t] = projfunc(W[:, j, t], L1a, 1, nn=True)[0]
+    if H_sparsity > 0:
+        for j in range(k):
+            H[j, :] = projfunc(H[j, :], L1s, 1, nn=True)[0]
+
+    def hshift(Hm, t):
+        return np.concatenate([np.zeros((k, t)), Hm[:, : n - t]], axis=1)
+
+    def lshift(X, t):
+        return np.concatenate([X[:, t:], np.zeros((X.shape[0], t))], axis=1)
+
+    stepW = np.ones(T)
+    stepH = 1.0
+    cost = np.zeros(maxiter + 1)
+    V_hat = reconstruct(W, H)  # cnmfsc.m:152 uses W (projected)
+    cost[0] = 0.5 * np.sum((V - V_hat) ** 2)
+    for it in range(maxiter):
+        if not H_fixed:
+            neg = np.zeros((k, n))
+            pos = np.zeros((k, n))
+            for t in range(T):
+                neg += W0[:, :, t].T @ lshift(V, t)
+                pos += W0[:, :, t].T @ lshift(V_hat, t)
+            if H_sparsity > 0:
+                dH = pos - neg
+                begobj = cost[it]
+                while True:
+                    Hnew = H - stepH * dH
+                    for j in range(k):
+                        Hnew[j, :] = projfunc(Hnew[j, :], L1s, 1, nn=True)[0]
+                    V_hat = reconstruct(W0, Hnew)
+                    newobj = 0.5 * np.sum((V - V_hat) ** 2)
+                    if newobj <= begobj:
+                        break
+                    stepH /= 2
+                    if stepH < 1e-200:
+                        return W, H, cost[: it + 1]
+                stepH *= 1.2
+                H = Hnew
+            else:
+                H = H * (neg / (pos + EPS))  # note: + eps, not max (cnmfsc.m:202)
+                norms = np.sqrt(np.sum(H**2, axis=1))
+                H = H / norms[:, None]
+                for t in range(T):
+                    W0[:, :, t] = W0[:, :, t] * norms[None, :]
+        if not W_fixed:
+            V_hat = reconstruct(W0, H)
+            if W_sparsity > 0:
+                for t in range(T):
+                    begobj = 0.5 * np.sum((V - V_hat) ** 2)
+                    Hs = hshift(H, t)
+                    neg = V @ Hs.T
+                    pos = V_hat @ Hs.T
+                    dW = pos - neg
+                    while True:
+                        Wnew = W0[:, :, t] - stepW[t] * dW
+                        for j in range(k):
+                            Wnew[:, j] = projfunc(Wnew[:, j], L1a, 1, nn=True)[0]
+                        V_hat = Wnew @ H  # 2-D reconstruct (cnmfsc.m:235)
+                        newobj = 0.5 * np.sum((V - V_hat) ** 2)
+                        if newobj <= begobj:
+                            break
+                        stepW[t] /= 2
+                        if stepW[t] < 1e-200:
+                            return W, H, cost[: it + 1]
+                    stepW[t] *= 1.2
+                    W[:, :, t] = Wnew
+            else:
+                for t in range(T):
+                    Hs = hshift(H, t)
+                    neg = V @ Hs.T
+                    pos = V_hat @ Hs.T
+                    W[:, :, t] = W0[:, :, t] * (neg / np.maximum(pos, EPS))
+                    V_hat = np.maximum(V_hat + (W[:, :, t] - W0[:, :, t]) @ Hs, 0)
+        W0 = W.copy()
+        V_hat = reconstruct(W0, H)
+        cost[it + 1] = 0.5 * np.sum((V - V_hat) ** 2)
+        if it > 0 and cost[it + 1] < cost[it] and cost[it] - cost[it + 1] < tolerance:
+            cost = cost[: it + 2]
+            break
+    return W, H, cost
+
+
+def cmfwisa(V, W_init, H_init, P_init=None, H_sparsity=None,
+            W_fixed=None, H_fixed=None, P_fixed=None,
+            maxiter=100, tolerance=1e-3):
+    """cmfwisa.m:99-224 — complex MF with intra-source additivity.
+    W_init/H_init are per-source lists; V is complex."""
+    V = np.asarray(V, np.complex128)
+    m, n = V.shape
+    S = len(W_init)
+    W = [np.array(w, np.float64) for w in W_init]
+    H = [np.array(h, np.float64) for h in H_init]
+    hsp = H_sparsity or [0.0] * S
+    wfx = W_fixed or [False] * S
+    hfx = H_fixed or [False] * S
+    pfx = P_fixed or [False] * S
+    for i in range(S):
+        W[i] = W[i] / np.sqrt(np.sum(W[i]**2, axis=0, keepdims=True))
+    if P_init is None:
+        P = [np.exp(1j * np.angle(V)) for _ in range(S)]
+    else:
+        P = [np.array(p, np.complex128) for p in P_init]
+    W_all = np.concatenate(W, axis=1)
+    H_all = np.concatenate(H, axis=0)
+    V_hat_ps = np.stack([(W[i] @ H[i]) * P[i] for i in range(S)])
+    V_hat = V_hat_ps.sum(0)
+    cost = np.zeros(maxiter)
+    for it in range(maxiter):
+        R = W_all @ H_all
+        beta = [(W[i] @ H[i]) / R for i in range(S)]
+        V_bar = [V_hat_ps[i] + beta[i] * (V - V_hat) for i in range(S)]
+        for i in range(S):
+            if not pfx[i]:
+                P[i] = np.exp(1j * np.angle(V_bar[i]))
+        for i in range(S):
+            if not wfx[i]:
+                W[i] = W[i] * (((np.abs(V_bar[i]) / beta[i]) @ H[i].T)
+                               / np.maximum(R @ H[i].T, EPS))
+                W[i] = W[i] / np.sqrt(np.sum(W[i]**2, axis=0, keepdims=True))
+        for i in range(S):
+            if not hfx[i]:
+                # literal association: (W_i' W_all) H_all (cmfwisa.m:200)
+                H[i] = H[i] * ((W[i].T @ (np.abs(V_bar[i]) / beta[i]))
+                               / np.maximum((W[i].T @ W_all) @ H_all + hsp[i], EPS))
+        W_all = np.concatenate(W, axis=1)
+        H_all = np.concatenate(H, axis=0)
+        V_hat_ps = np.stack([(W[i] @ H[i]) * P[i] for i in range(S)])
+        V_hat = V_hat_ps.sum(0)
+        cost[it] = np.sum(np.abs(V - V_hat) ** 2)
+        for i in range(S):
+            cost[it] += hsp[i] * np.sum(H[i])
+        if it > 0 and cost[it] < cost[it - 1] and cost[it - 1] - cost[it] < tolerance:
+            cost = cost[: it + 1]
+            break
+    return W, H, P, cost
+
+
+def chcnmf(V, S, G_init, H_init, context_len, G_sparsity=0.0, H_sparsity=0.0,
+           G_fixed=False, H_fixed=False, maxiter=100, tolerance=1e-3):
+    """chcnmf.m:297-438 (the live code path; the commented-out branches are
+    dead code).  Literal: sequential per-frame G updates with the
+    incremental clamped F update (chcnmf.m:363-368), H gradient via
+    shifted identity (chcnmf.m:374-383)."""
+    V = np.asarray(V, np.float64)
+    S = np.asarray(S, np.float64)
+    m, n = V.shape
+    G = np.array(G_init, np.float64)
+    H = np.array(H_init, np.float64)
+    p, k, T = G.shape
+    for t in range(T):
+        G[:, :, t] = G[:, :, t] / np.sum(G[:, :, t], axis=0, keepdims=True)
+    StV = S.T @ V
+    StS = S.T @ S
+    sv_pos = 0.5 * (np.abs(StV) + StV)
+    sv_neg = 0.5 * (np.abs(StV) - StV)
+    ss_pos = 0.5 * (np.abs(StS) + StS)
+    ss_neg = 0.5 * (np.abs(StS) - StS)
+    W = np.zeros((m, k, T))
+    for t in range(T):
+        W[:, :, t] = S @ G[:, :, t]
+
+    def hshift(Hm, t):
+        return np.concatenate([np.zeros((k, t)), Hm[:, : n - t]], axis=1)
+
+    def lshift(X, t):
+        return np.concatenate([X[:, t:], np.zeros((X.shape[0], t))], axis=1)
+
+    G0 = G.copy()
+    cost = np.zeros(maxiter + 1)
+    V_hat = reconstruct(W, H)
+    cost[0] = 0.5 * np.sum((V - V_hat) ** 2) + H_sparsity * np.sum(H)
+    for it in range(maxiter):
+        F = reconstruct(G0, H)  # (p, n) encoding-space reconstruction
+        if not G_fixed:
+            for t in range(T):
+                Hs = hshift(H, t)
+                G[:, :, t] = G0[:, :, t] * (
+                    ((sv_pos + ss_neg @ F) @ Hs.T)
+                    / np.maximum((sv_neg + ss_pos @ F) @ Hs.T + G_sparsity, EPS))
+                G[:, :, t] = G[:, :, t] / np.sum(G[:, :, t], axis=0, keepdims=True)
+                F = np.maximum(F + (G[:, :, t] - G0[:, :, t]) @ Hs, 0)
+                W[:, :, t] = S @ G[:, :, t]
+        if not H_fixed:
+            F = reconstruct(G, H)
+            neg = np.zeros((k, n))
+            pos = np.zeros((k, n))
+            for t in range(T):
+                neg += G[:, :, t].T @ (lshift(sv_pos, t) + ss_neg @ lshift(F, t))
+                pos += G[:, :, t].T @ (lshift(sv_neg, t) + ss_pos @ lshift(F, t))
+            H = H * (neg / np.maximum(pos + H_sparsity, EPS))
+        V_hat = reconstruct(W, H)
+        cost[it + 1] = 0.5 * np.sum((V - V_hat) ** 2) + H_sparsity * np.sum(H)
+        if it > 0 and cost[it + 1] < cost[it] and cost[it] - cost[it + 1] < tolerance:
+            cost = cost[: it + 2]
+            break
+        G0 = G.copy()
+    return W, H, G, cost
+
+
+def constrainednmf(V, labels, W_init, Z_init, divergence="euclidean",
+                   alpha=1.0, beta=1.0, W_sparsity=0.0, Z_sparsity=0.0,
+                   W_fixed=False, Z_fixed=False, maxiter=100, tolerance=1e-3):
+    """constrainednmf.m:144-267 with injected W/Z inits.  The AB branch of
+    the Z update uses the paper-correct W'(V^a .* V_hat^(b-1))A' grouping
+    (the reference's literal expression at constrainednmf.m:229 is
+    shape-inconsistent — see COMPAT.md)."""
+    V = np.asarray(V, np.float64)
+    m, n = V.shape
+    labels = np.asarray(labels)
+    W = np.array(W_init, np.float64)
+    W = W / np.sqrt(np.sum(W**2, axis=0, keepdims=True))
+    # label preprocessing (constrainednmf.m:149-158)
+    num_labeled = int(np.sum(labels > -1))
+    uniq = np.unique(labels)
+    if num_labeled < n:
+        num_classes = len(uniq) - 1
+        lp = np.searchsorted(uniq, labels)  # 0 -> unlabeled
+        lp = np.where(lp == 0, -1, lp)
+    else:
+        num_classes = len(uniq)
+        lp = np.searchsorted(uniq, labels) + 1
+    sorted_idx = np.argsort(lp, kind="stable")
+    sorted_labels = lp[sorted_idx]
+    V = V[:, sorted_idx]
+    n_u = n - num_labeled
+    C = np.zeros((num_classes, num_labeled))
+    for s in range(n_u, n):
+        C[sorted_labels[s] - 1, s - n_u] = 1
+    A = np.zeros((n_u + num_classes, n))
+    A[:n_u, :n_u] = np.eye(n_u)
+    A[n_u:, n_u:] = C
+    Z = np.array(Z_init, np.float64)
+    H = Z @ A
+    V_hat = W @ H
+    cost = np.zeros(maxiter)
+    for it in range(maxiter):
+        if not W_fixed:
+            neg, pos = _w_grads(divergence, V, V_hat, W, H, alpha, beta)
+            W = W * (neg / np.maximum(pos + W_sparsity, EPS))
+            W = W / np.sqrt(np.sum(W**2, axis=0, keepdims=True))
+        V_hat = W @ H
+        if not Z_fixed:
+            if divergence == "euclidean":
+                neg = W.T @ V @ A.T
+                pos = W.T @ V_hat @ A.T
+            elif divergence == "kl":
+                neg = W.T @ (V / V_hat) @ A.T
+                pos = W.T @ np.ones((m, n)) @ A.T
+            elif divergence == "is":
+                neg = W.T @ (V / V_hat**2) @ A.T
+                pos = W.T @ (np.ones((m, n)) / (W @ H)) @ A.T
+            else:
+                a, b = alpha, beta
+                if a == 0:
+                    neg = (W.T @ (V**(a - 1) * V_hat**b) @ A.T) ** (1 / b)
+                    pos = (W.T @ V**(a + b - 1) @ A.T) ** (1 / b)
+                else:
+                    neg = (W.T @ (V**a * V_hat**(b - 1)) @ A.T) ** (1 / a)
+                    pos = (W.T @ V_hat**(a + b - 1) @ A.T) ** (1 / a)
+            Z = Z * (neg / np.maximum(pos + Z_sparsity, EPS))
+        H = Z @ A
+        V_hat = W @ H
+        cost[it] = div_cost(divergence, V, V_hat, alpha, beta)
+        cost[it] += W_sparsity * np.sum(np.abs(W)) + Z_sparsity * np.sum(np.abs(Z))
+        if it > 0 and cost[it] < cost[it - 1] and cost[it - 1] - cost[it] < tolerance:
+            cost = cost[: it + 1]
+            break
+    # restore original ordering (constrainednmf.m:263-267)
+    A_orig = np.zeros_like(A)
+    A_orig[:, sorted_idx] = A
+    H = Z @ A_orig
+    return W, H, Z, A_orig, cost
