@@ -1,0 +1,106 @@
+"""Headline benchmark: Euclidean NMF multiplicative-update throughput at
+100k x 10k rank-200 (BASELINE.json's metric) on the available device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "iters/sec", "vs_baseline": N}
+
+vs_baseline is the speedup over single-core MATLAB running the reference
+implementation (nmf.m) on the same problem.  The reference publishes no
+numbers (BASELINE.md), so the MATLAB side is a documented FLOP-model
+estimate:
+
+  nmf.m euclidean iteration ~= 10 full-size matmuls (2 reconstructions of
+  V_hat at nmf.m:173/203, four gradient products and two diag-correction
+  chains at nmf.m:149-150, two H-gradient products at nmf.m:180-181)
+  = ~20*m*n*k FLOPs = 4.0e12 at (m, n, k) = (1e5, 1e4, 200); a strong
+  single MATLAB/BLAS core sustains ~5e10 FLOP/s in double precision
+  -> ~80 s/iter -> 0.0125 iters/s.
+
+This framework's Gram-form iteration does 2 full-size matmuls (V H' and
+W'V, 4*m*n*k = 8.0e11 FLOPs) and never materializes the m-by-n
+reconstruction — the cost is evaluated from k-by-k Grams.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+MATLAB_ITERS_PER_SEC = 0.0125  # documented estimate above
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from nmf_toolbox_tpu.models.nmf import _build_solver, _Spec
+    from nmf_toolbox_tpu.core import EPS
+    from nmf_toolbox_tpu.ops.normalize import unit_l2_columns
+
+    # Problem sizes: headline config, shrinking if the device is small.
+    candidates = [(100_000, 10_000, 200), (50_000, 10_000, 200),
+                  (20_000, 5_000, 200)]
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    timing_iters = 20
+    for (m, n, k) in candidates:
+        try:
+            key = jax.random.PRNGKey(0)
+            kv, kw, kh = jax.random.split(key, 3)
+            V = jax.random.uniform(kv, (m, n), jnp.float32, 0.05, 1.0)
+            W0 = unit_l2_columns(jax.random.uniform(kw, (m, k), jnp.float32))
+            H0 = jax.random.uniform(kh, (k, n), jnp.float32)
+            jax.block_until_ready(V)
+
+            spec = _Spec("euclidean", 1.0, 1.0, "gram", timing_iters,
+                         (False,), (False,), ((0, k),), EPS)
+            solve = _build_solver(spec)
+            zeros = jnp.zeros((k,), jnp.float32)
+            tol = jnp.float32(1e-30)  # never triggers: time all iterations
+
+            # Warmup (compile + one full run).
+            out = solve(V, W0, H0, zeros, zeros, tol)
+            jax.block_until_ready(out.cost_buf)
+
+            # Perturb the init each trial with fresh entropy (the remote
+            # relay caches identical-argument calls) and DISCARD the first
+            # trial: the first post-warmup call on the tunneled device has
+            # unreliable completion signaling.  Force a host readback after
+            # each trial so the next one starts from a drained queue.
+            ent = np.random.default_rng()  # OS entropy
+            dts = []
+            for trial in range(4):
+                W0t = W0 * np.float32(1.0 + 1e-5 * ent.uniform(0.1, 1.0))
+                jax.block_until_ready(W0t)
+                t0 = time.perf_counter()
+                out = solve(V, W0t, H0, zeros, zeros, tol)
+                jax.block_until_ready(out.cost_buf)
+                dts.append(time.perf_counter() - t0)
+                float(out.cost_buf[-1])  # drain
+            dts = dts[1:]
+            dt = sorted(dts)[len(dts) // 2]
+
+            iters_per_sec = timing_iters / dt
+            c = np.asarray(out.cost_buf)
+            print(f"config {m}x{n} r{k}: {iters_per_sec:.2f} iters/s "
+                  f"({dt*1e3/timing_iters:.1f} ms/iter), cost {c[0]:.3e} -> {c[-1]:.3e}",
+                  file=sys.stderr)
+            result = {
+                "metric": f"euclidean NMF MU iters/sec, {m}x{n} rank-{k}, f32, "
+                          f"1 chip ({dev.platform})",
+                "value": round(iters_per_sec, 3),
+                "unit": "iters/sec",
+                "vs_baseline": round(iters_per_sec / MATLAB_ITERS_PER_SEC, 1),
+            }
+            print(json.dumps(result))
+            return
+        except Exception as e:  # OOM etc. — try the next size
+            print(f"config {m}x{n} r{k} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+    print(json.dumps({"metric": "euclidean NMF MU iters/sec",
+                      "value": 0.0, "unit": "iters/sec", "vs_baseline": 0.0}))
+
+
+if __name__ == "__main__":
+    main()

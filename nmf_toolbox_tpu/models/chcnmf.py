@@ -205,6 +205,10 @@ def chcnmf(V, num_basis_elems: int, context_len: int,
     StS = S.T @ S
     v_sq = jnp.sum(V * V)
 
+    from ..parallel import apply_placements
+    StV, G0, H0 = apply_placements(cfg.get("mesh"), "chcnmf",
+                                   V=StV, G=G0, H=H0)
+
     spec = _Spec(T, maxiter, g_fixed, bool(cfg.get("H_fixed", False)), eps)
     out = _build_solver(spec)(v_sq, StV, StS, G0, H0,
                               jnp.asarray(g_sp, dtype), jnp.asarray(h_sp, dtype),

@@ -124,6 +124,9 @@ def chnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     g_sp = max(float(cfg.get("G_sparsity", 0.0) or 0.0), 0.0)
     h_sp = max(float(cfg.get("H_sparsity", 0.0) or 0.0), 0.0)
 
+    from ..parallel import apply_placements
+    V, S, G0, H0 = apply_placements(cfg.get("mesh"), "chnmf", V=V, S=S, G=G0, H=H0)
+
     spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),
                  bool(cfg.get("H_fixed", False)), eps)
     out = _build_solver(spec)(V, S, G0, H0,

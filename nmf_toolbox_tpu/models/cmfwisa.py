@@ -171,6 +171,10 @@ def cmfwisa(V, num_basis_elems, config: dict | None = None, **kwargs):
     P0 = jnp.stack([jnp.asarray(p, cdt) for p in p_list])
     hsp = per_column(h_sp, ks, rdt)
 
+    from ..parallel import apply_placements
+    V, W0, H0, P0 = apply_placements(cfg.get("mesh"), "cmfwisa",
+                                     V=V, W=W0, H=H0, P=P0)
+
     spec = _Spec(maxiter, w_fx, h_fx, p_fx, blocks, eps)
     out = _build_solver(spec)(V, W0, H0, P0, hsp, jnp.asarray(tolerance, rdt))
     W, H, P, _ = out.state

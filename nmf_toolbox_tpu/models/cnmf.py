@@ -176,6 +176,9 @@ def cnmf(V, num_basis_elems, context_len: int,
     wsp = per_column(w_sp, ks, dtype)
     hsp = per_column(h_sp, ks, dtype)
 
+    from ..parallel import apply_placements
+    V, W0, H0 = apply_placements(cfg.get("mesh"), "cnmf", V=V, W=W0, H=H0)
+
     spec = _Spec(div, alpha, beta, T, maxiter, w_fx, h_fx, blocks, eps)
     out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
     W, H = out.state

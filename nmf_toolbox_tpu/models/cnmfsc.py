@@ -253,6 +253,10 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
     if h_sp > 0:
         H0 = project_columns(H0.T, l1_h, 1.0)[0].T
 
+    from ..parallel import apply_placements
+    V, W0, W_proj, H0 = apply_placements(cfg.get("mesh"), "cnmfsc",
+                                         V=V, W=W0, W2=W_proj, H=H0)
+
     spec = _Spec(T, maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
                  eps, float(l1_w), float(l1_h))

@@ -175,6 +175,10 @@ def constrainednmf(V, labels, num_basis_elems: int,
         Z0 = uniform_init(kz, (k, n_u + num_classes), dtype, floor_eps=False)  # :174
     Z0 = jnp.asarray(Z0, dtype)
 
+    from ..parallel import apply_placements
+    V_sorted, W0, Z0 = apply_placements(cfg.get("mesh"), "constrainednmf",
+                                        V=V_sorted, W=W0, Z=Z0)
+
     spec = _Spec(div, alpha, beta, maxiter, bool(cfg.get("W_fixed", False)),
                  bool(cfg.get("Z_fixed", False)), n_u, num_classes, eps)
     out = _build_solver(spec)(V_sorted, W0, Z0, jnp.asarray(class_onehot),

@@ -111,6 +111,9 @@ def convexnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     G0 = unit_sum_columns(jnp.asarray(G0, dtype))  # convexnmf.m:83
     H0 = jnp.asarray(H0, dtype)
 
+    from ..parallel import apply_placements
+    V, G0, H0 = apply_placements(cfg.get("mesh"), "convexnmf", V=V, G=G0, H=H0)
+
     spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),
                  bool(cfg.get("H_fixed", False)))
     out = _build_solver(spec)(V, G0, H0, jnp.asarray(g_sparsity, dtype),

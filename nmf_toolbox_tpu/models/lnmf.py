@@ -87,6 +87,9 @@ def lnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     W0 = unit_sum_columns(jnp.asarray(W0, dtype))  # lnmf.m:64
     H0 = jnp.asarray(H0, dtype)
 
+    from ..parallel import apply_placements
+    V, W0, H0 = apply_placements(cfg.get("mesh"), "lnmf", V=V, W=W0, H=H0)
+
     spec = _Spec(maxiter, bool(cfg.get("W_fixed", False)),
                  bool(cfg.get("H_fixed", False)), eps)
     out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))

@@ -222,6 +222,9 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
     wsp = per_column(w_sp, ks, dtype)
     hsp = per_column(h_sp, ks, dtype)
 
+    from ..parallel import apply_placements
+    V, W0, H0 = apply_placements(cfg.get("mesh"), "nmf", V=V, W=W0, H=H0)
+
     spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps)
     out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
 

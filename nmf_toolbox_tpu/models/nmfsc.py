@@ -205,6 +205,9 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     if h_sp > 0:  # nmfsc.m:106-109
         H0 = project_columns(H0.T, l1_h, 1.0)[0].T
 
+    from ..parallel import apply_placements
+    V, W0, H0 = apply_placements(cfg.get("mesh"), "nmfsc", V=V, W=W0, H=H0)
+
     spec = _Spec(maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
                  eps, float(l1_w), float(l1_h))

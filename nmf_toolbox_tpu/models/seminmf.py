@@ -86,6 +86,9 @@ def seminmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     W0 = jnp.asarray(W0, dtype)
     H0 = jnp.asarray(H0, dtype)
 
+    from ..parallel import apply_placements
+    V, W0, H0 = apply_placements(cfg.get("mesh"), "seminmf", V=V, W=W0, H=H0)
+
     spec = _Spec(maxiter, bool(cfg.get("W_fixed", False)),
                  bool(cfg.get("H_fixed", False)))
     out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))

@@ -1,0 +1,5 @@
+from .mesh import (make_mesh, shard, replicate, col_sharding, row_sharding,
+                   grid_sharding, placements_for, apply_placements)
+
+__all__ = ["make_mesh", "shard", "replicate", "col_sharding", "row_sharding",
+           "grid_sharding", "placements_for", "apply_placements"]
