@@ -132,7 +132,58 @@ def _build_solver(spec: _Spec):
             return (W, H), c, jnp.asarray(False)
         return step
 
-    make_step = gram_step if spec.method == "gram" else naive_step
+    def fused_step(V, v_sq, wsp, hsp, eps):
+        """KL/IS iteration through the fused Pallas kernels: the m-by-n
+        reconstruction and ratio fields never touch HBM (ops/pallas)."""
+        from ..ops import pallas as plk
+        m, n = V.shape
+        kl = div == "kl"
+        # Field-independent cost constants.
+        if kl:
+            c_const = jnp.sum(V * jnp.log(V)) - jnp.sum(V)  # nmf.m:210
+        else:
+            c_const = -jnp.sum(jnp.log(V)) - m * n          # nmf.m:212
+
+        def step(carry, i):
+            W, H = carry
+            if w_any:
+                if kl:
+                    A = plk.phi_dot_ht(V, W, H, "kl")
+                    h_rowsum = jnp.sum(H, axis=1)
+                    dneg = jnp.sum(W, axis=0) * h_rowsum
+                    dpos = jnp.sum(W * A, axis=0)
+                    neg = A + W * dneg[None, :]
+                    pos = h_rowsum[None, :] + W * dpos[None, :]
+                else:
+                    A, B = plk.phi_dot_ht(V, W, H, "is")
+                    dneg = jnp.sum(W * B, axis=0)
+                    dpos = jnp.sum(W * A, axis=0)
+                    neg = A + W * dneg[None, :]
+                    pos = B + W * dpos[None, :]
+                Wn = W * (neg / jnp.maximum(pos + wsp[None, :], eps))
+                Wn = unit_l2_columns(Wn)
+                W = Wn if w_all_free else jnp.where(w_mask[None, :], W, Wn)
+            if h_any:
+                if kl:
+                    neg = plk.wt_dot_phi(V, W, H, "kl")
+                    pos = jnp.sum(W, axis=0)[:, None]
+                else:
+                    neg, pos = plk.wt_dot_phi(V, W, H, "is")
+                Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
+                H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
+            if kl:
+                s = plk.cost_terms(V, W, H, "kl")
+                sum_vhat = jnp.sum(W, axis=0) @ jnp.sum(H, axis=1)
+                c = c_const - s + sum_vhat
+            else:
+                s1, s2 = plk.cost_terms(V, W, H, "is")
+                c = c_const + s1 + s2
+            c = c + _sparsity_penalty(W, H, wsp, hsp)
+            return (W, H), c, jnp.asarray(False)
+        return step
+
+    make_step = {"gram": gram_step, "naive": naive_step,
+                 "fused": fused_step}[spec.method]
 
     @jax.jit
     def solve(V, W0, H0, wsp, hsp, tolerance):
@@ -177,10 +228,21 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
         alpha, beta = 1.0, 1.0  # forced outside AB (nmf.m:255-266)
 
     method = cfg.get("method", "auto")
+    k_total = sum(ks)
     if method == "auto":
+        # 'fused' (Pallas) is numerically equivalent at f32 but measured
+        # slower than XLA's own fusion of the naive path on v5e (13 vs
+        # 5.8 ms/iter at 40k x 10k r100 KL) — XLA already avoids
+        # materializing the ratio field.  Keep it opt-in until the
+        # single-pass-per-phase restructure lands.
         method = "gram" if div == "euclidean" else "naive"
     if method == "gram" and div != "euclidean":
         raise ValueError("method='gram' is only valid for the euclidean divergence")
+    if method == "fused":
+        if div not in ("kl", "is"):
+            raise ValueError("method='fused' is only valid for kl/is divergences")
+        if dtype != jnp.float32:
+            raise ValueError("method='fused' requires float32")
 
     w_sp = promote_per_source(cfg.get("W_sparsity"), S, "W_sparsity", 0.0)
     h_sp = promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)

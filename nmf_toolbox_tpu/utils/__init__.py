@@ -1,0 +1,7 @@
+from .init import kmeans, kmeans_indicator_h, convex_hull_anchors
+from .viz import sort_dictionary, view_dictionary
+from .checkpoint import save_factors, load_factors
+
+__all__ = ["kmeans", "kmeans_indicator_h", "convex_hull_anchors",
+           "sort_dictionary", "view_dictionary",
+           "save_factors", "load_factors"]

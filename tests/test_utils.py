@@ -1,0 +1,92 @@
+"""Tests for viz (sort/view dictionary) and checkpoint utilities."""
+import os
+
+import numpy as np
+import pytest
+
+import nmf_toolbox_tpu as nt
+from nmf_toolbox_tpu.utils import (sort_dictionary, view_dictionary,
+                                   save_factors, load_factors)
+
+
+def oracle_sort(W, H=None):
+    """Literal SortDictionary.m:31-47."""
+    W = np.asarray(W)
+    k = W.shape[1]
+    csum = np.cumsum(W, axis=0)
+    cog = np.zeros(k, dtype=int)
+    for j in range(k):
+        idx = np.nonzero(csum[:, j] <= csum[-1, j] / 2)[0]
+        cog[j] = (idx[-1] + 1) if idx.size else 1
+    order = np.argsort(cog, kind="stable")
+    if H is None:
+        return W[:, order]
+    return W[:, order], np.asarray(H)[order, :]
+
+
+def test_sort_dictionary_matches_oracle():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        W = rng.uniform(size=(30, 6))
+        H = rng.uniform(size=(6, 12))
+        Ws, Hs = sort_dictionary(W, H)
+        Wo, Ho = oracle_sort(W, H)
+        np.testing.assert_array_equal(Ws, Wo)
+        np.testing.assert_array_equal(Hs, Ho)
+
+
+def test_sort_dictionary_centered_basis():
+    # columns peaked at increasing positions must come back ordered
+    W = np.zeros((20, 3))
+    W[15, 0] = 1.0
+    W[2, 1] = 1.0
+    W[8, 2] = 1.0
+    Ws = sort_dictionary(W)
+    assert np.argmax(Ws[:, 0]) == 2
+    assert np.argmax(Ws[:, 1]) == 8
+    assert np.argmax(Ws[:, 2]) == 15
+
+
+def test_sort_dictionary_rejects_3d():
+    with pytest.raises(ValueError):
+        sort_dictionary(np.zeros((4, 3, 2)))
+
+
+def test_view_dictionary_2d_and_3d(tmp_path):
+    rng = np.random.default_rng(1)
+    ax = view_dictionary(rng.uniform(size=(16, 4)), sort=True, logscale=True,
+                         threshold=1e-3)
+    assert ax.get_xlabel() == "Basis index"
+    ax.figure.savefig(tmp_path / "nmf.png")
+    ax3 = view_dictionary(rng.uniform(size=(16, 3, 4)), spacing=2, flipud=True)
+    img = ax3.images[0].get_array()
+    assert img.shape == (16, 3 * (4 + 2))  # K*(T+spacing) flatten
+    ax3.figure.savefig(tmp_path / "cnmf.png")
+    assert (tmp_path / "cnmf.png").stat().st_size > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    V = rng.uniform(0.1, 1, (20, 30))
+    res = nt.nmf(V, 4, maxiter=10, seed=1, dtype=np.float64)
+    p = tmp_path / "ckpt.npz"
+    save_factors(p, res)
+    kw = load_factors(p)
+    assert set(kw) == {"W_init", "H_init"}
+    # resume: with the saved factors W/H should continue from the same cost
+    res2 = nt.nmf(V, 4, maxiter=5, dtype=np.float64, **kw)
+    assert res2.cost[0] <= res.cost[-1] + 1e-9
+    raw = load_factors(p, as_inits=False)
+    np.testing.assert_array_equal(raw["cost"], res.cost)
+
+
+def test_checkpoint_multisource(tmp_path):
+    rng = np.random.default_rng(3)
+    V = rng.uniform(0.1, 1, (20, 30))
+    res = nt.nmf(V, [3, 2], maxiter=5, seed=1, dtype=np.float64)
+    p = tmp_path / "ms.npz"
+    save_factors(p, res)
+    kw = load_factors(p)
+    assert isinstance(kw["W_init"], list) and len(kw["W_init"]) == 2
+    res2 = nt.nmf(V, [3, 2], maxiter=3, dtype=np.float64, **kw)
+    assert np.all(np.isfinite(res2.cost))
