@@ -41,6 +41,7 @@ class _Spec(NamedTuple):
     h_fixed: tuple
     blocks: tuple
     eps: float
+    method: str          # 'gram' (euclidean only) | 'naive'
 
 
 @functools.lru_cache(maxsize=None)
@@ -61,6 +62,55 @@ def _build_solver(spec: _Spec):
     @jax.jit
     def solve(V, W0, H0, wsp, hsp, tolerance):
         eps = jnp.asarray(spec.eps, V.dtype)
+        dt = V.dtype
+        v_sq = jnp.sum(V * V)
+
+        def cross_grams_h(H):
+            from .cnmfsc import _cross_grams_h
+            from ..ops.shift import stack_shifts_right
+            return _cross_grams_h(stack_shifts_right(H, T))
+
+        def gram_step(carry, i):
+            # Euclidean-only Gram form: the convolutive reconstruction is
+            # never materialized.  Per iteration only TWO batched matmuls
+            # touch V (conv_phi_ht(V, H) and conv_wt_phi(W, V)); the
+            # V_hat-dependent terms are assembled from (T, T, k, k)
+            # cross-Grams.  Mathematically identical to cnmf.m:175-251.
+            from ..ops.shift import shift_left, stack_shifts_right
+            from .cnmfsc import _cross_grams_w, _cross_grams_h
+            W, H = carry
+            if w_any:
+                HH = cross_grams_h(H)                    # HH[s, t]
+                A = conv_phi_ht(V, H, T)                 # (m, k, T) [big]
+                # B[:, :, t] = V_hat @ H^(t)' = sum_s W_s HH[s, t]
+                B = jnp.einsum("mks,stkl->mlt", W, HH,
+                               preferred_element_type=dt)
+                dneg = jnp.sum(W * B, axis=0)
+                dpos = jnp.sum(W * A, axis=0)
+                neg = A + W * dneg[None]
+                pos = B + W * dpos[None]
+                Wn = W * (neg / jnp.maximum(pos + wsp[None, :, None], eps))
+                Wn, _ = cross_frame_norm(Wn, None, T)
+                W = Wn if w_all_free else jnp.where(w_mask[None, :, None], W, Wn)
+            gneg = conv_wt_phi(W, V)                     # (k, n) [big]
+            if h_any:
+                WW = _cross_grams_w(W)
+                Hs = stack_shifts_right(H, T)
+                gpos = jnp.zeros_like(gneg)
+                for t in range(T):
+                    gpos = gpos + shift_left(
+                        jnp.einsum("skl,sln->kn", WW[t], Hs,
+                                   preferred_element_type=dt), t)
+                Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+                H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
+            # cost with the UPDATED factors, all in Gram space:
+            # <V, conv(W, H)> = <conv_wt_phi(W, V), H>.
+            WW = _cross_grams_w(W)
+            HH = cross_grams_h(H)
+            c = 0.5 * (v_sq - 2.0 * jnp.sum(gneg * H) + jnp.sum(WW * HH))
+            c = c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
+                     + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
+            return (W, H), c, jnp.asarray(False)
 
         def step(carry, i):
             W, H = carry  # W: (m, k, T), H: (k, n)
@@ -101,7 +151,8 @@ def _build_solver(spec: _Spec):
                      + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
             return (W, H), c, jnp.asarray(False)
 
-        return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
+        body = gram_step if spec.method == "gram" else step
+        return looplib.run(body, (W0, H0), spec.maxiter, tolerance,
                            cost_dtype=V.dtype)
     return solve
 
@@ -179,7 +230,14 @@ def cnmf(V, num_basis_elems, context_len: int,
     from ..parallel import apply_placements
     V, W0, H0 = apply_placements(cfg.get("mesh"), "cnmf", V=V, W=W0, H=H0)
 
-    spec = _Spec(div, alpha, beta, T, maxiter, w_fx, h_fx, blocks, eps)
+    method = cfg.get("method", "auto")
+    euclid = div == "euclidean" and alpha == 1.0 and beta == 1.0
+    if method == "auto":
+        method = "gram" if euclid else "naive"
+    if method == "gram" and not euclid:
+        raise ValueError("method='gram' is only valid for the euclidean divergence")
+
+    spec = _Spec(div, alpha, beta, T, maxiter, w_fx, h_fx, blocks, eps, method)
     out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
     W, H = out.state
     return Result(

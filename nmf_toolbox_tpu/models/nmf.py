@@ -42,12 +42,13 @@ class _Spec(NamedTuple):
     divergence: str
     alpha: float
     beta: float
-    method: str          # 'gram' | 'naive'
+    method: str          # 'gram' | 'naive' | 'fused'
     maxiter: int
     w_fixed: tuple
     h_fixed: tuple
     blocks: tuple
     eps: float
+    callback: object = None  # optional (i, cost) host logger
 
 
 def _kl_ones_b(H, m):
@@ -191,7 +192,7 @@ def _build_solver(spec: _Spec):
         v_sq = sq_norm(V) if spec.method == "gram" else None
         step = make_step(V, v_sq, wsp, hsp, eps)
         return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
-                           cost_dtype=V.dtype)
+                           cost_dtype=V.dtype, callback=spec.callback)
 
     return solve
 
@@ -287,7 +288,8 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
     from ..parallel import apply_placements
     V, W0, H0 = apply_placements(cfg.get("mesh"), "nmf", V=V, W=W0, H=H0)
 
-    spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps)
+    spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps,
+                 cfg.get("callback"))
     out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
 
     W, H = out.state

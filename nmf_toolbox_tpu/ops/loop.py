@@ -33,7 +33,7 @@ class LoopOut(NamedTuple):
 
 def run(step_fn: Callable, init_state, maxiter: int, tolerance,
         *, offset: int = 0, initial_cost=None, inclusive: bool = False,
-        cost_dtype=None) -> LoopOut:
+        cost_dtype=None, callback: Callable | None = None) -> LoopOut:
     """Run the MU loop.
 
     ``step_fn(state, i) -> (state, cost, terminate)`` performs one full
@@ -60,6 +60,8 @@ def run(step_fn: Callable, init_state, maxiter: int, tolerance,
         state, buf, i, stopped, terminated = carry
         state, c, term = step_fn(state, i)
         c = jnp.asarray(c, cost_dtype)
+        if callback is not None:
+            jax.debug.callback(callback, i, c)
         buf = buf.at[i + offset].set(c)
         prev = buf[jnp.maximum(i + offset - 1, 0)]
         if inclusive:

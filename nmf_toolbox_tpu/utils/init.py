@@ -132,9 +132,15 @@ def _top_eigvecs_randomized(V, num: int, seed: int = 0, iters: int = 4):
 def _convhull_2d(points: np.ndarray) -> np.ndarray:
     """Indices of the 2-D convex hull (Andrew's monotone chain), host-side.
 
-    Replaces MATLAB convhull (chnmf.m:100).
+    Replaces MATLAB convhull (chnmf.m:100).  Uses the native C++ chain
+    (native/nmf_native.cpp) when the toolchain is available — the hull
+    runs once per eigenvector pair over the full sample cloud, which is
+    Python-loop-bound at large n.
     """
-    n = points.shape[0]
+    from .. import native
+    idx = native.convhull2d(points)
+    if idx is not None:
+        return idx
     order = np.lexsort((points[:, 1], points[:, 0]))
 
     def half(idx_iter):

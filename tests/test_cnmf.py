@@ -85,3 +85,21 @@ def test_cnmf_multisource():
     assert isinstance(res.W, list)
     assert res.W[0].shape == (20, 3, 4) and res.W[1].shape == (20, 2, 4)
     assert np.all(np.isfinite(res.cost))
+
+
+def test_cnmf_gram_matches_naive():
+    V, W0, H0 = make_problem(seed=9)
+    a = nt.cnmf(V, 3, 4, W_init=W0, H_init=H0, method="naive",
+                maxiter=25, tolerance=1e-12, dtype=np.float64)
+    b = nt.cnmf(V, 3, 4, W_init=W0, H_init=H0, method="gram",
+                maxiter=25, tolerance=1e-12, dtype=np.float64)
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-9)
+    np.testing.assert_allclose(a.W, b.W, atol=1e-9)
+    np.testing.assert_allclose(a.H, b.H, atol=1e-9)
+
+
+def test_cnmf_gram_rejects_noneuclid():
+    V, W0, H0 = make_problem()
+    import pytest
+    with pytest.raises(ValueError):
+        nt.cnmf(V, 3, 4, divergence="kl", method="gram")
