@@ -79,11 +79,19 @@ def _build_solver(spec: _Spec):
     h_all_free = not any(spec.h_fixed)
 
     def gram_step(V, v_sq, wsp, hsp, eps):
+        cdt = jnp.promote_types(V.dtype, jnp.float32)  # accumulation dtype
+
+        def vdot(A, B):
+            # V may be stored bf16 (data_dtype option): feed the MXU the
+            # storage dtype, accumulate in f32.
+            return jax.lax.dot(A, B.astype(A.dtype),
+                               preferred_element_type=cdt)
+
         def step(carry, i):
             W, H = carry
             if w_any:
                 HHt = H @ H.T
-                VHt = V @ H.T                      # [mnk]
+                VHt = vdot(V, H.T)                 # [mnk]
                 WG = W @ HHt                       # = V_hat @ H'
                 dneg = jnp.sum(W * WG, axis=0)     # diag(Hs V_hat' Ws), col-local
                 dpos = jnp.sum(W * VHt, axis=0)    # diag(Hs V' Ws)
@@ -92,7 +100,7 @@ def _build_solver(spec: _Spec):
                 Wn = W * (neg / jnp.maximum(pos + wsp[None, :], eps))
                 Wn = unit_l2_columns(Wn)
                 W = Wn if w_all_free else jnp.where(w_mask[None, :], W, Wn)
-            WtV = W.T @ V                          # [mnk]
+            WtV = vdot(V.T, W).T                   # [mnk]
             WtW = W.T @ W
             if h_any:
                 Hn = H * (WtV / jnp.maximum(WtW @ H + hsp[:, None], eps))
@@ -188,11 +196,11 @@ def _build_solver(spec: _Spec):
 
     @jax.jit
     def solve(V, W0, H0, wsp, hsp, tolerance):
-        eps = jnp.asarray(spec.eps, V.dtype)
-        v_sq = sq_norm(V) if spec.method == "gram" else None
+        eps = jnp.asarray(spec.eps, W0.dtype)
+        v_sq = sq_norm(V.astype(W0.dtype)) if spec.method == "gram" else None
         step = make_step(V, v_sq, wsp, hsp, eps)
         return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
-                           cost_dtype=V.dtype, callback=spec.callback)
+                           cost_dtype=W0.dtype, callback=spec.callback)
 
     return solve
 
@@ -284,6 +292,13 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
 
     wsp = per_column(w_sp, ks, dtype)
     hsp = per_column(h_sp, ks, dtype)
+
+    data_dtype = cfg.get("data_dtype")
+    if data_dtype is not None:
+        if method != "gram":
+            raise ValueError("data_dtype is only supported with the "
+                             "euclidean Gram method")
+        V = V.astype(jnp.dtype(data_dtype))
 
     from ..parallel import apply_placements
     V, W0, H0 = apply_placements(cfg.get("mesh"), "nmf", V=V, W=W0, H=H0)

@@ -122,3 +122,69 @@ def test_placement_tables_complete():
                    "cnmf", "cnmfsc", "cmfwisa", "convexnmf", "chnmf", "chcnmf"]:
         specs = placements_for(solver, mesh)
         assert "V" in specs
+
+
+@needs_8
+def test_chnmf_sharded():
+    rng = np.random.default_rng(5)
+    V = rng.uniform(size=(12, 64))
+    S = V[:, rng.choice(64, 9, replace=False)]
+    G0 = rng.uniform(size=(9, 4))
+    H0 = rng.uniform(size=(4, 64))
+    mesh = make_mesh(8)
+    a = nt.chnmf(V, 4, S_init=S, G_init=G0, H_init=H0, maxiter=10,
+                 tolerance=1e-12, dtype=np.float64)
+    b = nt.chnmf(V, 4, S_init=S, G_init=G0, H_init=H0, maxiter=10,
+                 tolerance=1e-12, dtype=np.float64, mesh=mesh)
+    np.testing.assert_allclose(a.G, b.G, atol=1e-10)
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
+
+
+@needs_8
+def test_chcnmf_sharded():
+    rng = np.random.default_rng(6)
+    V = rng.uniform(size=(12, 64))
+    S = V[:, rng.choice(64, 8, replace=False)]
+    G0 = rng.uniform(size=(8, 3, 2))
+    H0 = rng.uniform(size=(3, 64))
+    mesh = make_mesh(8)
+    a = nt.chcnmf(V, 3, 2, S_init=S, G_init=G0, H_init=H0, maxiter=8,
+                  tolerance=1e-12, dtype=np.float64)
+    b = nt.chcnmf(V, 3, 2, S_init=S, G_init=G0, H_init=H0, maxiter=8,
+                  tolerance=1e-12, dtype=np.float64, mesh=mesh)
+    np.testing.assert_allclose(a.G, b.G, atol=1e-10)
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
+
+
+@needs_8
+def test_cnmfsc_sharded():
+    rng = np.random.default_rng(7)
+    V = rng.uniform(0.05, 1, (16, 64))
+    W0 = rng.uniform(0.1, 1, (16, 3, 3))
+    H0 = rng.uniform(size=(3, 64))
+    H0 = H0 / np.sqrt((H0**2).sum(1, keepdims=True))
+    mesh = make_mesh(8)
+    a = nt.cnmfsc(V, 3, 3, W_init=W0, H_init=H0, H_sparsity=0.5, maxiter=8,
+                  tolerance=1e-12, dtype=np.float64)
+    b = nt.cnmfsc(V, 3, 3, W_init=W0, H_init=H0, H_sparsity=0.5, maxiter=8,
+                  tolerance=1e-12, dtype=np.float64, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(a.cost), np.asarray(b.cost), rtol=1e-9)
+    np.testing.assert_allclose(a.W, b.W, atol=1e-9)
+
+
+@needs_8
+def test_constrainednmf_sharded():
+    rng = np.random.default_rng(8)
+    V = rng.uniform(0.1, 1, (16, 64))
+    labels = rng.integers(0, 3, 64)
+    labels[rng.choice(64, 20, replace=False)] = -1
+    W0 = rng.uniform(size=(16, 4))
+    nu = int((labels == -1).sum())
+    Z0 = rng.uniform(size=(4, nu + 3))
+    mesh = make_mesh(8)
+    a = nt.constrainednmf(V, labels, 4, W_init=W0, Z_init=Z0, maxiter=8,
+                          tolerance=1e-12, dtype=np.float64)
+    b = nt.constrainednmf(V, labels, 4, W_init=W0, Z_init=Z0, maxiter=8,
+                          tolerance=1e-12, dtype=np.float64, mesh=mesh)
+    np.testing.assert_allclose(a.W, b.W, atol=1e-10)
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
