@@ -120,8 +120,20 @@ def _build_solver(spec: _Spec):
                 # One batched matmul per field against all T shifted H's
                 # (cnmf.m:180-195).
                 A = conv_phi_ht(phi_neg, H, T)      # (m, k, T)
-                B = conv_phi_ht(phi_pos, H, T)      # (m, k, T)
-                dneg = jnp.sum(W * B, axis=0)       # diag(Hs Phi_pos' W_t), (k, T)
+                if kl:
+                    # Phi_pos == ones: ones(m,n) @ shift_right(H,t)' is a
+                    # broadcast of the shifted rowsums sum(H[:, :n-t]) —
+                    # no m-by-n matmul needed.
+                    csum = jnp.cumsum(H[:, ::-1], axis=1)[:, ::-1]
+                    n_ = H.shape[1]
+                    rs = jnp.stack([csum[:, 0] if t == 0 else
+                                    csum[:, 0] - csum[:, n_ - t]
+                                    for t in range(T)], axis=1)  # (k, T)
+                    B = jnp.broadcast_to(rs[None], (V.shape[0],) + rs.shape)
+                    dneg = jnp.sum(W, axis=0) * rs
+                else:
+                    B = conv_phi_ht(phi_pos, H, T)  # (m, k, T)
+                    dneg = jnp.sum(W * B, axis=0)   # diag(Hs Phi_pos' W_t), (k, T)
                 dpos = jnp.sum(W * A, axis=0)
                 neg = dv.apply_power(A + W * dneg[None], power)
                 pos = dv.apply_power(B + W * dpos[None], power)

@@ -38,6 +38,9 @@ from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
                          shift_left, shift_right, stack_shifts_right)
+from ..ops.gram import conv_cross_grams_w as _cross_grams_w
+from ..ops.gram import conv_cross_grams_h as _cross_grams_h
+from ..ops.linesearch import backtracking_search as _line_search_obj
 
 
 
@@ -51,41 +54,6 @@ class _Spec(NamedTuple):
     eps: float
     l1_w: float
     l1_h: float
-
-
-def _cross_grams_w(W):
-    """WW[t, s] = W[:, :, t]' @ W[:, :, s]  -> (T, T, k, k)."""
-    return jnp.einsum("mkt,mls->tskl", W, W, preferred_element_type=W.dtype)
-
-
-def _cross_grams_h(Hs):
-    """HH[t, s] = Hs[t] @ Hs[s]'  -> (T, T, k, k)."""
-    return jnp.einsum("tkn,sln->tskl", Hs, Hs, preferred_element_type=Hs.dtype)
-
-
-def _line_search_obj(obj_fn, X, dX, step0, project, begobj):
-    """Like nmfsc._line_search but also returns the accepted objective."""
-    dt = X.dtype
-
-    def cond(carry):
-        _, _, _, accepted, underflow = carry
-        return (~accepted) & (~underflow)
-
-    def body(carry):
-        step, Xb, _, _, _ = carry
-        Xnew = project(X - step * dX)
-        newobj = obj_fn(Xnew)
-        accepted = newobj <= begobj
-        step_next = jnp.where(accepted, step, step / 2.0)
-        underflow = (~accepted) & (step_next < 1e-200)
-        return step_next, jnp.where(accepted, Xnew, Xb), newobj, accepted, underflow
-
-    step, Xn, obj, accepted, underflow = jax.lax.while_loop(
-        cond, body, (jnp.asarray(step0, dt), X, jnp.zeros((), dt),
-                     jnp.asarray(False), jnp.asarray(False)))
-    X_out = jnp.where(accepted, Xn, X)
-    step_out = jnp.where(accepted, 1.2 * step, step)
-    return X_out, step_out, underflow, obj
 
 
 @functools.lru_cache(maxsize=None)

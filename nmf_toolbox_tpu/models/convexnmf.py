@@ -104,10 +104,13 @@ def convexnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
         if H0 is None:
             H0 = Hk
         if G0 is None:
-            # Paper init: G = indicator * diag(1/cluster_size)
-            # (ValidateParameters.m:105-109; see module docstring).
+            # Reference init (ValidateParameters.m:105-109):
+            # G = H_init' * diag(1 ./ cluster_sizes) where the NUMERATOR is
+            # the offset indicator H_init (strictly positive — exact zeros
+            # would be frozen forever by the multiplicative update) and the
+            # cluster sizes come from the un-offset indicator.
             ind = Hk - 0.2
-            G0 = ind.T / jnp.maximum(jnp.sum(ind, axis=1)[None, :], 1.0)
+            G0 = Hk.T / jnp.maximum(jnp.sum(ind, axis=1)[None, :], 1.0)
     G0 = unit_sum_columns(jnp.asarray(G0, dtype))  # convexnmf.m:83
     H0 = jnp.asarray(H0, dtype)
 

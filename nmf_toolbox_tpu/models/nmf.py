@@ -68,7 +68,19 @@ def _sparsity_penalty(W, H, wsp, hsp):
 
 
 @functools.lru_cache(maxsize=None)
+def _build_solver_cached(spec: _Spec):
+    return _build_solver_impl(spec)
+
+
 def _build_solver(spec: _Spec):
+    if spec.callback is not None:
+        # Debug callbacks embed arbitrary Python closures in the jitted
+        # graph; build fresh instead of leaking one cache entry per lambda.
+        return _build_solver_impl(spec)
+    return _build_solver_cached(spec)
+
+
+def _build_solver_impl(spec: _Spec):
     div, alpha, beta = spec.divergence, spec.alpha, spec.beta
     w_any = not all(spec.w_fixed)
     h_any = not all(spec.h_fixed)
@@ -252,6 +264,9 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
             raise ValueError("method='fused' is only valid for kl/is divergences")
         if dtype != jnp.float32:
             raise ValueError("method='fused' requires float32")
+        if k_total > 1024:
+            raise ValueError("method='fused' supports k <= 1024 (the factor "
+                             "blocks must fit VMEM); use method='naive'")
 
     w_sp = promote_per_source(cfg.get("W_sparsity"), S, "W_sparsity", 0.0)
     h_sp = promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)

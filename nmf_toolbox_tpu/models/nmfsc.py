@@ -28,10 +28,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import EPS, STEP_UNDERFLOW, Result, merge_config, resolve_dtype
+from ..core import EPS, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.normalize import row_l2_transfer
+from ..ops.linesearch import backtracking_search
 
 
 class _Spec(NamedTuple):
@@ -43,36 +44,6 @@ class _Spec(NamedTuple):
     eps: float
     l1_w: float
     l1_h: float
-
-
-def _line_search(obj_fn, X, dX, step0, project, begobj):
-    """Backtracking line search (nmfsc.m:152-179).
-
-    Returns (X_new, step_new, underflow).  On underflow X is returned
-    unchanged (MATLAB returns with the un-accepted factor).
-    """
-    dt = X.dtype
-
-    def cond(carry):
-        _, _, _, accepted, underflow = carry
-        return (~accepted) & (~underflow)
-
-    def body(carry):
-        step, Xb, _, _, _ = carry
-        Xnew = project(X - step * dX)
-        newobj = obj_fn(Xnew)
-        accepted = newobj <= begobj
-        step_next = jnp.where(accepted, step, step / 2.0)
-        underflow = (~accepted) & (step_next < STEP_UNDERFLOW)
-        return step_next, jnp.where(accepted, Xnew, Xb), newobj, accepted, underflow
-
-    step, Xn, _, accepted, underflow = jax.lax.while_loop(
-        cond, body,
-        (jnp.asarray(step0, dt), X, jnp.zeros((), dt),
-         jnp.asarray(False), jnp.asarray(False)))
-    X_out = jnp.where(accepted, Xn, X)
-    step_out = jnp.where(accepted, 1.2 * step, step)  # nmfsc.m:178
-    return X_out, step_out, underflow
 
 
 @functools.lru_cache(maxsize=None)
@@ -118,7 +89,7 @@ def _build_solver(spec: _Spec):
                 WtW = W.T @ W
                 if spec.h_sparse:
                     dH = WtW @ H - WtV  # positive_grad - negative_grad
-                    H, step_h, under_h = _line_search(
+                    H, step_h, under_h, _ = backtracking_search(
                         obj_h(WtV, WtW), H, dH, step_h, proj_rows, prev_cost)
                     term = term | under_h
                 else:
@@ -134,7 +105,7 @@ def _build_solver(spec: _Spec):
                     f_w = obj_w(VHt, HHt)
                     begobj = f_w(W)  # nmfsc.m:197 (fresh objective)
                     dW = W @ HHt - VHt
-                    W1, step_w1, under_w = _line_search(
+                    W1, step_w1, under_w, _ = backtracking_search(
                         f_w, W, dW, step_w, proj_cols, begobj)
                     # discard the W phase entirely if the H search already
                     # terminated (the reference returned before reaching it)

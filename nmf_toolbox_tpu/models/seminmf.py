@@ -39,7 +39,10 @@ def _build_solver(spec: _Spec):
                 # W = V H' (H H')^-1  (seminmf.m:68)
                 HHt = H @ H.T
                 VHt = V @ H.T
-                W = jax.scipy.linalg.solve(HHt, VHt.T, assume_a="pos").T
+                # LU, not Cholesky: MATLAB's mrdivide (seminmf.m:68)
+                # survives semi-definite-to-roundoff Grams with finite
+                # values where a Cholesky solve returns NaN.
+                W = jax.scipy.linalg.solve(HHt, VHt.T, assume_a="gen").T
             WtV = W.T @ V
             WtW = W.T @ W
             if not spec.h_fixed:

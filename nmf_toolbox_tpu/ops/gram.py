@@ -39,3 +39,17 @@ def euclidean_cost_gram_w(v_sq, VHt, HHt, W):
     0.5*(||V||^2 - 2<V H', W> + <W'W, H H'>)."""
     WtW = W.T @ W
     return 0.5 * (v_sq - 2.0 * jnp.sum(VHt * W) + jnp.sum(WtW * HHt))
+
+
+def conv_cross_grams_w(W):
+    """WW[t, s] = W[:, :, t]' @ W[:, :, s]  -> (T, T, k, k).
+
+    Cross-frame Grams of a convolutive basis; with the shifted-H Grams
+    below they evaluate ||sum_t W_t H^(t)||_F^2 without materializing the
+    reconstruction (used by cnmf/cnmfsc/chcnmf Gram paths)."""
+    return jnp.einsum("mkt,mls->tskl", W, W, preferred_element_type=W.dtype)
+
+
+def conv_cross_grams_h(Hs):
+    """HH[t, s] = Hs[t] @ Hs[s]'  -> (T, T, k, k) for stacked shifted H."""
+    return jnp.einsum("tkn,sln->tskl", Hs, Hs, preferred_element_type=Hs.dtype)

@@ -301,8 +301,3 @@ def cost_terms(V, W, H, mode: str = "kl"):
         return s1[0, 0]
     return s1[0, 0], s2[0, 0]
 
-
-def supported(V, W, H) -> bool:
-    """Whether the fused path applies: f32, k small enough for VMEM."""
-    return (V.dtype == jnp.float32 and W.dtype == jnp.float32
-            and H.dtype == jnp.float32 and W.shape[1] <= 1024)

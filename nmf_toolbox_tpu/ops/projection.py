@@ -62,12 +62,10 @@ def project_columns(S, k1, k2):
         v_re = v_cl + ((k1 - jnp.sum(v_cl, axis=0)) / (N - nz2))[None, :]
         v_re = jnp.where(zero_new, jnp.zeros((), dt), v_re)
 
-        newly_done = ok & ~done
         v_next = jnp.where(done[None, :], v,
                            jnp.where(ok[None, :], v_proj, v_re))
         zero_next = jnp.where((done | ok)[None, :], zero, zero_new)
         iters_next = jnp.where(done, iters, iters + 1)
-        del newly_done
         return v_next, zero_next, done | ok, iters_next, j + 1
 
     v, _, _, iters, _ = jax.lax.while_loop(

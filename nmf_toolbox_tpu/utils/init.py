@@ -181,20 +181,34 @@ def convex_hull_anchors(V, pct_eigval_energy: float = 0.95,
 
     num_request = int(min(max_eigvecs, m, n - 1 if n > 1 else 1))
     if m <= 1024:
+        # Exact path: the energy rule of chnmf.m:94-95 runs over the FULL
+        # spectrum, exactly like the reference.
         vals, vecs = _top_eigvecs_exact(V)
-        vals = vals[:num_request]
-        vecs = vecs[:, :num_request]
+        total_sq = float(jnp.sum(jnp.asarray(vals) ** 2))
     else:
+        # Randomized path: top eigenpairs only; estimate the full-spectrum
+        # energy sum(lambda_i^2) = ||C||_F^2 with a Hutchinson probe
+        # (||C z||^2 averaged over gaussian z) so the threshold rule sees
+        # the same denominator as the reference without the m-by-m
+        # covariance.
         vals, vecs = _top_eigvecs_randomized(V, num_request, seed=seed)
+        mean = jnp.mean(V, axis=1, keepdims=True)
+        Vc = V - mean
+        n_ = V.shape[1]
+        key = jax.random.PRNGKey(seed + 1)
+        Z = jax.random.normal(key, (m, 8), V.dtype)
+        CZ = Vc @ (Vc.T @ Z) / (n_ - 1.0)
+        total_sq = float(jnp.mean(jnp.sum(CZ * CZ, axis=0)))
     vals = np.asarray(vals)
     vecs = np.asarray(vecs)
 
     # num_eigvals_keep: first index where cumulative squared-eigenvalue
-    # energy exceeds the threshold (chnmf.m:94-95), at least 2.
+    # energy exceeds the threshold (chnmf.m:94-95), at least 2; on the
+    # randomized path capped at the computed subspace (max_eigvecs).
     sq = vals ** 2
-    cum = np.cumsum(sq) / max(np.sum(sq), np.finfo(vals.dtype).tiny)
+    cum = np.cumsum(sq) / max(total_sq, np.finfo(vals.dtype).tiny)
     above = np.nonzero(cum > pct_eigval_energy)[0]
-    keep = int(above[0] + 1) if above.size else len(vals)
+    keep = int(above[0] + 1) if above.size else vecs.shape[1]
     keep = max(keep, 2)
     keep = min(keep, vecs.shape[1])
 

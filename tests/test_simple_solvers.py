@@ -152,3 +152,28 @@ def test_kmeans_basic():
     assert len(np.unique(labels[:30])) == 1
     assert len(np.unique(labels[30:])) == 1
     assert labels[0] != labels[-1]
+
+
+def test_convexnmf_default_g_has_no_frozen_zeros():
+    """The default G_init must be strictly positive: exact zeros can never
+    be unfrozen by a multiplicative update (reference init keeps the +0.2
+    indicator offset in the numerator, ValidateParameters.m:105-109)."""
+    rng = np.random.default_rng(11)
+    V = rng.uniform(size=(12, 40))
+    res = nt.convexnmf(V, 3, maxiter=1, dtype=np.float64, seed=7)
+    assert np.all(np.asarray(res.G) > 0)
+
+
+def test_seminmf_survives_near_singular_gram():
+    """Nearly-duplicate H rows make H H' singular to roundoff; the LU
+    solve must stay finite like MATLAB's mrdivide (seminmf.m:68) — a
+    Cholesky solve NaNs out here.  (An EXACTLY singular Gram yields
+    inf/NaN in MATLAB too; that case is out of scope.)"""
+    rng = np.random.default_rng(12)
+    V = rng.normal(size=(10, 20))
+    base = np.ones((1, 20))
+    H0 = np.vstack([base, base + 1e-13 * rng.uniform(size=(1, 20)),
+                    rng.uniform(size=(1, 20))])
+    W0 = rng.uniform(-1, 1, (10, 3))
+    res = nt.seminmf(V, 3, W_init=W0, H_init=H0, maxiter=3, dtype=np.float64)
+    assert np.all(np.isfinite(res.cost))
