@@ -29,6 +29,53 @@ import numpy as np
 MATLAB_ITERS_PER_SEC = 0.0125  # documented estimate above
 
 
+def _secondary_configs():
+    """BASELINE.json configs #2/#3 throughput, reported on stderr only
+    (the driver's JSON line stays the headline config)."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    import nmf_toolbox_tpu as nt
+
+    ent = np.random.default_rng()
+
+    def timed(fn, W0, iters, label):
+        med = []
+        for t in range(4):
+            W0t = W0 * np.float32(1.0 + 1e-5 * ent.uniform())
+            jax.block_until_ready(W0t)
+            t0 = time.perf_counter()
+            fn(W0t)
+            med.append(time.perf_counter() - t0)
+        med = sorted(med[1:])[len(med[1:]) // 2]
+        print(f"{label}: {iters / med:.1f} iters/s ({med / iters * 1e3:.2f} ms/iter)",
+              file=sys.stderr)
+
+    # config #2: KL nmf 5000x2000 r50
+    key = jax.random.PRNGKey(7)
+    kv, kw, kh = jax.random.split(key, 3)
+    V = jax.random.uniform(kv, (5000, 2000), jnp.float32, 0.05, 1.0)
+    W0 = jax.random.uniform(kw, (5000, 50), jnp.float32)
+    H0 = jax.random.uniform(kh, (50, 2000), jnp.float32)
+    jax.block_until_ready(V)
+    nt.nmf(V, 50, W_init=W0, H_init=H0, divergence="kl", maxiter=50,
+           tolerance=1e-30)  # warmup/compile
+    timed(lambda W: nt.nmf(V, 50, W_init=W, H_init=H0, divergence="kl",
+                           maxiter=50, tolerance=1e-30),
+          W0, 50, "KL nmf 5000x2000 r50")
+
+    # config #3: euclidean cnmf 513x10000 r64 T=8 (Gram path)
+    kv, kw, kh = jax.random.split(jax.random.PRNGKey(8), 3)
+    V = jax.random.uniform(kv, (513, 10_000), jnp.float32, 0.05, 1.0)
+    W0 = jax.random.uniform(kw, (513, 64, 8), jnp.float32)
+    H0 = jax.random.uniform(kh, (64, 10_000), jnp.float32)
+    jax.block_until_ready(V)
+    nt.cnmf(V, 64, 8, W_init=W0, H_init=H0, maxiter=50, tolerance=1e-30)
+    timed(lambda W: nt.cnmf(V, 64, 8, W_init=W, H_init=H0, maxiter=50,
+                            tolerance=1e-30),
+          W0, 50, "euclid cnmf 513x10000 r64 T8")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -92,6 +139,10 @@ def main():
                 "unit": "iters/sec",
                 "vs_baseline": round(iters_per_sec / MATLAB_ITERS_PER_SEC, 1),
             }
+            try:
+                _secondary_configs()
+            except Exception as e:
+                print(f"secondary configs skipped: {e}", file=sys.stderr)
             print(json.dumps(result))
             return
         except Exception as e:  # OOM etc. — try the next size

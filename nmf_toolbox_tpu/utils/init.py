@@ -212,15 +212,15 @@ def convex_hull_anchors(V, pct_eigval_energy: float = 0.95,
     keep = max(keep, 2)
     keep = min(keep, vecs.shape[1])
 
-    Vnp = np.asarray(V)
     proj_all = np.asarray(V.T @ jnp.asarray(vecs[:, :keep]))  # (n, keep), on device
-    collected = None
+    idx_set: set[int] = set()
     for e1 in range(keep - 1):
         for e2 in range(e1 + 1, keep):
-            pts = proj_all[:, [e1, e2]]
-            idx = _convhull_2d(pts)
-            new = Vnp[:, idx]
-            collected = new if collected is None else np.concatenate([collected, new], axis=1)
-            # dedupe rows of S' (chnmf.m:102)
-            collected = np.unique(collected.T, axis=0).T
-    return collected
+            idx = _convhull_2d(proj_all[:, [e1, e2]])
+            idx_set.update(int(i) for i in idx)
+    # Dedupe on column INDICES rather than column values (chnmf.m:102
+    # deduplicates values; identical behavior unless V contains duplicate
+    # columns at different indices, and O(p log p) ints instead of sorting
+    # p rows of length m).
+    cols = np.fromiter(sorted(idx_set), dtype=np.int64)
+    return np.asarray(V[:, jnp.asarray(cols)])

@@ -1,0 +1,56 @@
+"""API-surface tests: MATLAB-style config dicts, Result ergonomics."""
+import numpy as np
+import pytest
+
+import nmf_toolbox_tpu as nt
+
+
+def test_config_dict_positional():
+    """MATLAB style: nmf(V, k, config) with a struct-like dict."""
+    rng = np.random.default_rng(0)
+    V = rng.uniform(0.1, 1, (20, 30))
+    cfg = {"divergence": "kl_divergence", "maxiter": 8, "tolerance": 1e-9,
+           "H_sparsity": 0.05}
+    a = nt.nmf(V, 4, cfg, seed=1, dtype=np.float64)
+    b = nt.nmf(V, 4, divergence="kl", maxiter=8, tolerance=1e-9,
+               H_sparsity=0.05, seed=1, dtype=np.float64)
+    np.testing.assert_array_equal(a.W, b.W)
+    np.testing.assert_array_equal(np.asarray(a.cost), np.asarray(b.cost))
+
+
+def test_kwargs_override_config_dict():
+    rng = np.random.default_rng(1)
+    V = rng.uniform(0.1, 1, (15, 20))
+    a = nt.nmf(V, 3, {"maxiter": 50}, maxiter=5, dtype=np.float64, seed=2)
+    assert len(a.cost) <= 5
+
+
+def test_result_unpacking_orders():
+    rng = np.random.default_rng(2)
+    V = rng.uniform(0.1, 1, (15, 20)).astype(np.float64)
+    W, H, cost = nt.nmf(V, 3, maxiter=3)
+    assert W.shape == (15, 3) and H.shape == (3, 20)
+    W, H, G, cost = nt.convexnmf(V, 3, maxiter=3)
+    assert G.shape == (20, 3)
+    W, H, S, G, cost = nt.chnmf(V, 3, maxiter=3)
+    assert S.shape[0] == 15
+    labels = np.zeros(20, dtype=int)
+    W, H, Z, A, cost = nt.constrainednmf(V, labels, 3, maxiter=3)
+    assert A.shape == (1, 20)  # all same class, all labeled
+    Vc = V * np.exp(1j * rng.uniform(size=V.shape))
+    W, H, P, cost = nt.cmfwisa(Vc, 3, maxiter=3)
+    assert P.shape == V.shape
+    # indexing like a tuple
+    r = nt.nmf(V, 3, maxiter=2)
+    assert r[0].shape == (15, 3) and len(r) == 3
+
+
+def test_maxiter_tolerance_invalid_defaults():
+    """maxiter <= 0 and tolerance <= 0 fall back to defaults
+    (ValidateParameters.m:222-230)."""
+    rng = np.random.default_rng(3)
+    V = rng.uniform(0.1, 1, (10, 12))
+    r = nt.nmf(V, 2, maxiter=-5, tolerance=-1.0, dtype=np.float64)
+    assert len(r.cost) <= 100  # default maxiter
+    r2 = nt.lnmf(V, 2, maxiter=0, dtype=np.float64)
+    assert len(r2.cost) == 100
