@@ -1,0 +1,142 @@
+"""Benchmark harness: the five BASELINE.json configs.
+
+Each config reports MU iterations/second (median of 3 entropy-perturbed
+trials after a warmup/compile run; the remote-execution relay caches
+identical-argument calls and mis-signals the first post-warmup
+completion, so trials perturb the init and the first is discarded —
+see bench.py).  Emits one JSON object per config and a summary file.
+
+Usage:
+    python benchmarks/run_all.py [--quick] [--out report.json]
+
+--quick shrinks every config ~8x (CPU-runnable smoke mode).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timed_iters(call, make_init, iters):
+    import jax
+    ent = np.random.default_rng()
+    call(make_init(np.float32(1.0)))  # warmup/compile
+    ts = []
+    for _ in range(4):
+        W0t = make_init(np.float32(1.0 + 1e-5 * ent.uniform(0.1, 1.0)))
+        jax.block_until_ready(W0t)
+        t0 = time.perf_counter()
+        call(W0t)
+        ts.append(time.perf_counter() - t0)
+    med = sorted(ts[1:])[1]
+    return iters / med
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import nmf_toolbox_tpu as nt
+
+    q = 8 if args.quick else 1
+    iters = 10 if args.quick else 30
+    results = []
+
+    def record(name, value, extra=None):
+        row = {"config": name, "iters_per_sec": round(value, 2),
+               "ms_per_iter": round(1e3 / value, 3)}
+        row.update(extra or {})
+        results.append(row)
+        print(json.dumps(row), file=sys.stderr)
+
+    def rnd(key, shape, lo=0.05, hi=1.0):
+        return jax.random.uniform(jax.random.PRNGKey(key), shape,
+                                  jnp.float32, lo, hi)
+
+    # 1) nmf euclidean 1000x500 r25 (PR1 reference config, CPU-runnable)
+    m, n, k = 1000 // q + 100, 500 // q + 50, 25
+    V, H0 = rnd(0, (m, n)), rnd(2, (25, n))
+    W0 = rnd(1, (m, 25))
+    ips = _timed_iters(
+        lambda W: nt.nmf(V, 25, W_init=W, H_init=H0, maxiter=iters,
+                         tolerance=1e-30),
+        lambda f: W0 * f, iters)
+    record(f"nmf euclidean {m}x{n} r25", ips)
+
+    # 2) KL nmf + Hoyer nmfsc 5000x2000 r50
+    m, n, k = 5000 // q, 2000 // q, 50
+    V, W0, H0 = rnd(3, (m, n)), rnd(4, (m, k)), rnd(5, (k, n))
+    ips = _timed_iters(
+        lambda W: nt.nmf(V, k, W_init=W, H_init=H0, divergence="kl",
+                         maxiter=iters, tolerance=1e-30),
+        lambda f: W0 * f, iters)
+    record(f"nmf KL {m}x{n} r{k}", ips)
+    H0n = H0 / jnp.sqrt(jnp.sum(H0 * H0, axis=1, keepdims=True))
+    ips = _timed_iters(
+        lambda W: nt.nmfsc(V, k, W_init=W, H_init=H0n, H_sparsity=0.6,
+                           maxiter=iters, tolerance=1e-30),
+        lambda f: W0 * f, iters)
+    record(f"nmfsc Hoyer(0.6) {m}x{n} r{k}", ips)
+
+    # 3) cnmf / cnmfsc on a 513 x 10k STFT-shaped matrix, T=8
+    m, n, k, T = 513, 10_000 // q, 64, 8
+    V, W0, H0 = rnd(6, (m, n)), rnd(7, (m, k, T)), rnd(8, (k, n))
+    ips = _timed_iters(
+        lambda W: nt.cnmf(V, k, T, W_init=W, H_init=H0, maxiter=iters,
+                          tolerance=1e-30),
+        lambda f: W0 * f, iters)
+    record(f"cnmf euclid-gram {m}x{n} r{k} T{T}", ips)
+    H0n = H0 / jnp.sqrt(jnp.sum(H0 * H0, axis=1, keepdims=True))
+    ips = _timed_iters(
+        lambda W: nt.cnmfsc(V, k, T, W_init=W, H_init=H0n, H_sparsity=0.5,
+                            maxiter=iters, tolerance=1e-30),
+        lambda f: W0 * f, iters)
+    record(f"cnmfsc Hoyer(0.5) {m}x{n} r{k} T{T}", ips)
+
+    # 4) cmfwisa complex64 spectrograms
+    m, n, k = 513, 5000 // q, 32
+    mag = rnd(9, (m, n))
+    ph = jax.random.uniform(jax.random.PRNGKey(10), (m, n), jnp.float32,
+                            -np.pi, np.pi)
+    Vc = (mag * jnp.exp(1j * ph)).astype(jnp.complex64)
+    W0, H0 = rnd(11, (m, k)), rnd(12, (k, n))
+    ips = _timed_iters(
+        lambda W: nt.cmfwisa(Vc, k, W_init=W, H_init=H0, maxiter=iters,
+                             tolerance=1e-30),
+        lambda f: W0 * f, iters)
+    record(f"cmfwisa complex64 {m}x{n} r{k}", ips)
+
+    # 5) hull family at scale: convexnmf/seminmf (n x n Gram regime)
+    m, n, k = 100_000 // q, 10_000 // q, 200
+    V = rnd(13, (m, n))
+    G0, H0 = rnd(14, (n, k)), rnd(15, (k, n))
+    ips = _timed_iters(
+        lambda G: nt.convexnmf(V, k, G_init=G, H_init=H0, maxiter=iters,
+                               tolerance=1e-30),
+        lambda f: G0 * f, iters)
+    record(f"convexnmf {m}x{n} r{k}", ips)
+    W0 = jax.random.uniform(jax.random.PRNGKey(16), (m, k), jnp.float32, -1, 1)
+    ips = _timed_iters(
+        lambda W: nt.seminmf(V, k, W_init=W, H_init=H0, maxiter=iters,
+                             tolerance=1e-30),
+        lambda f: W0 * f, iters)
+    record(f"seminmf {m}x{n} r{k}", ips)
+
+    out = {"device": str(jax.devices()[0]), "quick": args.quick,
+           "results": results}
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
