@@ -252,10 +252,11 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
     k_total = sum(ks)
     if method == "auto":
         # 'fused' (Pallas) is numerically equivalent at f32 but measured
-        # slower than XLA's own fusion of the naive path on v5e (13 vs
-        # 5.8 ms/iter at 40k x 10k r100 KL) — XLA already avoids
-        # materializing the ratio field.  Keep it opt-in until the
-        # single-pass-per-phase restructure lands.
+        # slower than XLA's own fusion of the naive path on v5e (15 vs
+        # 7.2 ms/iter at 40k x 10k r100 KL, with bf16 MXU dots and VMEM
+        # scratch accumulation) — XLA already avoids materializing the
+        # ratio field and pipelines better than the hand-written grid.
+        # Keep it opt-in; benchmarks/RESULTS_v5e.md records the numbers.
         method = "gram" if div == "euclidean" else "naive"
     if method == "gram" and div != "euclidean":
         raise ValueError("method='gram' is only valid for the euclidean divergence")

@@ -76,14 +76,15 @@ def _vhat_tile(W_i, H_j):
 # W-phase kernels: Phi @ H'  (grid i-major, accumulate over j)
 # ---------------------------------------------------------------------------
 
-def _w_phase_kernel(V_ref, W_ref, H_ref, out1_ref, out2_ref, *, mode, m, n):
-    i = pl.program_id(0)
+def _w_phase_kernel(V_ref, W_ref, H_ref, out1_ref, out2_ref,
+                    acc1_ref, acc2_ref, *, mode, m, n):
     j = pl.program_id(1)
+    nj = pl.num_programs(1)
     W_i = W_ref[...]
     H_j = H_ref[...]
     V = V_ref[...]
     V_hat = _vhat_tile(W_i, H_j)
-    mask = _masks(i, j, m, n, V.shape[0], V.shape[1])
+    mask = _masks(pl.program_id(0), j, m, n, V.shape[0], V.shape[1])
     safe = jnp.where(mask, V_hat, 1.0)
     if mode == "kl":
         phi1 = jnp.where(mask, V / safe, 0.0)
@@ -91,26 +92,37 @@ def _w_phase_kernel(V_ref, W_ref, H_ref, out1_ref, out2_ref, *, mode, m, n):
     else:  # is
         phi1 = jnp.where(mask, V / (safe * safe), 0.0)
         phi2 = jnp.where(mask, 1.0 / safe, 0.0)
+    # Accumulate in a VMEM scratch across the reduction (j) dimension and
+    # write the output block once, at the last step — no per-step HBM
+    # read-modify-write of the output.
     acc1 = _dot_bf16(phi1, H_j.T)
 
     @pl.when(j == 0)
     def _():
-        out1_ref[...] = acc1
+        acc1_ref[...] = acc1
 
     @pl.when(j > 0)
     def _():
-        out1_ref[...] += acc1
+        acc1_ref[...] += acc1
+
+    @pl.when(j == nj - 1)
+    def _():
+        out1_ref[...] = acc1_ref[...]
 
     if phi2 is not None:
         acc2 = _dot_bf16(phi2, H_j.T)
 
         @pl.when(j == 0)
         def _():
-            out2_ref[...] = acc2
+            acc2_ref[...] = acc2
 
         @pl.when(j > 0)
         def _():
-            out2_ref[...] += acc2
+            acc2_ref[...] += acc2
+
+        @pl.when(j == nj - 1)
+        def _():
+            out2_ref[...] = acc2_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))
@@ -132,6 +144,7 @@ def phi_dot_ht(V, W, H, mode: str = "kl"):
     out_shape = [jax.ShapeDtypeStruct((mp, kp), jnp.float32)] * n_out
     if mode == "kl":
         out_shape = out_shape + [jax.ShapeDtypeStruct((8, 128), jnp.float32)]
+    flops_per = 4 * TM * TN * kp * (1 if mode == "kl" else 1.5)
     outs = pl.pallas_call(
         functools.partial(_w_phase_kernel, mode=mode, m=m, n=n),
         grid=grid,
@@ -146,6 +159,13 @@ def phi_dot_ht(V, W, H, mode: str = "kl"):
              else pl.BlockSpec((8, 128), lambda i, j: (0, 0))),
         ],
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((TM, kp), jnp.float32),
+                        pltpu.VMEM((TM, kp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per * grid[0] * grid[1]),
+            bytes_accessed=int(Vp.size * 4), transcendentals=0),
         interpret=_interpret(),
     )(Vp, Wp, Hp)
     if mode == "kl":

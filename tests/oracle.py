@@ -730,3 +730,72 @@ def constrainednmf(V, labels, W_init, Z_init, divergence="euclidean",
     A_orig[:, sorted_idx] = A
     H = Z @ A_orig
     return W, H, Z, A_orig, cost
+
+
+def cnmf_multi(V, W_inits, H_inits, context_len, W_sparsity=None,
+               H_sparsity=None, W_fixed=None, H_fixed=None,
+               maxiter=100, tolerance=1e-3):
+    """cnmf.m with multiple sources (cell arrays), euclidean only —
+    literal per-source/per-frame loops for parity testing."""
+    V = np.asarray(V, np.float64)
+    m, n = V.shape
+    S = len(W_inits)
+    W = [np.array(w, np.float64) for w in W_inits]
+    H = [np.array(h, np.float64) for h in H_inits]
+    T = context_len
+    wsp = W_sparsity or [0.0] * S
+    hsp = H_sparsity or [0.0] * S
+    wfx = W_fixed or [False] * S
+    hfx = H_fixed or [False] * S
+    for s in range(S):
+        k = H[s].shape[0]
+        for kk in range(k):
+            w_norm = np.linalg.norm(W[s][:, kk, :]) / T
+            W[s][:, kk, :] /= w_norm
+            H[s][kk, :] *= w_norm
+
+    def hshift(Hm, t):
+        k = Hm.shape[0]
+        return np.concatenate([np.zeros((k, t)), Hm[:, : n - t]], axis=1)
+
+    def recon_all():
+        Wall = np.concatenate(W, axis=1)
+        Hall = np.concatenate(H, axis=0)
+        return reconstruct(Wall, Hall)
+
+    V_hat = recon_all()
+    cost = np.zeros(maxiter)
+    for it in range(maxiter):
+        for s in range(S):
+            if wfx[s]:
+                continue
+            k = H[s].shape[0]
+            for t in range(T):
+                Hs = hshift(H[s], t)
+                neg = V @ Hs.T + W[s][:, :, t] * np.diag(Hs @ V_hat.T @ W[s][:, :, t])[None, :]
+                pos = V_hat @ Hs.T + W[s][:, :, t] * np.diag(Hs @ V.T @ W[s][:, :, t])[None, :]
+                W[s][:, :, t] = W[s][:, :, t] * (neg / np.maximum(pos + wsp[s], EPS))
+            for kk in range(k):
+                w_norm = np.linalg.norm(W[s][:, kk, :]) / T
+                W[s][:, kk, :] /= w_norm
+        V_hat = recon_all()
+        for s in range(S):
+            if hfx[s]:
+                continue
+            k = H[s].shape[0]
+            gneg = np.zeros((k, n))
+            gpos = np.zeros((k, n))
+            for t in range(T):
+                Vn = np.concatenate([V[:, t:], np.zeros((m, t))], axis=1)
+                Vp = np.concatenate([V_hat[:, t:], np.zeros((m, t))], axis=1)
+                gneg += W[s][:, :, t].T @ Vn
+                gpos += W[s][:, :, t].T @ Vp
+            H[s] = H[s] * (gneg / np.maximum(gpos + hsp[s], EPS))
+        V_hat = recon_all()
+        cost[it] = 0.5 * np.sum((V - V_hat) ** 2)
+        for s in range(S):
+            cost[it] += wsp[s] * np.sum(np.abs(W[s])) + hsp[s] * np.sum(np.abs(H[s]))
+        if it > 0 and cost[it] < cost[it - 1] and cost[it - 1] - cost[it] < tolerance:
+            cost = cost[: it + 1]
+            break
+    return W, H, cost

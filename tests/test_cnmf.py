@@ -103,3 +103,37 @@ def test_cnmf_gram_rejects_noneuclid():
     import pytest
     with pytest.raises(ValueError):
         nt.cnmf(V, 3, 4, divergence="kl", method="gram")
+
+
+def test_cnmf_multisource_parity():
+    """Concatenated-block multi-source cnmf must match the literal
+    per-source oracle (cross-frame norms and diag corrections are
+    column-local by design — this pins that)."""
+    rng = np.random.default_rng(13)
+    m, n, T = 18, 26, 3
+    V = rng.uniform(0.1, 1.0, (m, n))
+    W0 = rng.uniform(0.1, 1.0, (m, 3, T))
+    W1 = rng.uniform(0.1, 1.0, (m, 2, T))
+    H0 = rng.uniform(0.1, 1.0, (3, n))
+    H1 = rng.uniform(0.1, 1.0, (2, n))
+    res = nt.cnmf(V, [3, 2], T, W_init=[W0, W1], H_init=[H0, H1],
+                  W_sparsity=[0.02, 0.0], H_sparsity=[0.0, 0.01],
+                  H_fixed=[False, True], maxiter=12, tolerance=1e-12,
+                  dtype=np.float64, method="naive")
+    Wg, Hg, cg = oracle.cnmf_multi(V, [W0, W1], [H0, H1], T,
+                                   W_sparsity=[0.02, 0.0],
+                                   H_sparsity=[0.0, 0.01],
+                                   H_fixed=[False, True],
+                                   maxiter=12, tolerance=1e-12)
+    for s in range(2):
+        np.testing.assert_allclose(res.W[s], Wg[s], atol=1e-9)
+        np.testing.assert_allclose(res.H[s], Hg[s], atol=1e-9)
+    np.testing.assert_allclose(res.cost, cg, rtol=1e-9)
+    # gram path must agree too
+    res2 = nt.cnmf(V, [3, 2], T, W_init=[W0, W1], H_init=[H0, H1],
+                   W_sparsity=[0.02, 0.0], H_sparsity=[0.0, 0.01],
+                   H_fixed=[False, True], maxiter=12, tolerance=1e-12,
+                   dtype=np.float64, method="gram")
+    for s in range(2):
+        np.testing.assert_allclose(res2.W[s], Wg[s], atol=1e-8)
+    np.testing.assert_allclose(res2.cost, cg, rtol=1e-8)

@@ -152,3 +152,14 @@ def test_reconstruct_matches_reference_semantics():
     np.testing.assert_allclose(
         np.asarray(nt.reconstruct([W[:, :2], W[:, 2:]], [H[:2], H[2:]])),
         W @ H, rtol=1e-12)
+
+
+def test_h_fixed_parity():
+    V, W0, H0 = make_problem(seed=7)
+    res = nt.nmf(V, 5, W_init=W0, H_init=H0, H_fixed=True, maxiter=15,
+                 tolerance=1e-12, dtype=np.float64)
+    Wg, Hg, cg = oracle.nmf(V, [W0], [H0], H_fixed=[True], maxiter=15,
+                            tolerance=1e-12)
+    np.testing.assert_allclose(res.W, Wg[0], atol=1e-10)
+    np.testing.assert_array_equal(res.H, H0)  # untouched
+    np.testing.assert_allclose(res.cost, cg, rtol=1e-9)
