@@ -56,7 +56,10 @@ def load_factors(path, as_inits: bool = True) -> dict:
         for name, count in lens.items():
             raw[name] = [z[f"{name}__{s}"] for s in range(count)]
         for k in z.files:
-            if ("__" in k) or k in raw:
+            if k.startswith("extra__"):
+                raw[k] = z[k]
+                continue
+            if ("__" in k) or k in raw:  # per-source parts + metadata
                 continue
             raw[k] = z[k]
     if not as_inits:
@@ -66,3 +69,53 @@ def load_factors(path, as_inits: bool = True) -> dict:
         if name in raw:
             out[f"{name}_init"] = raw[name]
     return out
+
+
+def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
+                     path, resume: bool = True, **config):
+    """Long-run driver: execute ``solver`` in chunks of ``chunk``
+    iterations, persisting the factors after every chunk so a crashed run
+    resumes where it left off (SURVEY.md section 5 failure-recovery plan —
+    the solvers' *_init surface makes resume = re-call with the last
+    factors, and the MU restart state equals the continuation state, so a
+    resumed run produces the SAME factors as an uninterrupted one).
+
+    ``solver`` is any nmf_toolbox_tpu solver; ``args`` the positional
+    extras (e.g. context_len).  Returns the final Result with the
+    concatenated cost trace under ``.cost``.
+
+    Example::
+
+        res = run_checkpointed(nt.nmf, V, 64, total_iters=500, chunk=50,
+                               path="run.npz", divergence="kl")
+    """
+    import os
+    import numpy as np
+
+    done = 0
+    inits: dict = {}
+    costs = []
+    if resume and os.path.exists(os.fspath(path)):
+        raw = load_factors(path, as_inits=False)
+        inits = {f"{k}_init": v for k, v in raw.items() if k in _FACTOR_KEYS}
+        done = int(raw.get("extra__iters_done", 0))
+        if "extra__cost_so_far" in raw:
+            costs = [np.asarray(raw["extra__cost_so_far"])]
+    res = None
+    while done < total_iters:
+        step = min(chunk, total_iters - done)
+        cfg = dict(config)
+        cfg.update(inits)
+        res = solver(V, *args, maxiter=step, **cfg)
+        done += int(res.n_iters) if res.n_iters else step
+        costs.append(np.asarray(res.cost))
+        inits = {f"{k}_init": getattr(res, k) for k in _FACTOR_KEYS
+                 if getattr(res, k, None) is not None}
+        save_factors(path, res, extra={
+            "iters_done": done,
+            "cost_so_far": np.concatenate(costs)})
+        if res.converged:
+            break
+    if res is not None:
+        res.cost = np.concatenate(costs)
+    return res
