@@ -1,0 +1,114 @@
+"""Command-line interface: factorize a matrix file with any solver.
+
+    nmf-tpu nmf V.npy --k 32 --divergence kl --maxiter 200 --out factors.npz
+    nmf-tpu cnmf spec.npy --k 64 --context-len 8 --out factors.npz
+    python -m nmf_toolbox_tpu ...   (equivalent)
+
+Input: .npy (or raw binary with --shape/--dtype); output: an .npz
+checkpoint loadable with utils.checkpoint.load_factors (and therefore
+resumable straight back into the solvers).  The reference toolbox has no
+CLI; this is framework infrastructure.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+SOLVERS = ("nmf", "nmfsc", "cnmf", "cnmfsc", "cmfwisa", "lnmf", "convexnmf",
+           "seminmf", "chnmf", "chcnmf", "constrainednmf")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="nmf-tpu", description=__doc__)
+    p.add_argument("solver", choices=SOLVERS)
+    p.add_argument("input", help=".npy matrix (or raw binary with --shape)")
+    p.add_argument("--k", type=int, required=True, help="number of basis elements")
+    p.add_argument("--context-len", type=int, default=None,
+                   help="time shifts T (convolutive solvers)")
+    p.add_argument("--labels", default=None,
+                   help=".npy label vector (constrainednmf; -1 = unlabeled)")
+    p.add_argument("--divergence", default=None)
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--beta", type=float, default=None)
+    p.add_argument("--w-sparsity", type=float, default=None)
+    p.add_argument("--h-sparsity", type=float, default=None)
+    p.add_argument("--maxiter", type=int, default=100)
+    p.add_argument("--tolerance", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default=None, help="compute dtype override")
+    p.add_argument("--shape", default=None, help="rows,cols for raw binary input")
+    p.add_argument("--input-dtype", default="float32", help="raw binary dtype")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint .npz to resume factors from")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="run in chunks of this many iterations, saving "
+                        "--out after each (crash-resumable)")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="shard over this many devices (sample axis)")
+    p.add_argument("--out", required=True, help="output .npz checkpoint")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import nmf_toolbox_tpu as nt
+    from nmf_toolbox_tpu.utils.io import load_matrix
+    from nmf_toolbox_tpu.utils.checkpoint import (save_factors, load_factors,
+                                                  run_checkpointed)
+
+    shape = tuple(int(x) for x in args.shape.split(",")) if args.shape else None
+    V = load_matrix(args.input, shape=shape, dtype=args.input_dtype)
+
+    cfg = {"maxiter": args.maxiter, "tolerance": args.tolerance,
+           "seed": args.seed}
+    for key, val in [("divergence", args.divergence), ("alpha", args.alpha),
+                     ("beta", args.beta), ("W_sparsity", args.w_sparsity),
+                     ("H_sparsity", args.h_sparsity), ("dtype", args.dtype)]:
+        if val is not None:
+            cfg[key] = val
+    if args.mesh:
+        from nmf_toolbox_tpu.parallel import make_mesh
+        cfg["mesh"] = make_mesh(args.mesh)
+    if args.resume:
+        cfg.update(load_factors(args.resume))
+
+    solver = getattr(nt, args.solver)
+    pos = [args.k]
+    if args.solver in ("cnmf", "cnmfsc", "chcnmf"):
+        if args.context_len is None:
+            print("error: --context-len is required for convolutive solvers",
+                  file=sys.stderr)
+            return 2
+        pos.append(args.context_len)
+    if args.solver == "constrainednmf":
+        if args.labels is None:
+            print("error: --labels is required for constrainednmf",
+                  file=sys.stderr)
+            return 2
+        pos = [np.load(args.labels), args.k]
+
+    if args.checkpoint_every:
+        res = run_checkpointed(solver, V, *pos, total_iters=args.maxiter,
+                               chunk=args.checkpoint_every, path=args.out,
+                               **{k: v for k, v in cfg.items()
+                                  if k != "maxiter"})
+    else:
+        res = solver(V, *pos, **cfg)
+        save_factors(args.out, res)
+
+    cost = np.asarray(res.cost)
+    summary = {"solver": args.solver, "shape": list(V.shape), "k": args.k,
+               "iterations": int(res.n_iters), "converged": bool(res.converged),
+               "final_cost": float(cost[cost != 0][-1]) if np.any(cost != 0) else float(cost[-1]),
+               "out": args.out}
+    if not args.quiet:
+        print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
