@@ -113,3 +113,19 @@ def apply_placements(mesh: Mesh | None, solver: str, **arrays):
         for name, a in arrays.items()
     )
     return out if len(out) > 1 else out[0]
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, **kwargs):
+    """Initialize multi-host JAX (jax.distributed.initialize pass-through).
+
+    Call once per process before building a mesh in a multi-host run;
+    ``make_mesh()`` then sees every host's devices via jax.devices() and
+    the solver placements work unchanged — XLA routes the Gram psums over
+    ICI within a slice and DCN across slices (SURVEY.md section 2.5).
+    No-op arguments use JAX's environment auto-detection (TPU pods).
+    """
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)

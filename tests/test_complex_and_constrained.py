@@ -173,3 +173,38 @@ def test_constrainednmf_label_length_check():
     V = rng.uniform(size=(5, 8))
     with pytest.raises(ValueError, match="label vector"):
         nt.constrainednmf(V, np.zeros(5), 2)
+
+
+def test_cmfwisa_fixed_flags_parity():
+    rng = np.random.default_rng(20)
+    m, n, k = 16, 22, 3
+    V = rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n))
+    W0 = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(k, n))
+    r = nt.cmfwisa(V, k, W_init=W0, H_init=H0, W_fixed=True, P_fixed=True,
+                   maxiter=10, tolerance=1e-12, dtype=np.complex128)
+    Wg, Hg, Pg, cg = oracle.cmfwisa(V, [W0], [H0], W_fixed=[True],
+                                    P_fixed=[True], maxiter=10,
+                                    tolerance=1e-12)
+    np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-10)
+    np.testing.assert_allclose(r.H, Hg[0], atol=1e-10)
+    # fixed W only normalized once; fixed P stays the init phase
+    np.testing.assert_allclose(r.W, W0 / np.sqrt((W0**2).sum(0)), atol=1e-12)
+    np.testing.assert_allclose(r.P, np.exp(1j * np.angle(V)), atol=1e-12)
+
+
+def test_chcnmf_fixed_flags_parity():
+    rng = np.random.default_rng(21)
+    m, n, k, T, p = 12, 30, 3, 2, 7
+    V = rng.uniform(size=(m, n))
+    S = V[:, rng.choice(n, p, replace=False)]
+    G0 = rng.uniform(size=(p, k, T))
+    H0 = rng.uniform(size=(k, n))
+    for kw in [dict(G_fixed=True), dict(H_fixed=True)]:
+        r = nt.chcnmf(V, k, T, S_init=S, G_init=G0, H_init=H0, maxiter=8,
+                      tolerance=1e-12, dtype=np.float64, **kw)
+        Wg, Hg, Gg, cg = oracle.chcnmf(V, S, G0, H0, T, maxiter=8,
+                                       tolerance=1e-12, **kw)
+        np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9)
+        np.testing.assert_allclose(r.G, Gg, atol=1e-9)
+        np.testing.assert_allclose(r.H, Hg, atol=1e-9)

@@ -114,3 +114,17 @@ def test_cnmfsc_rejects_negative():
     V[0, 0] = -0.5
     with pytest.raises(ValueError, match="Negative values"):
         nt.cnmfsc(V, 2, 2)
+
+
+@pytest.mark.parametrize("kw", [
+    {"W_fixed": True, "H_sparsity": 0.6},
+    {"H_fixed": True, "W_sparsity": 0.5},
+])
+def test_nmfsc_fixed_flags_parity(kw):
+    V, W0, H0 = make_problem(seed=9)
+    r = nt.nmfsc(V, 4, W_init=W0, H_init=H0, maxiter=12, tolerance=1e-12,
+                 dtype=np.float64, **kw)
+    Wg, Hg, cg = oracle.nmfsc(V, W0, H0, maxiter=12, tolerance=1e-12, **kw)
+    np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9)
+    np.testing.assert_allclose(r.W, Wg, atol=1e-9)
+    np.testing.assert_allclose(r.H, Hg, atol=1e-9)
