@@ -32,6 +32,21 @@ EPS = float(np.finfo(np.float64).eps)  # 2.220446049250313e-16
 STEP_UNDERFLOW = 1e-200
 
 
+def common_scalars(cfg) -> tuple:
+    """(maxiter, tolerance, eps, key): the scalar config every solver
+    shares, with the reference's invalid-value fallbacks
+    (ValidateParameters.m:222-230)."""
+    maxiter = int(cfg.get("maxiter", 100) or 100)
+    if maxiter <= 0:
+        maxiter = 100
+    tolerance = float(cfg.get("tolerance", 1e-3))
+    if tolerance <= 0:
+        tolerance = 1e-3
+    eps = float(cfg.get("eps", EPS))
+    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    return maxiter, tolerance, eps, key
+
+
 def resolve_dtype(V, dtype):
     """Pick the compute dtype: explicit override > input dtype > float32."""
     if dtype is not None:

@@ -30,13 +30,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import EPS, Result, merge_config, resolve_dtype
+from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.gram import pos_neg_split
 from ..ops.normalize import unit_sum_columns
 from ..ops.shift import shift_left, shift_right, stack_shifts_right
 from ..utils.init import convex_hull_anchors
-from .cnmfsc import _cross_grams_h
+from ..ops.gram import conv_cross_grams_h as _cross_grams_h
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -159,13 +160,7 @@ def chcnmf(V, num_basis_elems: int, context_len: int,
     k = int(num_basis_elems)
     T = int(context_len)
 
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    eps = float(cfg.get("eps", EPS))
+    maxiter, tolerance, eps, _ = common_scalars(cfg)
     pct = float(cfg.get("pct_eigval_energy", 0.95))
     if not (0.0 <= pct <= 1.0):
         pct = 0.95
@@ -205,7 +200,6 @@ def chcnmf(V, num_basis_elems: int, context_len: int,
     StS = S.T @ S
     v_sq = jnp.sum(V * V)
 
-    from ..parallel import apply_placements
     StV, G0, H0 = apply_placements(cfg.get("mesh"), "chcnmf",
                                    V=StV, G=G0, H=H0)
 

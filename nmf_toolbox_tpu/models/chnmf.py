@@ -24,11 +24,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import EPS, Result, merge_config, resolve_dtype
+from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.gram import pos_neg_split
 from ..ops.normalize import unit_sum_columns
 from ..utils.init import convex_hull_anchors
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -92,13 +93,7 @@ def chnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     m, n = V.shape
     k = int(num_basis_elems)
 
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    eps = float(cfg.get("eps", EPS))
+    maxiter, tolerance, eps, _ = common_scalars(cfg)
     pct = float(cfg.get("pct_eigval_energy", 0.95))
     if not (0.0 <= pct <= 1.0):
         pct = 0.95
@@ -124,7 +119,6 @@ def chnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     g_sp = max(float(cfg.get("G_sparsity", 0.0) or 0.0), 0.0)
     h_sp = max(float(cfg.get("H_sparsity", 0.0) or 0.0), 0.0)
 
-    from ..parallel import apply_placements
     V, S, G0, H0 = apply_placements(cfg.get("mesh"), "chnmf", V=V, S=S, G=G0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),

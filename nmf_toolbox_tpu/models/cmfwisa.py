@@ -28,12 +28,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import (EPS, Result, as_list, merge_config, per_column,
+from ..core import (common_scalars, Result, as_list, merge_config, per_column,
                     promote_inits, promote_per_source, resolve_dtype,
                     source_blocks, unwrap_sources, uniform_init,
                     real_dtype_of)
 from ..ops import loop as looplib
 from ..ops.normalize import unit_l2_columns
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -139,14 +140,7 @@ def cmfwisa(V, num_basis_elems, config: dict | None = None, **kwargs):
     w_fx = tuple(bool(x) for x in promote_per_source(cfg.get("W_fixed"), S, "W_fixed", False))
     h_fx = tuple(bool(x) for x in promote_per_source(cfg.get("H_fixed"), S, "H_fixed", False))
     p_fx = tuple(bool(x) for x in promote_per_source(cfg.get("P_fixed"), S, "P_fixed", False))
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    eps = float(cfg.get("eps", EPS))
-    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    maxiter, tolerance, eps, key = common_scalars(cfg)
     kw, kh = jax.random.split(key)
 
     w_list, w_was_seq = promote_inits(cfg.get("W_init"), S, "basis")
@@ -171,7 +165,6 @@ def cmfwisa(V, num_basis_elems, config: dict | None = None, **kwargs):
     P0 = jnp.stack([jnp.asarray(p, cdt) for p in p_list])
     hsp = per_column(h_sp, ks, rdt)
 
-    from ..parallel import apply_placements
     V, W0, H0, P0 = apply_placements(cfg.get("mesh"), "cmfwisa",
                                      V=V, W=W0, H=H0, P=P0)
 

@@ -21,14 +21,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import (EPS, Result, as_list, merge_config, per_column,
+from ..core import (common_scalars, Result, as_list, merge_config, per_column,
                     fixed_col_mask, promote_inits, promote_per_source,
                     resolve_dtype, source_blocks, unwrap_sources,
                     uniform_init)
 from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.normalize import cross_frame_norm, unit_l2_columns
-from ..ops.shift import conv_phi_ht, conv_reconstruct, conv_wt_phi
+from ..ops.gram import conv_cross_grams_h, conv_cross_grams_w
+from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
+                         shift_left, stack_shifts_right)
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -66,9 +69,7 @@ def _build_solver(spec: _Spec):
         v_sq = jnp.sum(V * V)
 
         def cross_grams_h(H):
-            from .cnmfsc import _cross_grams_h
-            from ..ops.shift import stack_shifts_right
-            return _cross_grams_h(stack_shifts_right(H, T))
+            return conv_cross_grams_h(stack_shifts_right(H, T))
 
         def gram_step(carry, i):
             # Euclidean-only Gram form: the convolutive reconstruction is
@@ -76,8 +77,6 @@ def _build_solver(spec: _Spec):
             # touch V (conv_phi_ht(V, H) and conv_wt_phi(W, V)); the
             # V_hat-dependent terms are assembled from (T, T, k, k)
             # cross-Grams.  Mathematically identical to cnmf.m:175-251.
-            from ..ops.shift import shift_left, stack_shifts_right
-            from .cnmfsc import _cross_grams_w, _cross_grams_h
             W, H = carry
             if w_any:
                 HH = cross_grams_h(H)                    # HH[s, t]
@@ -94,7 +93,7 @@ def _build_solver(spec: _Spec):
                 W = Wn if w_all_free else jnp.where(w_mask[None, :, None], W, Wn)
             gneg = conv_wt_phi(W, V)                     # (k, n) [big]
             if h_any:
-                WW = _cross_grams_w(W)
+                WW = conv_cross_grams_w(W)
                 Hs = stack_shifts_right(H, T)
                 gpos = jnp.zeros_like(gneg)
                 for t in range(T):
@@ -105,7 +104,7 @@ def _build_solver(spec: _Spec):
                 H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
             # cost with the UPDATED factors, all in Gram space:
             # <V, conv(W, H)> = <conv_wt_phi(W, V), H>.
-            WW = _cross_grams_w(W)
+            WW = conv_cross_grams_w(W)
             HH = cross_grams_h(H)
             c = 0.5 * (v_sq - 2.0 * jnp.sum(gneg * H) + jnp.sum(WW * HH))
             c = c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
@@ -200,14 +199,7 @@ def cnmf(V, num_basis_elems, context_len: int,
             promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)]
     w_fx = tuple(bool(x) for x in promote_per_source(cfg.get("W_fixed"), S, "W_fixed", False))
     h_fx = tuple(bool(x) for x in promote_per_source(cfg.get("H_fixed"), S, "H_fixed", False))
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    eps = float(cfg.get("eps", EPS))
-    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    maxiter, tolerance, eps, key = common_scalars(cfg)
     kw, kh = jax.random.split(key)
 
     w_list, w_was_seq = promote_inits(cfg.get("W_init"), S, "basis")
@@ -239,7 +231,6 @@ def cnmf(V, num_basis_elems, context_len: int,
     wsp = per_column(w_sp, ks, dtype)
     hsp = per_column(h_sp, ks, dtype)
 
-    from ..parallel import apply_placements
     V, W0, H0 = apply_placements(cfg.get("mesh"), "cnmf", V=V, W=W0, H=H0)
 
     method = cfg.get("method", "auto")

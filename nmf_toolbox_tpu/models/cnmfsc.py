@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import EPS, Result, merge_config, resolve_dtype
+from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
@@ -41,6 +41,7 @@ from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
 from ..ops.gram import conv_cross_grams_w as _cross_grams_w
 from ..ops.gram import conv_cross_grams_h as _cross_grams_h
 from ..ops.linesearch import backtracking_search as _line_search_obj
+from ..parallel import apply_placements
 
 
 
@@ -190,16 +191,9 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
     k = int(num_basis_elems)
     T = int(context_len)
 
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    eps = float(cfg.get("eps", EPS))
+    maxiter, tolerance, eps, key = common_scalars(cfg)
     w_sp = min(float(cfg.get("W_sparsity", 0.0) or 0.0), 1.0)
     h_sp = min(float(cfg.get("H_sparsity", 0.0) or 0.0), 1.0)
-    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     kw, kh = jax.random.split(key)
 
     W0 = cfg.get("W_init")
@@ -221,7 +215,6 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
     if h_sp > 0:
         H0 = project_columns(H0.T, l1_h, 1.0)[0].T
 
-    from ..parallel import apply_placements
     V, W0, W_proj, H0 = apply_placements(cfg.get("mesh"), "cnmfsc",
                                          V=V, W=W0, W2=W_proj, H=H0)
 

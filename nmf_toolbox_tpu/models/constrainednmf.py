@@ -26,10 +26,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import EPS, Result, merge_config, resolve_dtype, uniform_init
+from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
 from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.normalize import unit_l2_columns
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -136,16 +137,9 @@ def constrainednmf(V, labels, num_basis_elems: int,
     else:
         alpha, beta = 1.0, 1.0
 
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    eps = float(cfg.get("eps", EPS))
+    maxiter, tolerance, eps, key = common_scalars(cfg)
     wsp = max(float(cfg.get("W_sparsity", 0.0) or 0.0), 0.0)
     zsp = max(float(cfg.get("Z_sparsity", 0.0) or 0.0), 0.0)
-    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     kw, kz = jax.random.split(key)
 
     # Label preprocessing (constrainednmf.m:147-172).
@@ -175,7 +169,6 @@ def constrainednmf(V, labels, num_basis_elems: int,
         Z0 = uniform_init(kz, (k, n_u + num_classes), dtype, floor_eps=False)  # :174
     Z0 = jnp.asarray(Z0, dtype)
 
-    from ..parallel import apply_placements
     V_sorted, W0, Z0 = apply_placements(cfg.get("mesh"), "constrainednmf",
                                         V=V_sorted, W=W0, Z=Z0)
 

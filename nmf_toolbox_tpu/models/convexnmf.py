@@ -25,11 +25,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import EPS, Result, merge_config, resolve_dtype
+from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.gram import pos_neg_split
 from ..ops.normalize import unit_sum_columns
 from ..utils.init import kmeans_indicator_h
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -88,14 +89,8 @@ def convexnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     m, n = V.shape
     k = int(num_basis_elems)
 
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
+    maxiter, tolerance, _, key = common_scalars(cfg)
     g_sparsity = max(float(cfg.get("G_sparsity", 0.0) or 0.0), 0.0)
-    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
 
     H0 = cfg.get("H_init")
     G0 = cfg.get("G_init")
@@ -114,7 +109,6 @@ def convexnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     G0 = unit_sum_columns(jnp.asarray(G0, dtype))  # convexnmf.m:83
     H0 = jnp.asarray(H0, dtype)
 
-    from ..parallel import apply_placements
     V, G0, H0 = apply_placements(cfg.get("mesh"), "convexnmf", V=V, G=G0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),

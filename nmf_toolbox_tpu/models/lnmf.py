@@ -13,12 +13,14 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import EPS, Result, merge_config, resolve_dtype, uniform_init
+from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
 from ..ops import loop as looplib
 from ..ops.normalize import unit_sum_columns
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -67,14 +69,7 @@ def lnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     m, n = V.shape
     k = int(num_basis_elems)
 
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    eps = float(cfg.get("eps", EPS))
-    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    maxiter, tolerance, eps, key = common_scalars(cfg)
     kw, kh = jax.random.split(key)
 
     W0 = cfg.get("W_init")
@@ -87,14 +82,12 @@ def lnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     W0 = unit_sum_columns(jnp.asarray(W0, dtype))  # lnmf.m:64
     H0 = jnp.asarray(H0, dtype)
 
-    from ..parallel import apply_placements
     V, W0, H0 = apply_placements(cfg.get("mesh"), "lnmf", V=V, W=W0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("W_fixed", False)),
                  bool(cfg.get("H_fixed", False)), eps)
     out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
     W, H = out.state
-    import numpy as np
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H),
                   cost=looplib.trim_cost(out, maxiter, trim=False),

@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import (EPS, Result, as_list, default_h_init, default_w_init,
+from ..core import (common_scalars, Result, as_list, default_h_init, default_w_init,
                     fixed_col_mask, merge_config, per_column, promote_inits,
                     promote_per_source, resolve_dtype, source_blocks,
                     unwrap_sources)
@@ -36,6 +36,7 @@ from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.gram import euclidean_cost_gram, sq_norm
 from ..ops.normalize import unit_l2_columns
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -275,18 +276,10 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
     h_sp = [max(float(v), 0.0) for v in h_sp]
     w_fx = tuple(bool(b) for b in promote_per_source(cfg.get("W_fixed"), S, "W_fixed", False))
     h_fx = tuple(bool(b) for b in promote_per_source(cfg.get("H_fixed"), S, "H_fixed", False))
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    eps = float(cfg.get("eps", EPS))
-    seed = int(cfg.get("seed", 0))
+    maxiter, tolerance, eps, key = common_scalars(cfg)
 
     w_list, w_was_seq = promote_inits(cfg.get("W_init"), S, "basis")
     h_list, h_was_seq = promote_inits(cfg.get("H_init"), S, "encoding")
-    key = jax.random.PRNGKey(seed)
     kw, kh = jax.random.split(key)
     if w_list is None:
         w_list = default_w_init(kw, m, ks, dtype)
@@ -316,7 +309,6 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
                              "euclidean Gram method")
         V = V.astype(jnp.dtype(data_dtype))
 
-    from ..parallel import apply_placements
     V, W0, H0 = apply_placements(cfg.get("mesh"), "nmf", V=V, W=W0, H=H0)
 
     spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps,

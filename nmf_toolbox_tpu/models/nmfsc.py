@@ -28,11 +28,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import EPS, Result, merge_config, resolve_dtype
+from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.normalize import row_l2_transfer
 from ..ops.linesearch import backtracking_search
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -145,18 +146,11 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     m, n = V.shape
     k = int(num_basis_elems)
 
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    eps = float(cfg.get("eps", EPS))
+    maxiter, tolerance, eps, key = common_scalars(cfg)
     w_sp = float(cfg.get("W_sparsity", 0.0) or 0.0)
     h_sp = float(cfg.get("H_sparsity", 0.0) or 0.0)
     w_sp = min(w_sp, 1.0)  # nmfsc.m:90-92
     h_sp = min(h_sp, 1.0)
-    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     kw, kh = jax.random.split(key)
 
     W0 = cfg.get("W_init")
@@ -176,7 +170,6 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     if h_sp > 0:  # nmfsc.m:106-109
         H0 = project_columns(H0.T, l1_h, 1.0)[0].T
 
-    from ..parallel import apply_placements
     V, W0, H0 = apply_placements(cfg.get("mesh"), "nmfsc", V=V, W=W0, H=H0)
 
     spec = _Spec(maxiter, w_sp > 0, h_sp > 0,

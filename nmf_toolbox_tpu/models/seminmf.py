@@ -15,10 +15,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import EPS, Result, merge_config, resolve_dtype
+from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.gram import euclidean_cost_gram, pos_neg_split, sq_norm
 from ..utils.init import kmeans_indicator_h
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -71,13 +72,7 @@ def seminmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     m, n = V.shape
     k = int(num_basis_elems)
 
-    maxiter = int(cfg.get("maxiter", 100) or 100)
-    if maxiter <= 0:
-        maxiter = 100
-    tolerance = float(cfg.get("tolerance", 1e-3))
-    if tolerance <= 0:
-        tolerance = 1e-3
-    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    maxiter, tolerance, _, key = common_scalars(cfg)
     kw, kh = jax.random.split(key)
 
     H0 = cfg.get("H_init")
@@ -89,7 +84,6 @@ def seminmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     W0 = jnp.asarray(W0, dtype)
     H0 = jnp.asarray(H0, dtype)
 
-    from ..parallel import apply_placements
     V, W0, H0 = apply_placements(cfg.get("mesh"), "seminmf", V=V, W=W0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("W_fixed", False)),

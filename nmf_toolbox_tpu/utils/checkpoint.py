@@ -15,6 +15,8 @@ to splat back into the solver.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 _FACTOR_KEYS = ("W", "H", "P", "G", "S", "Z")
@@ -89,9 +91,6 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
         res = run_checkpointed(nt.nmf, V, 64, total_iters=500, chunk=50,
                                path="run.npz", divergence="kl")
     """
-    import os
-    import numpy as np
-
     done = 0
     inits: dict = {}
     costs = []
