@@ -9,11 +9,12 @@ sharding) rather than as a translation.
 from .core import EPS, Result
 from .ops import reconstruct, projfunc
 from .models import (nmf, lnmf, seminmf, convexnmf, chnmf, cnmf, nmfsc,
-                     cnmfsc, cmfwisa, chcnmf, constrainednmf)
+                     cnmfsc, cmfwisa, chcnmf, constrainednmf, nmf_hals)
 
 reconstruct_from_decomposition = reconstruct  # reference-style alias
 
 __all__ = ["EPS", "Result", "reconstruct", "reconstruct_from_decomposition",
            "projfunc", "nmf", "lnmf", "seminmf", "convexnmf", "chnmf",
-           "cnmf", "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf"]
+           "cnmf", "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf",
+           "nmf_hals"]
 __version__ = "0.1.0"

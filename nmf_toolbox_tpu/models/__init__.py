@@ -9,6 +9,8 @@ from .cnmfsc import cnmfsc
 from .cmfwisa import cmfwisa
 from .chcnmf import chcnmf
 from .constrainednmf import constrainednmf
+from .hals import nmf_hals
 
 __all__ = ["nmf", "lnmf", "seminmf", "convexnmf", "chnmf", "cnmf",
-           "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf"]
+           "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf",
+           "nmf_hals"]

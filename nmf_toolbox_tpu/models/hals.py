@@ -1,0 +1,110 @@
+"""HALS NMF (Cichocki & Phan 2009) — a beyond-the-reference extra.
+
+The reference toolbox only offers multiplicative updates; for the
+Euclidean objective, Hierarchical ALS converges in far fewer iterations
+(each sweep solves every rank-1 subproblem exactly), so time-to-tolerance
+drops well below the MU solvers even at identical per-iteration cost —
+the per-sweep heavy work is the SAME two Gram products as the MU Gram
+path (V H' and W'V), plus a k-step `fori_loop` of rank-1 column/row
+refinements.
+
+This is additive API surface (the ``nmf`` solver stays exactly
+reference-parity); use it when you want the best factorization per
+wall-clock second rather than MATLAB-trajectory compatibility.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import (common_scalars, Result, merge_config, resolve_dtype,
+                    uniform_init)
+from ..ops import loop as looplib
+from ..ops.gram import euclidean_cost_gram, sq_norm
+from ..ops.normalize import unit_l2_columns
+from ..parallel import apply_placements
+
+
+class _Spec(NamedTuple):
+    maxiter: int
+    k: int
+    eps: float
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: _Spec):
+    k = spec.k
+
+    @jax.jit
+    def solve(V, W0, H0, tolerance):
+        dt = V.dtype
+        eps = jnp.asarray(spec.eps, dt)
+        v_sq = sq_norm(V)
+
+        def step(carry, i):
+            W, H = carry
+            # --- W sweep: exact rank-1 updates, columns in sequence ---
+            HHt = H @ H.T
+            VHt = V @ H.T                          # [mnk]
+            diagH = jnp.maximum(jnp.diag(HHt), eps)
+
+            def w_col(j, W):
+                wj = W[:, j] + (VHt[:, j] - W @ HHt[:, j]) / diagH[j]
+                return W.at[:, j].set(jnp.maximum(wj, eps))
+
+            W = jax.lax.fori_loop(0, k, w_col, W)
+            # --- H sweep ---
+            WtW = W.T @ W
+            WtV = W.T @ V                          # [mnk]
+            diagW = jnp.maximum(jnp.diag(WtW), eps)
+
+            def h_row(j, H):
+                hj = H[j, :] + (WtV[j, :] - WtW[j, :] @ H) / diagW[j]
+                return H.at[j, :].set(jnp.maximum(hj, eps))
+
+            H = jax.lax.fori_loop(0, k, h_row, H)
+            c = euclidean_cost_gram(v_sq, WtV, WtW, H)
+            return (W, H), c, jnp.asarray(False)
+
+        return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
+                           cost_dtype=dt)
+    return solve
+
+
+def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
+    """Euclidean NMF via HALS.  Returns Result as (W, H, cost).
+
+    Parameters: W_init, H_init, maxiter (100), tolerance (1e-3), seed,
+    dtype, mesh.  The convergence rule and cost trace semantics match the
+    framework's other solvers (0.5*||V - WH||^2 after each sweep).
+    """
+    cfg = merge_config(config, kwargs)
+    dtype = resolve_dtype(V, cfg.get("dtype"))
+    V = jnp.asarray(V, dtype)
+    m, n = V.shape
+    k = int(num_basis_elems)
+    maxiter, tolerance, eps, key = common_scalars(cfg)
+    kw, kh = jax.random.split(key)
+
+    W0 = cfg.get("W_init")
+    if W0 is None:
+        W0 = unit_l2_columns(uniform_init(kw, (m, k), dtype))
+    H0 = cfg.get("H_init")
+    if H0 is None:
+        H0 = uniform_init(kh, (k, n), dtype)
+    W0 = jnp.asarray(W0, dtype)
+    H0 = jnp.asarray(H0, dtype)
+
+    V, W0, H0 = apply_placements(cfg.get("mesh"), "nmf", V=V, W=W0, H=H0)
+
+    spec = _Spec(maxiter, k, eps)
+    out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
+    W, H = out.state
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=np.asarray(H),
+                  cost=looplib.trim_cost(out, maxiter),
+                  n_iters=int(out.n_iters), converged=bool(out.stopped))

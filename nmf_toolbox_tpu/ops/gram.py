@@ -29,9 +29,13 @@ def sq_norm(V):
 def euclidean_cost_gram(v_sq, WtV, WtW, H):
     """0.5*||V - W H||^2 = 0.5*(||V||^2 - 2<W'V, H> + <W'W H, H>).
 
-    All operands are k-by-n / k-by-k; no m-by-n intermediate.
+    All operands are k-by-n / k-by-k; no m-by-n intermediate.  Clamped at
+    zero: the identity cancels catastrophically once the true residual
+    nears the dtype's precision floor, while the reference's residual form
+    (0.5*sum((V - V_hat).^2), nmf.m:208) is nonnegative by construction.
     """
-    return 0.5 * (v_sq - 2.0 * jnp.sum(WtV * H) + jnp.sum((WtW @ H) * H))
+    c = 0.5 * (v_sq - 2.0 * jnp.sum(WtV * H) + jnp.sum((WtW @ H) * H))
+    return jnp.maximum(c, 0.0)
 
 
 def euclidean_cost_gram_w(v_sq, VHt, HHt, W):

@@ -1,0 +1,41 @@
+"""Tests for the HALS extra solver (beyond-reference surface)."""
+import numpy as np
+
+import nmf_toolbox_tpu as nt
+
+
+def test_hals_beats_mu_convergence():
+    rng = np.random.default_rng(0)
+    Wt = rng.gamma(2.0, 1.0, (200, 8))
+    Ht = rng.gamma(0.5, 1.0, (8, 300))
+    V = (Wt @ Ht + 0.01).astype(np.float64)
+    W0 = rng.uniform(size=(200, 8))
+    H0 = rng.uniform(size=(8, 300))
+    mu = nt.nmf(V, 8, W_init=W0, H_init=H0, maxiter=150, tolerance=1e-30,
+                dtype=np.float64)
+    ha = nt.nmf_hals(V, 8, W_init=W0, H_init=H0, maxiter=150,
+                     tolerance=1e-30, dtype=np.float64)
+    assert ha.cost[-1] < mu.cost[-1] * 0.5  # far better fit, same budget
+    # cost is monotone non-increasing and nonnegative
+    c = np.asarray(ha.cost)
+    assert np.all(np.diff(c) <= 1e-9 * np.maximum(np.abs(c[:-1]), 1e-30))
+    assert np.all(c >= 0)
+    assert np.all(np.asarray(ha.W) >= 0) and np.all(np.asarray(ha.H) >= 0)
+
+
+def test_hals_early_stop_and_mesh():
+    import jax
+    rng = np.random.default_rng(1)
+    V = rng.uniform(0.1, 1, (24, 64)).astype(np.float64)
+    r = nt.nmf_hals(V, 3, maxiter=500, tolerance=1e-8, seed=2,
+                    dtype=np.float64)
+    assert r.converged and len(r.cost) < 500
+    if len(jax.devices()) >= 8:
+        from nmf_toolbox_tpu.parallel import make_mesh
+        W0 = rng.uniform(size=(24, 3))
+        H0 = rng.uniform(size=(3, 64))
+        a = nt.nmf_hals(V, 3, W_init=W0, H_init=H0, maxiter=10,
+                        tolerance=1e-30, dtype=np.float64)
+        b = nt.nmf_hals(V, 3, W_init=W0, H_init=H0, maxiter=10,
+                        tolerance=1e-30, dtype=np.float64, mesh=make_mesh(8))
+        np.testing.assert_allclose(a.W, b.W, atol=1e-9)
