@@ -1,0 +1,88 @@
+"""Scikit-learn-style estimator facade.
+
+The functional solvers follow the reference's MATLAB conventions
+(V is features x samples).  This module wraps them in the fit/transform
+idiom most Python users expect — X is (n_samples, n_features), like
+sklearn.decomposition.NMF — so migrating pipelines need no re-orientation.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import models
+
+
+class NMF:
+    """NMF estimator over the framework's solvers.
+
+    Parameters
+    ----------
+    n_components : rank k.
+    solver : 'mu' (reference-parity multiplicative updates), 'hals'
+        (fast time-to-tolerance), or any solver name from the package
+        ('nmfsc', 'cnmf', ... — extra positional config like context_len
+        goes in solver_args).
+    divergence, max_iter, tol, random_state : usual meanings.
+    solver_args : tuple of extra positional args (e.g. (context_len,)).
+    **config : forwarded to the solver (W_sparsity, mesh, dtype, ...).
+
+    Attributes: components_ (n_components, n_features), n_iter_,
+    reconstruction_err_ (final cost), cost_trace_.
+    """
+
+    def __init__(self, n_components: int, *, solver: str = "mu",
+                 divergence: str | None = None, max_iter: int = 200,
+                 tol: float = 1e-4, random_state: int = 0,
+                 solver_args: tuple = (), **config):
+        self.n_components = int(n_components)
+        self.solver = solver
+        self.divergence = divergence
+        self.max_iter = int(max_iter)
+        self.tol = float(tol)
+        self.random_state = int(random_state)
+        self.solver_args = tuple(solver_args)
+        self.config = dict(config)
+
+    def _fn(self):
+        name = {"mu": "nmf", "hals": "nmf_hals"}.get(self.solver, self.solver)
+        return getattr(models, name)
+
+    def _cfg(self):
+        cfg = dict(self.config)
+        cfg.update(maxiter=self.max_iter, tolerance=self.tol,
+                   seed=self.random_state)
+        if self.divergence is not None:
+            cfg["divergence"] = self.divergence
+        return cfg
+
+    def fit(self, X, y=None):
+        self.fit_transform(X)
+        return self
+
+    def fit_transform(self, X, y=None):
+        V = np.asarray(X).T  # sklearn rows-are-samples -> reference layout
+        res = self._fn()(V, self.n_components, *self.solver_args, **self._cfg())
+        self.components_ = np.asarray(res.W).T
+        self.n_iter_ = res.n_iters
+        self.cost_trace_ = np.asarray(res.cost)
+        self.reconstruction_err_ = float(self.cost_trace_[self.cost_trace_ != 0][-1]) \
+            if np.any(self.cost_trace_ != 0) else float(self.cost_trace_[-1])
+        self._result = res
+        return np.asarray(res.H).T
+
+    def transform(self, X):
+        """Encode new samples against the learned basis (W held fixed).
+
+        Uses the MU solver's W_fixed path (hals has no fixed-factor mode;
+        its basis is still a valid euclidean basis for MU encoding)."""
+        if not hasattr(self, "components_"):
+            raise RuntimeError("fit before transform")
+        V = np.asarray(X).T
+        cfg = self._cfg()
+        cfg.update(W_init=self.components_.T, W_fixed=True)
+        fn = models.nmf if self.solver in ("mu", "hals") else self._fn()
+        res = fn(V, self.n_components, *self.solver_args, **cfg)
+        return np.asarray(res.H).T
+
+    def inverse_transform(self, Ht):
+        return np.asarray(Ht) @ self.components_

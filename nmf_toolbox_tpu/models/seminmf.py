@@ -1,7 +1,7 @@
 """Semi-NMF (Ding, Li & Jordan 2010): W unconstrained, H >= 0.
 
 TPU-native re-design of seminmf.m: the exact W solve V H' / (H H')
-(seminmf.m:68) becomes a Cholesky solve of the k-by-k Gram on device; the
+(seminmf.m:68) becomes an LU solve of the k-by-k Gram on device; the
 sqrt multiplicative H update uses pos/neg Gram splits (seminmf.m:73-77 —
 note the reference has no eps guard here, preserved).  The Euclidean cost
 is evaluated in Gram form (no m-by-n reconstruction).

@@ -1,0 +1,43 @@
+"""sklearn-style facade tests."""
+import numpy as np
+
+from nmf_toolbox_tpu.estimators import NMF
+
+
+def test_fit_transform_shapes_and_reconstruction():
+    rng = np.random.default_rng(0)
+    # low-rank nonneg data: samples x features
+    X = rng.gamma(2.0, 1.0, (120, 6)) @ rng.gamma(1.0, 1.0, (6, 40)) + 0.01
+    est = NMF(n_components=6, max_iter=150, tol=1e-9, random_state=1,
+              dtype=np.float64)
+    Ht = est.fit_transform(X)
+    assert Ht.shape == (120, 6)
+    assert est.components_.shape == (6, 40)
+    rec = est.inverse_transform(Ht)
+    rel = np.linalg.norm(X - rec) / np.linalg.norm(X)
+    assert rel < 0.1
+    assert est.n_iter_ > 0 and est.reconstruction_err_ > 0
+
+
+def test_transform_new_data():
+    rng = np.random.default_rng(1)
+    W = rng.gamma(2.0, 1.0, (30, 4))
+    X_train = (rng.gamma(1.0, 1.0, (80, 4)) @ W.T) + 0.01
+    X_new = (rng.gamma(1.0, 1.0, (10, 4)) @ W.T) + 0.01
+    est = NMF(n_components=4, max_iter=200, tol=1e-10, random_state=2,
+              dtype=np.float64).fit(X_train)
+    Ht = est.transform(X_new)
+    rel = np.linalg.norm(X_new - est.inverse_transform(Ht)) / np.linalg.norm(X_new)
+    assert Ht.shape == (10, 4) and rel < 0.2
+
+
+def test_hals_solver_and_kl():
+    rng = np.random.default_rng(2)
+    X = rng.uniform(0.1, 1, (50, 20))
+    a = NMF(n_components=3, solver="hals", max_iter=50, dtype=np.float64,
+            random_state=3)
+    Ht = a.fit_transform(X)
+    assert np.all(Ht >= 0)
+    b = NMF(n_components=3, divergence="kl", max_iter=20, dtype=np.float64)
+    b.fit(X)
+    assert b.cost_trace_.shape[0] <= 20
