@@ -62,14 +62,14 @@ def main():
                                   jnp.float32, lo, hi)
 
     # 1) nmf euclidean 1000x500 r25 (PR1 reference config, CPU-runnable)
-    m, n, k = 1000 // q + 100, 500 // q + 50, 25
-    V, H0 = rnd(0, (m, n)), rnd(2, (25, n))
-    W0 = rnd(1, (m, 25))
+    m, n, k = (1000, 500, 25) if not args.quick else (225, 112, 25)
+    V, H0 = rnd(0, (m, n)), rnd(2, (k, n))
+    W0 = rnd(1, (m, k))
     ips = _timed_iters(
-        lambda W: nt.nmf(V, 25, W_init=W, H_init=H0, maxiter=iters,
+        lambda W: nt.nmf(V, k, W_init=W, H_init=H0, maxiter=iters,
                          tolerance=1e-30),
         lambda f: W0 * f, iters)
-    record(f"nmf euclidean {m}x{n} r25", ips)
+    record(f"nmf euclidean {m}x{n} r{k}", ips)
 
     # 2) KL nmf + Hoyer nmfsc 5000x2000 r50
     m, n, k = 5000 // q, 2000 // q, 50

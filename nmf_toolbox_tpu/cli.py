@@ -100,10 +100,9 @@ def main(argv=None):
         res = solver(V, *pos, **cfg)
         save_factors(args.out, res)
 
-    cost = np.asarray(res.cost)
     summary = {"solver": args.solver, "shape": list(V.shape), "k": args.k,
                "iterations": int(res.n_iters), "converged": bool(res.converged),
-               "final_cost": float(cost[cost != 0][-1]) if np.any(cost != 0) else float(cost[-1]),
+               "final_cost": res.final_cost,
                "out": args.out}
     if not args.quiet:
         print(json.dumps(summary))

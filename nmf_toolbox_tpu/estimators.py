@@ -62,7 +62,14 @@ class NMF:
     def fit_transform(self, X, y=None):
         V = np.asarray(X).T  # sklearn rows-are-samples -> reference layout
         res = self._fn()(V, self.n_components, *self.solver_args, **self._cfg())
-        self.components_ = np.asarray(res.W).T
+        W = np.asarray(res.W)
+        if W.ndim != 2:
+            raise ValueError(
+                f"solver '{self.solver}' learns a {W.ndim}-D basis; the "
+                "sklearn facade supports 2-D-basis solvers only — use the "
+                "functional API (nmf_toolbox_tpu.cnmf, ...) for convolutive "
+                "models")
+        self.components_ = W.T
         self.n_iter_ = res.n_iters
         self.cost_trace_ = np.asarray(res.cost)
         self.reconstruction_err_ = float(self.cost_trace_[self.cost_trace_ != 0][-1]) \
@@ -77,6 +84,12 @@ class NMF:
         its basis is still a valid euclidean basis for MU encoding)."""
         if not hasattr(self, "components_"):
             raise RuntimeError("fit before transform")
+        if self.solver not in ("mu", "hals", "nmf", "nmfsc", "lnmf"):
+            # Solvers without a W_init/W_fixed surface (convexnmf, chnmf,
+            # ...) would silently REFIT from scratch — refuse instead.
+            raise NotImplementedError(
+                f"transform is not supported for solver '{self.solver}' "
+                "(no fixed-basis encoding path); use the functional API")
         V = np.asarray(X).T
         cfg = self._cfg()
         cfg.update(W_init=self.components_.T, W_fixed=True)

@@ -70,7 +70,7 @@ def _build_solver(spec: _Spec):
             StSG = jnp.einsum("pq,qls->pls", StS, G, preferred_element_type=dt)
             E = jnp.einsum("pkt,pls->tskl", G, StSG, preferred_element_type=dt)
             sq = jnp.sum(E * _cross_grams_h(Hs))
-            return (0.5 * (V_sq - 2.0 * lin + sq)
+            return (jnp.maximum(0.5 * (V_sq - 2.0 * lin + sq), 0.0)
                     + h_sparsity * jnp.sum(H))
 
         def step(carry, i):

@@ -69,8 +69,9 @@ def _build_solver(spec: _Spec):
             # cost 0.5||V - S G H||^2 via Grams (W = S G, chnmf.m:183,190-192)
             StVG = StV.T @ G           # (n, k) — V'(S G)
             GtStSG = G.T @ (StS @ G)   # (k, k)
-            c = 0.5 * (v_sq - 2.0 * jnp.sum(StVG * H.T)
-                       + jnp.sum(GtStSG * (H @ H.T)))
+            c = jnp.maximum(  # clamp: see ops/gram.euclidean_cost_gram
+                0.5 * (v_sq - 2.0 * jnp.sum(StVG * H.T)
+                       + jnp.sum(GtStSG * (H @ H.T))), 0.0)
             return (G, H), c, jnp.asarray(False)
 
         return looplib.run(step, (G0, H0), spec.maxiter, tolerance,

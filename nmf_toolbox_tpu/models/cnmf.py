@@ -106,7 +106,8 @@ def _build_solver(spec: _Spec):
             # <V, conv(W, H)> = <conv_wt_phi(W, V), H>.
             WW = conv_cross_grams_w(W)
             HH = cross_grams_h(H)
-            c = 0.5 * (v_sq - 2.0 * jnp.sum(gneg * H) + jnp.sum(WW * HH))
+            c = jnp.maximum(  # clamp: see ops/gram.euclidean_cost_gram
+                0.5 * (v_sq - 2.0 * jnp.sum(gneg * H) + jnp.sum(WW * HH)), 0.0)
             c = c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
                      + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
             return (W, H), c, jnp.asarray(False)

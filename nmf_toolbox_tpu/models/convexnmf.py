@@ -67,8 +67,9 @@ def _build_solver(spec: _Spec):
             # cost 0.5||V - V G H||^2 in Gram form (k-by-k only):
             # = 0.5(tr(V'V) - 2 tr(H' G' V'V) + tr((G' V'V G)(H H')))
             VtVG = VtV @ G
-            c = 0.5 * (v_sq - 2.0 * jnp.sum(VtVG * H.T)
-                       + jnp.sum((G.T @ VtVG) * (H @ H.T)))
+            c = jnp.maximum(  # clamp: see ops/gram.euclidean_cost_gram
+                0.5 * (v_sq - 2.0 * jnp.sum(VtVG * H.T)
+                       + jnp.sum((G.T @ VtVG) * (H @ H.T))), 0.0)
             return (G, H), c, jnp.asarray(False)
 
         return looplib.run(step, (G0, H0), spec.maxiter, tolerance,

@@ -78,7 +78,9 @@ def _build_solver(spec: _Spec):
         def initial_cost(W, H):
             WtV = W.T @ V
             WtW = W.T @ W
-            return 0.5 * (v_sq - 2.0 * jnp.sum(WtV * H) + jnp.sum((WtW @ H) * H))
+            return jnp.maximum(  # clamp: see ops/gram.euclidean_cost_gram
+                0.5 * (v_sq - 2.0 * jnp.sum(WtV * H) + jnp.sum((WtW @ H) * H)),
+                0.0)
 
         def step(carry, i):
             W, H, step_w, step_h, prev_cost = carry

@@ -42,7 +42,8 @@ def euclidean_cost_gram_w(v_sq, VHt, HHt, W):
     """Same identity arranged for a W line search (H fixed):
     0.5*(||V||^2 - 2<V H', W> + <W'W, H H'>)."""
     WtW = W.T @ W
-    return 0.5 * (v_sq - 2.0 * jnp.sum(VHt * W) + jnp.sum(WtW * HHt))
+    c = 0.5 * (v_sq - 2.0 * jnp.sum(VHt * W) + jnp.sum(WtW * HHt))
+    return jnp.maximum(c, 0.0)
 
 
 def conv_cross_grams_w(W):

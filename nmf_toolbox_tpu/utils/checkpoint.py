@@ -77,20 +77,29 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
                      path, resume: bool = True, **config):
     """Long-run driver: execute ``solver`` in chunks of ``chunk``
     iterations, persisting the factors after every chunk so a crashed run
-    resumes where it left off (SURVEY.md section 5 failure-recovery plan —
-    the solvers' *_init surface makes resume = re-call with the last
-    factors, and the MU restart state equals the continuation state, so a
-    resumed run produces the SAME factors as an uninterrupted one).
+    resumes where it left off (SURVEY.md section 5 failure-recovery plan).
 
-    ``solver`` is any nmf_toolbox_tpu solver; ``args`` the positional
-    extras (e.g. context_len).  Returns the final Result with the
-    concatenated cost trace under ``.cost``.
+    For the memoryless MU solvers (nmf, lnmf, cnmf, seminmf, convexnmf,
+    chnmf, chcnmf, cmfwisa, constrainednmf, nmf_hals) the restart state
+    equals the continuation state, so the resumed factors are IDENTICAL
+    to an uninterrupted run (tested).  The line-search solvers
+    (nmfsc/cnmfsc) carry stepsizes across iterations, which reset at a
+    chunk boundary — resumed runs are valid restarts but not
+    trajectory-identical.
+
+    The tolerance rule is additionally evaluated on the host across
+    chunk boundaries (each chunk's device loop only compares within the
+    chunk), so early stopping behaves with any chunk size.  Returns the
+    final Result with the concatenated cost trace under ``.cost`` and
+    the TOTAL executed iterations under ``.n_iters``; returns the
+    checkpointed state as-is if the run is already complete.
 
     Example::
 
         res = run_checkpointed(nt.nmf, V, 64, total_iters=500, chunk=50,
                                path="run.npz", divergence="kl")
     """
+    tolerance = float(config.get("tolerance", 1e-3))
     done = 0
     inits: dict = {}
     costs = []
@@ -101,20 +110,42 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
         if "extra__cost_so_far" in raw:
             costs = [np.asarray(raw["extra__cost_so_far"])]
     res = None
-    while done < total_iters:
+    converged = False
+    while done < total_iters and not converged:
         step = min(chunk, total_iters - done)
         cfg = dict(config)
         cfg.update(inits)
         res = solver(V, *args, maxiter=step, **cfg)
         done += int(res.n_iters) if res.n_iters else step
-        costs.append(np.asarray(res.cost))
+        chunk_cost = np.asarray(res.cost)
+        if costs and len(chunk_cost) and len(costs[-1]):
+            prev_last = costs[-1][-1]
+            # offset-trace solvers re-store the boundary cost as their
+            # initial entry; drop the duplicate
+            if chunk_cost[0] == prev_last:
+                chunk_cost = chunk_cost[1:]
+            # host-side boundary convergence check (the device loop can
+            # only compare within its own chunk)
+            if (len(chunk_cost) and chunk_cost[0] < prev_last
+                    and prev_last - chunk_cost[0] < tolerance):
+                converged = True
+        costs.append(chunk_cost)
         inits = {f"{k}_init": getattr(res, k) for k in _FACTOR_KEYS
                  if getattr(res, k, None) is not None}
+        converged = converged or bool(res.converged)
         save_factors(path, res, extra={
             "iters_done": done,
             "cost_so_far": np.concatenate(costs)})
-        if res.converged:
-            break
-    if res is not None:
-        res.cost = np.concatenate(costs)
+    if res is None:
+        # Already complete at entry: reconstruct a Result from the
+        # checkpoint instead of crashing the caller.
+        from ..core import Result
+        raw = load_factors(path, as_inits=False)
+        fields = tuple(k for k in _FACTOR_KEYS if k in raw) + ("cost",)
+        res = Result(fields=fields,
+                     **{k: raw[k] for k in _FACTOR_KEYS if k in raw})
+        res.converged = True
+    res.cost = np.concatenate(costs) if costs else np.asarray(res.cost)
+    res.n_iters = done
+    res.converged = bool(res.converged) or converged
     return res

@@ -218,9 +218,13 @@ def convex_hull_anchors(V, pct_eigval_energy: float = 0.95,
         for e2 in range(e1 + 1, keep):
             idx = _convhull_2d(proj_all[:, [e1, e2]])
             idx_set.update(int(i) for i in idx)
-    # Dedupe on column INDICES rather than column values (chnmf.m:102
-    # deduplicates values; identical behavior unless V contains duplicate
-    # columns at different indices, and O(p log p) ints instead of sorting
-    # p rows of length m).
+    # Dedupe on column INDICES rather than column values (identical
+    # anchor set unless V contains duplicate columns at different
+    # indices, and O(p log p) ints instead of sorting p rows of length
+    # m), then restore the value-lexicographic column ORDER that the
+    # reference's unique(S', 'rows') produces (chnmf.m:102) so default
+    # G_init pairing matches.
     cols = np.fromiter(sorted(idx_set), dtype=np.int64)
-    return np.asarray(V[:, jnp.asarray(cols)])
+    S = np.asarray(V[:, jnp.asarray(cols)])
+    order = np.lexsort(S[::-1, :])  # primary key = first row
+    return S[:, order]

@@ -52,3 +52,41 @@ def test_convergence_stops_chunking(tmp_path):
                            seed=3, dtype=np.float64)
     assert res.converged
     assert len(res.cost) < 500
+
+
+def test_resume_when_already_complete(tmp_path):
+    """Re-invoking a finished checkpointed run must return the saved state,
+    not crash (regression: returned None and callers dereferenced .cost)."""
+    rng = np.random.default_rng(3)
+    V = rng.uniform(0.1, 1, (15, 20))
+    p = tmp_path / "done.npz"
+    a = run_checkpointed(nt.nmf, V, 3, total_iters=8, chunk=4, path=p,
+                         seed=1, tolerance=1e-30, dtype=np.float64)
+    b = run_checkpointed(nt.nmf, V, 3, total_iters=8, chunk=4, path=p,
+                         seed=1, tolerance=1e-30, dtype=np.float64)
+    assert b.converged
+    np.testing.assert_allclose(b.W, a.W, atol=1e-12)
+    assert b.final_cost > 0
+
+
+def test_chunk_of_one_early_stops(tmp_path):
+    """chunk=1 must still honor the tolerance (the device loop can never
+    compare across its own chunk; the driver checks at the boundary)."""
+    rng = np.random.default_rng(4)
+    V = rng.uniform(0.1, 1, (20, 25))
+    res = run_checkpointed(nt.nmf, V, 3, total_iters=300, chunk=1,
+                           path=tmp_path / "one.npz", tolerance=1e-2,
+                           seed=3, dtype=np.float64)
+    ref = nt.nmf(V, 3, maxiter=300, tolerance=1e-2, seed=3, dtype=np.float64)
+    assert res.converged
+    # stops within one chunk of the continuous run's stopping point
+    assert abs(len(res.cost) - len(ref.cost)) <= 1
+
+
+def test_total_iterations_reported(tmp_path):
+    rng = np.random.default_rng(5)
+    V = rng.uniform(0.1, 1, (15, 18))
+    res = run_checkpointed(nt.nmf, V, 2, total_iters=12, chunk=4,
+                           path=tmp_path / "t.npz", tolerance=1e-30,
+                           seed=1, dtype=np.float64)
+    assert res.n_iters == 12 and len(res.cost) == 12

@@ -1,18 +1,22 @@
 """CLI end-to-end tests (module invocation; the console script maps to
 the same entry point)."""
 import json
+import os
+import pathlib
 import subprocess
 import sys
 
 import numpy as np
 import pytest
 
+REPO = str(pathlib.Path(__file__).resolve().parents[1])
 
-def run_cli(args, cwd="/root/repo"):
-    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin:/usr/local/bin",
-           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+
+def run_cli(args):
+    env = {"PYTHONPATH": REPO, "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+           "JAX_PLATFORMS": "cpu", "HOME": os.environ.get("HOME", "/root")}
     return subprocess.run([sys.executable, "-m", "nmf_toolbox_tpu"] + args,
-                          capture_output=True, text=True, cwd=cwd, env=env)
+                          capture_output=True, text=True, cwd=REPO, env=env)
 
 
 @pytest.fixture(scope="module")
@@ -62,3 +66,19 @@ def test_cli_checkpointed(matrix_file, tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     s = json.loads(r.stdout.strip().splitlines()[-1])
     assert s["iterations"] >= 4  # last chunk's count
+
+
+def test_cli_checkpointed_rerun_and_totals(matrix_file, tmp_path):
+    """Completed checkpoint re-run returns saved state; iterations are the
+    TOTAL across chunks (regressions from review round 2)."""
+    out = str(tmp_path / "r.npz")
+    r1 = run_cli(["nmf", matrix_file, "--k", "3", "--maxiter", "8",
+                  "--checkpoint-every", "4", "--out", out])
+    assert r1.returncode == 0, r1.stderr[-500:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["iterations"] == 8
+    r2 = run_cli(["nmf", matrix_file, "--k", "3", "--maxiter", "8",
+                  "--checkpoint-every", "4", "--out", out])
+    assert r2.returncode == 0, r2.stderr[-500:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["converged"] is True

@@ -41,3 +41,22 @@ def test_hals_solver_and_kl():
     b = NMF(n_components=3, divergence="kl", max_iter=20, dtype=np.float64)
     b.fit(X)
     assert b.cost_trace_.shape[0] <= 20
+
+
+def test_transform_refuses_unfixable_solver():
+    import pytest
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0.1, 1, (30, 12))
+    est = NMF(n_components=3, solver="convexnmf", max_iter=5,
+              dtype=np.float64).fit(X)
+    with pytest.raises(NotImplementedError):
+        est.transform(X)
+
+
+def test_fit_refuses_3d_basis_solver():
+    import pytest
+    rng = np.random.default_rng(4)
+    X = rng.uniform(0.1, 1, (30, 12))
+    with pytest.raises(ValueError, match="3-D basis"):
+        NMF(n_components=3, solver="cnmf", solver_args=(2,), max_iter=3,
+            dtype=np.float64).fit(X)
