@@ -160,7 +160,8 @@ def phi_dot_ht(V, W, H, mode: str = "kl"):
         ],
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((TM, kp), jnp.float32),
-                        pltpu.VMEM((TM, kp), jnp.float32)],
+                        pltpu.VMEM((TM, kp) if mode == "is" else (8, 128),
+                                   jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(

@@ -82,3 +82,18 @@ def test_cli_checkpointed_rerun_and_totals(matrix_file, tmp_path):
     assert r2.returncode == 0, r2.stderr[-500:]
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["converged"] is True
+
+
+def test_cli_mesh(matrix_file, tmp_path):
+    env_extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    import subprocess
+    env = {"PYTHONPATH": REPO, "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+           "JAX_PLATFORMS": "cpu", "HOME": os.environ.get("HOME", "/root"),
+           **env_extra}
+    r = subprocess.run([sys.executable, "-m", "nmf_toolbox_tpu", "nmf",
+                        matrix_file, "--k", "4", "--maxiter", "5",
+                        "--mesh", "8", "--out", str(tmp_path / "m.npz")],
+                       capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["iterations"] == 5

@@ -90,3 +90,15 @@ def test_checkpoint_multisource(tmp_path):
     assert isinstance(kw["W_init"], list) and len(kw["W_init"]) == 2
     res2 = nt.nmf(V, [3, 2], maxiter=3, dtype=np.float64, **kw)
     assert np.all(np.isfinite(res2.cost))
+
+
+def test_profile_capture(tmp_path):
+    from nmf_toolbox_tpu.utils.debug import profile_to
+    import nmf_toolbox_tpu as nt
+    rng = np.random.default_rng(5)
+    V = rng.uniform(0.1, 1, (16, 20))
+    with profile_to(str(tmp_path / "prof")):
+        nt.nmf(V, 2, maxiter=3, dtype=np.float64)
+    # a trace directory with at least one artifact must exist
+    produced = list((tmp_path / "prof").rglob("*"))
+    assert produced
