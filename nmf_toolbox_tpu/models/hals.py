@@ -70,8 +70,11 @@ def _build_solver(spec: _Spec):
             c = euclidean_cost_gram(v_sq, WtV, WtW, H)
             return (W, H), c, jnp.asarray(False)
 
+        # inclusive stop rule: HALS can drive the clamped Gram cost to
+        # exactly 0 (perfect fit at the dtype's precision floor), where
+        # the reference's strict '<' comparison could never fire again.
         return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
-                           cost_dtype=dt)
+                           cost_dtype=dt, inclusive=True)
     return solve
 
 

@@ -39,3 +39,15 @@ def test_hals_early_stop_and_mesh():
         b = nt.nmf_hals(V, 3, W_init=W0, H_init=H0, maxiter=10,
                         tolerance=1e-30, dtype=np.float64, mesh=make_mesh(8))
         np.testing.assert_allclose(a.W, b.W, atol=1e-9)
+
+
+def test_hals_stops_at_exact_fit():
+    """A perfectly factorizable V drives the clamped cost to 0; the
+    inclusive stop rule must end the run instead of spinning to maxiter."""
+    rng = np.random.default_rng(5)
+    W = rng.gamma(2.0, 1.0, (40, 3))
+    H = rng.gamma(1.0, 1.0, (3, 50))
+    V = (W @ H).astype(np.float32)
+    r = nt.nmf_hals(V, 3, W_init=W.astype(np.float32),
+                    H_init=H.astype(np.float32), maxiter=500, tolerance=1e-12)
+    assert r.converged and len(r.cost) < 500

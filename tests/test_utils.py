@@ -102,3 +102,18 @@ def test_profile_capture(tmp_path):
     # a trace directory with at least one artifact must exist
     produced = list((tmp_path / "prof").rglob("*"))
     assert produced
+
+
+def test_view_dictionary_cnmf_flatten_content():
+    """The CNMF tensor flatten must place frame t of basis k at column
+    k*(T+spacing)+t with -inf gap columns (ViewDictionary.m:66-74)."""
+    rng = np.random.default_rng(6)
+    m, K, T, sp = 5, 3, 4, 2
+    W = rng.uniform(size=(m, K, T))
+    ax = view_dictionary(W, spacing=sp)
+    img = np.asarray(ax.images[0].get_array())
+    expected = np.full((m, K * (T + sp)), -np.inf)
+    for k in range(K):
+        for t in range(T):
+            expected[:, k * (T + sp) + t] = W[:, k, t]
+    np.testing.assert_array_equal(img, expected)
