@@ -1,0 +1,96 @@
+"""Config fuzzer: randomized shapes/flags/sparsity across solver families,
+every sample checked against the literal oracle.  Catches interactions the
+hand-written parity tests don't enumerate."""
+import numpy as np
+import pytest
+
+import nmf_toolbox_tpu as nt
+import oracle
+
+
+def _rand_problem(rng, mmax=24, nmax=30, kmax=5):
+    m = int(rng.integers(3, mmax))
+    n = int(rng.integers(4, nmax))
+    k = int(rng.integers(1, min(kmax, m, n)))
+    V = rng.uniform(0.05, 1.0, (m, n))
+    W0 = rng.uniform(0.05, 1.0, (m, k))
+    H0 = rng.uniform(0.05, 1.0, (k, n))
+    return V, W0, H0, m, n, k
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_fuzz_nmf(trial):
+    rng = np.random.default_rng(1000 + trial)
+    V, W0, H0, m, n, k = _rand_problem(rng)
+    div = rng.choice(["euclidean", "kl", "is", "ab"])
+    kw = dict(divergence=str(div), maxiter=int(rng.integers(3, 12)),
+              tolerance=1e-12)
+    okw = dict(kw)
+    if div == "ab":
+        kw["alpha"] = okw["alpha"] = float(rng.choice([0.5, 1.5, 2.0]))
+        kw["beta"] = okw["beta"] = float(rng.choice([0.5, 1.0, -0.5]))
+    wsp = float(rng.choice([0.0, 0.05, 0.3]))
+    hsp = float(rng.choice([0.0, 0.1]))
+    wfx = bool(rng.random() < 0.2)
+    hfx = bool(rng.random() < 0.2)
+    r = nt.nmf(V, k, W_init=W0, H_init=H0, W_sparsity=wsp, H_sparsity=hsp,
+               W_fixed=wfx, H_fixed=hfx, dtype=np.float64, **kw)
+    Wg, Hg, cg = oracle.nmf(V, [W0], [H0], W_sparsity=[wsp], H_sparsity=[hsp],
+                            W_fixed=[wfx], H_fixed=[hfx], **okw)
+    np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-8,
+                               err_msg=f"cfg={kw} wsp={wsp} hsp={hsp} "
+                                       f"wfx={wfx} hfx={hfx} shape={(m,n,k)}")
+    np.testing.assert_allclose(r.W, Wg[0], atol=1e-8)
+    np.testing.assert_allclose(r.H, Hg[0], atol=1e-7)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_cnmf(trial):
+    rng = np.random.default_rng(2000 + trial)
+    V, _, H0, m, n, k = _rand_problem(rng)
+    T = int(rng.integers(1, 5))
+    W0 = rng.uniform(0.05, 1.0, (m, k, T))
+    div = str(rng.choice(["euclidean", "kl", "is"]))
+    wsp = float(rng.choice([0.0, 0.05]))
+    hsp = float(rng.choice([0.0, 0.02]))
+    miters = int(rng.integers(3, 10))
+    r = nt.cnmf(V, k, T, W_init=W0, H_init=H0, divergence=div,
+                W_sparsity=wsp, H_sparsity=hsp, maxiter=miters,
+                tolerance=1e-12, dtype=np.float64)
+    Wg, Hg, cg = oracle.cnmf(V, W0, H0, T, divergence=div, W_sparsity=wsp,
+                             H_sparsity=hsp, maxiter=miters, tolerance=1e-12)
+    np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-8,
+                               err_msg=f"div={div} T={T} shape={(m,n,k)}")
+    np.testing.assert_allclose(r.W, Wg, atol=1e-8)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_nmfsc(trial):
+    rng = np.random.default_rng(3000 + trial)
+    V, W0, H0, m, n, k = _rand_problem(rng, mmax=20, nmax=24, kmax=4)
+    H0 = H0 / np.sqrt((H0**2).sum(1, keepdims=True))
+    wsp = float(rng.choice([0.0, 0.4, 0.7]))
+    hsp = float(rng.choice([0.0, 0.5]))
+    miters = int(rng.integers(3, 10))
+    r = nt.nmfsc(V, k, W_init=W0, H_init=H0, W_sparsity=wsp, H_sparsity=hsp,
+                 maxiter=miters, tolerance=1e-12, dtype=np.float64)
+    Wg, Hg, cg = oracle.nmfsc(V, W0, H0, W_sparsity=wsp, H_sparsity=hsp,
+                              maxiter=miters, tolerance=1e-12)
+    assert len(r.cost) == len(cg), f"wsp={wsp} hsp={hsp} shape={(m,n,k)}"
+    np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-8)
+    np.testing.assert_allclose(r.W, Wg, atol=1e-8)
+
+
+def test_fuzz_lnmf_flags():
+    rng = np.random.default_rng(4000)
+    for trial in range(4):
+        V, W0, H0, *_ = _rand_problem(rng)
+        k = H0.shape[0]
+        wfx = trial % 2 == 0
+        hfx = trial >= 2
+        r = nt.lnmf(V, k, W_init=W0, H_init=H0, W_fixed=wfx, H_fixed=hfx,
+                    maxiter=6, dtype=np.float64)
+        Wg, Hg, cg = oracle.lnmf(V, W0, H0, W_fixed=wfx, H_fixed=hfx,
+                                 maxiter=6)
+        np.testing.assert_allclose(r.W, Wg, atol=1e-9)
+        np.testing.assert_allclose(r.H, Hg, atol=1e-9)
