@@ -9,12 +9,13 @@ sharding) rather than as a translation.
 from .core import EPS, Result
 from .ops import reconstruct, projfunc
 from .models import (nmf, lnmf, seminmf, convexnmf, chnmf, cnmf, nmfsc,
-                     cnmfsc, cmfwisa, chcnmf, constrainednmf, nmf_hals)
+                     cnmfsc, cmfwisa, chcnmf, constrainednmf, nmf_hals,
+                     nmf_streaming)
 
 reconstruct_from_decomposition = reconstruct  # reference-style alias
 
 __all__ = ["EPS", "Result", "reconstruct", "reconstruct_from_decomposition",
            "projfunc", "nmf", "lnmf", "seminmf", "convexnmf", "chnmf",
            "cnmf", "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf",
-           "nmf_hals"]
+           "nmf_hals", "nmf_streaming"]
 __version__ = "0.1.0"

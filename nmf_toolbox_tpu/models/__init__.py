@@ -10,7 +10,8 @@ from .cmfwisa import cmfwisa
 from .chcnmf import chcnmf
 from .constrainednmf import constrainednmf
 from .hals import nmf_hals
+from .streaming import nmf_streaming
 
 __all__ = ["nmf", "lnmf", "seminmf", "convexnmf", "chnmf", "cnmf",
            "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf",
-           "nmf_hals"]
+           "nmf_hals", "nmf_streaming"]

@@ -1,0 +1,145 @@
+"""Out-of-core / streaming NMF — a beyond-the-reference extra.
+
+The reference (and every in-memory solver here) requires V resident in
+device memory.  For production corpora where n (samples) outgrows HBM,
+``nmf_streaming`` factorizes V column-block by column-block with online
+multiplicative updates (Lefèvre, Bach & Févotte 2011 flavor, euclidean):
+
+    per block V_b:  H_b  <- a few MU encodings of V_b against current W
+                    A    <- rho A + V_b H_b'      (k-rank sufficient stats)
+                    B    <- rho B + H_b H_b'
+                    W    <- W * (A / max(W B, eps)),  unit-L2 columns
+
+Only (m, block) slices ever touch the device; the data source can be a
+NumPy array, a memory-mapped .npy, or anything indexable with
+``[:, a:b]``.  Sufficient statistics make the W update independent of n,
+so one epoch streams V exactly once.  Returns (W, H?, cost-per-epoch):
+H for the full matrix is optional (re-encoded in blocks at the end) since
+it may not fit in memory either.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
+from ..ops.normalize import unit_l2_columns
+
+
+class _Spec(NamedTuple):
+    inner_iters: int
+    eps: float
+
+
+@functools.lru_cache(maxsize=None)
+def _block_fns(spec: _Spec):
+    eps_v = spec.eps
+
+    @jax.jit
+    def encode(Vb, W, Hb):
+        """A few MU encodings of the block against a fixed basis."""
+        eps = jnp.asarray(eps_v, Vb.dtype)
+        WtV = W.T @ Vb
+        WtW = W.T @ W
+
+        def body(_, H):
+            return H * (WtV / jnp.maximum(WtW @ H, eps))
+
+        return jax.lax.fori_loop(0, spec.inner_iters, body, Hb)
+
+    @jax.jit
+    def stats(Vb, Hb):
+        return Vb @ Hb.T, Hb @ Hb.T, jnp.sum(Vb * Vb)
+
+    @jax.jit
+    def update_w(W, A, B):
+        eps = jnp.asarray(eps_v, W.dtype)
+        Wn = W * (A / jnp.maximum(W @ B, eps))
+        return unit_l2_columns(Wn)
+
+    @jax.jit
+    def block_cost(v_sq, Vb, W, Hb):
+        WtV = W.T @ Vb
+        WtW = W.T @ W
+        c = 0.5 * (v_sq - 2.0 * jnp.sum(WtV * Hb)
+                   + jnp.sum((WtW @ Hb) * Hb))
+        return jnp.maximum(c, 0.0)
+
+    return encode, stats, update_w, block_cost
+
+
+def nmf_streaming(V, num_basis_elems: int, config: dict | None = None,
+                  **kwargs):
+    """Online euclidean NMF over column blocks of V.
+
+    ``V``: array-like supporting ``V.shape`` and ``V[:, a:b]`` — e.g.
+    ``np.load(path, mmap_mode='r')`` for out-of-core data.
+
+    Parameters: block_size (4096 columns), epochs (via maxiter, default
+    ~5 passes), inner_iters (3 MU encodings per block), forget (sufficient
+    -statistics discount rho per block, default 1.0 = no forgetting),
+    W_init, return_H (False: skip the final full-matrix encoding),
+    tolerance (early stop on epoch-cost decrease), seed, dtype.
+
+    Returns Result as (W, H, cost) with cost = per-epoch objective
+    (computed online from the streamed blocks) and H = None unless
+    return_H.
+    """
+    cfg = merge_config(config, kwargs)
+    dtype = resolve_dtype(np.zeros(()), cfg.get("dtype")) if cfg.get("dtype") \
+        else jnp.dtype(np.float32)
+    m, n = V.shape
+    k = int(num_basis_elems)
+    maxiter, tolerance, eps, key = common_scalars(cfg)
+    epochs = int(cfg.get("epochs", min(maxiter, 5)))
+    block = int(cfg.get("block_size", 4096))
+    inner = int(cfg.get("inner_iters", 3))
+    rho = float(cfg.get("forget", 1.0))
+    kw, kh = jax.random.split(key)
+
+    W = cfg.get("W_init")
+    if W is None:
+        W = unit_l2_columns(uniform_init(kw, (m, k), dtype))
+    W = jnp.asarray(W, dtype)
+
+    encode, stats, update_w, block_cost = _block_fns(_Spec(inner, eps))
+
+    starts = list(range(0, n, block))
+    # Per-block encodings persist across epochs (warm starts).
+    hkeys = jax.random.split(kh, len(starts))
+    H_blocks = [uniform_init(hk, (k, min(block, n - a)), dtype)
+                for hk, a in zip(hkeys, starts)]
+
+    A = jnp.zeros((m, k), dtype)
+    B = jnp.zeros((k, k), dtype)
+    cost = []
+    for epoch in range(epochs):
+        total = 0.0
+        for bi, a in enumerate(starts):
+            b = min(a + block, n)
+            Vb = jnp.asarray(np.asarray(V[:, a:b]), dtype)
+            Hb = encode(Vb, W, H_blocks[bi])
+            H_blocks[bi] = Hb
+            Ab, Bb, v_sq = stats(Vb, Hb)
+            A = rho * A + Ab
+            B = rho * B + Bb
+            W = update_w(W, A, B)
+            total += float(block_cost(v_sq, Vb, W, Hb))
+        cost.append(total)
+        if (epoch > 0 and cost[-1] < cost[-2]
+                and cost[-2] - cost[-1] < tolerance):
+            break
+
+    H = None
+    if cfg.get("return_H", False):
+        H = np.concatenate(
+            [np.asarray(encode(jnp.asarray(np.asarray(V[:, a:min(a + block, n)]),
+                                           dtype), W, H_blocks[bi]))
+             for bi, a in enumerate(starts)], axis=1)
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=H, cost=np.asarray(cost),
+                  n_iters=len(cost), converged=len(cost) < epochs)

@@ -1,0 +1,48 @@
+"""Out-of-core streaming NMF tests."""
+import numpy as np
+
+import nmf_toolbox_tpu as nt
+
+
+def _lowrank(rng, m, n, k):
+    return (rng.gamma(2.0, 1.0, (m, k)) @ rng.gamma(0.6, 1.0, (k, n))
+            + 0.01).astype(np.float32)
+
+
+def test_streaming_approximates_batch():
+    rng = np.random.default_rng(0)
+    V = _lowrank(rng, 60, 400, 5)
+    batch = nt.nmf(V, 5, maxiter=80, tolerance=1e-30, seed=1,
+                   dtype=np.float64)
+    stream = nt.nmf_streaming(V, 5, block_size=64, epochs=10,
+                              return_H=True, seed=1)
+    rel_b = np.linalg.norm(V - batch.W @ batch.H) / np.linalg.norm(V)
+    rel_s = np.linalg.norm(V - stream.W @ stream.H) / np.linalg.norm(V)
+    assert stream.W.shape == (60, 5) and stream.H.shape == (5, 400)
+    assert rel_s < max(2.5 * rel_b, 0.08)  # same ballpark as batch
+    c = np.asarray(stream.cost)
+    assert c[-1] < c[0]
+
+
+def test_streaming_from_memmap(tmp_path):
+    """Out-of-core source: a memory-mapped .npy never fully loaded."""
+    rng = np.random.default_rng(1)
+    V = _lowrank(rng, 40, 900, 4)
+    p = tmp_path / "big.npy"
+    np.save(p, V)
+    Vmm = np.load(p, mmap_mode="r")
+    res = nt.nmf_streaming(Vmm, 4, block_size=128, epochs=6, seed=2)
+    assert res.H is None  # not materialized unless asked
+    rel = None
+    enc = nt.nmf(V, 4, W_init=res.W, W_fixed=True, maxiter=50,
+                 tolerance=1e-30, dtype=np.float64)
+    rel = np.linalg.norm(V - np.asarray(enc.W) @ np.asarray(enc.H)) / np.linalg.norm(V)
+    assert rel < 0.1
+
+
+def test_streaming_early_stop():
+    rng = np.random.default_rng(2)
+    V = _lowrank(rng, 30, 200, 3)
+    res = nt.nmf_streaming(V, 3, block_size=64, epochs=50, tolerance=1.0,
+                           seed=3)
+    assert res.converged and res.n_iters < 50
