@@ -85,3 +85,19 @@ def test_fused_rejects_bad_config():
         nt.nmf(V, 3, divergence="euclidean", method="fused")
     with pytest.raises(ValueError):
         nt.nmf(V, 3, divergence="kl", method="fused", dtype=np.float64)
+
+
+def test_dma_kernel_matches_reference():
+    """Manually-pipelined W-phase kernel (fused_dma) in interpreter mode."""
+    import jax.numpy as jnp
+    from nmf_toolbox_tpu.ops.pallas.fused_dma import kl_phi_dot_ht_dma
+    rng = np.random.default_rng(7)
+    m, n, k = 300, 700, 40
+    V = jnp.asarray(rng.uniform(0.1, 1, (m, n)), jnp.float32)
+    W = jnp.asarray(rng.uniform(0.1, 1, (m, k)), jnp.float32)
+    H = jnp.asarray(rng.uniform(0.1, 1, (k, n)), jnp.float32)
+    ref = (np.asarray(V) / (np.asarray(W, np.float64) @ np.asarray(H, np.float64))) \
+        @ np.asarray(H).T
+    got = np.asarray(kl_phi_dot_ht_dma(V, W, H))
+    # bf16 MXU dots inside -> ~1e-3 relative
+    assert np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-6)) < 5e-3
