@@ -94,3 +94,45 @@ def test_fuzz_lnmf_flags():
                                  maxiter=6)
         np.testing.assert_allclose(r.W, Wg, atol=1e-9)
         np.testing.assert_allclose(r.H, Hg, atol=1e-9)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_gram_family(trial):
+    """seminmf / convexnmf / chnmf randomized shapes and flags."""
+    rng = np.random.default_rng(5000 + trial)
+    V, W0, H0, m, n, k = _rand_problem(rng)
+    miters = int(rng.integers(3, 10))
+    which = trial % 3
+    if which == 0:
+        Vm = V - float(rng.uniform(0.2, 0.6))
+        Wm = rng.uniform(-1, 1, (m, k))
+        Hm = H0 + 0.2
+        wfx = bool(rng.random() < 0.3)
+        r = nt.seminmf(Vm, k, W_init=Wm, H_init=Hm, maxiter=miters,
+                       tolerance=1e-12, dtype=np.float64, W_fixed=wfx)
+        Wg, Hg, cg = oracle.seminmf(Vm, Wm, Hm, maxiter=miters,
+                                    tolerance=1e-12, W_fixed=wfx)
+        np.testing.assert_allclose(r.H, Hg, atol=1e-7)
+        np.testing.assert_allclose(r.W, Wg, atol=1e-7)
+    elif which == 1:
+        G0 = rng.uniform(0.05, 1, (n, k))
+        gsp = float(rng.choice([0.0, 0.1]))
+        r = nt.convexnmf(V - 0.3, k, G_init=G0, H_init=H0 + 0.2,
+                         G_sparsity=gsp, maxiter=miters, tolerance=1e-12,
+                         dtype=np.float64)
+        Wg, Hg, Gg, cg = oracle.convexnmf(V - 0.3, G0, H0 + 0.2,
+                                          G_sparsity=gsp, maxiter=miters,
+                                          tolerance=1e-12)
+        np.testing.assert_allclose(r.G, Gg, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-7)
+    else:
+        p = int(rng.integers(k + 1, min(n, k + 6)))
+        S = V[:, rng.choice(n, p, replace=False)]
+        G0 = rng.uniform(0.05, 1, (p, k))
+        hsp = float(rng.choice([0.0, 0.05]))
+        r = nt.chnmf(V, k, S_init=S, G_init=G0, H_init=H0, H_sparsity=hsp,
+                     maxiter=miters, tolerance=1e-12, dtype=np.float64)
+        Wg, Hg, Gg, cg = oracle.chnmf(V, S, G0, H0, H_sparsity=hsp,
+                                      maxiter=miters, tolerance=1e-12)
+        np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-7)
+        np.testing.assert_allclose(r.G, Gg, atol=1e-7)
