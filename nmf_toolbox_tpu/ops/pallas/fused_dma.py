@@ -98,7 +98,7 @@ def kl_phi_dot_ht_dma(V, W, H):
         in_specs=[
             pl.BlockSpec((TM, kp), lambda i: (i, 0)),   # W row block
             pl.BlockSpec(memory_space=pltpu.VMEM),       # H resident
-            pl.BlockSpec(memory_space=pltpu.ANY),        # V streamed manually
+            pl.BlockSpec(memory_space=pl.ANY),           # V streamed manually
         ],
         out_specs=pl.BlockSpec((TM, kp), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((mp, kp), jnp.float32),

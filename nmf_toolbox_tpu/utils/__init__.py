@@ -1,7 +1,9 @@
 from .init import kmeans, kmeans_indicator_h, convex_hull_anchors
 from .viz import sort_dictionary, view_dictionary
-from .checkpoint import save_factors, load_factors
+from .checkpoint import save_factors, load_factors, run_checkpointed
+from .io import load_matrix, save_matrix
 
 __all__ = ["kmeans", "kmeans_indicator_h", "convex_hull_anchors",
            "sort_dictionary", "view_dictionary",
-           "save_factors", "load_factors"]
+           "save_factors", "load_factors", "run_checkpointed",
+           "load_matrix", "save_matrix"]
