@@ -21,6 +21,7 @@ W'V, 4*m*n*k = 8.0e11 FLOPs) and never materializes the m-by-n
 reconstruction — the cost is evaluated from k-by-k Grams.
 """
 import json
+import os
 import sys
 import time
 
@@ -139,10 +140,15 @@ def main():
                 "unit": "iters/sec",
                 "vs_baseline": round(iters_per_sec / MATLAB_ITERS_PER_SEC, 1),
             }
-            try:
-                _secondary_configs()
-            except Exception as e:
-                print(f"secondary configs skipped: {e}", file=sys.stderr)
+            # Secondary configs are opt-in: compiling several distinct
+            # solvers in one process can crash this container's
+            # relay-attached worker (see benchmarks/RESULTS_v5e.md), and
+            # the headline JSON line must be recorded reliably.
+            if os.environ.get("NMF_TPU_BENCH_SECONDARY") == "1":
+                try:
+                    _secondary_configs()
+                except Exception as e:
+                    print(f"secondary configs skipped: {e}", file=sys.stderr)
             print(json.dumps(result))
             return
         except Exception as e:  # OOM etc. — try the next size
