@@ -54,3 +54,23 @@ def test_maxiter_tolerance_invalid_defaults():
     assert len(r.cost) <= 100  # default maxiter
     r2 = nt.lnmf(V, 2, maxiter=0, dtype=np.float64)
     assert len(r2.cost) == 100
+
+
+def test_graft_entry_matches_solver_step():
+    """__graft_entry__.entry() must stay in sync with the nmf Gram step:
+    one call == one nmf iteration (cost and factors)."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as g
+    import jax
+
+    fn, (V, W, H) = g.entry()
+    # the solver normalizes the initial basis to unit-L2 columns
+    # (nmf.m:132-134) before iterating; do the same for the raw step
+    W = W / np.sqrt(np.sum(np.asarray(W)**2, axis=0, keepdims=True))
+    W1, H1, cost1 = jax.jit(fn)(V, W, H)
+    res = nt.nmf(np.asarray(V), W.shape[1], W_init=np.asarray(W),
+                 H_init=np.asarray(H), maxiter=1, tolerance=1e-30)
+    np.testing.assert_allclose(np.asarray(W1), res.W, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(H1), res.H, atol=2e-5)
+    np.testing.assert_allclose(float(cost1), float(res.cost[0]), rtol=1e-4)
