@@ -83,6 +83,14 @@ def view_dictionary(W, config: dict | None = None, ax=None, show=False,
     im = ax.imshow(Wd, aspect="auto", origin=origin, interpolation="nearest")
     ax.figure.colorbar(im, ax=ax)
     ax.set_xlabel("Basis index")
+    if np.asarray(W).ndim == 3:
+        # relabel ticks in basis-element units, every 5 elements
+        # (ViewDictionary.m:83-90)
+        m, K, T = np.asarray(W).shape
+        stride = T + spacing
+        ticks = np.arange(round(4.5 * stride), Wd.shape[1], 5 * stride)
+        ax.set_xticks(ticks)
+        ax.set_xticklabels([str(5 * (j + 1)) for j in range(len(ticks))])
     if show:
         ax.figure.show()
     return ax
