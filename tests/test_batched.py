@@ -1,0 +1,32 @@
+"""Batched (vmapped) NMF tests."""
+import numpy as np
+
+import nmf_toolbox_tpu as nt
+
+
+def test_batched_matches_per_problem():
+    rng = np.random.default_rng(0)
+    B, m, n, k = 4, 20, 28, 3
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W0 = rng.uniform(size=(B, m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    res = nt.nmf_batched(Vs, k, W_init=W0, H_init=H0, maxiter=15,
+                         dtype=np.float64)
+    assert res.W.shape == (B, m, k) and res.cost.shape == (B, 15)
+    for b in range(B):
+        ref = nt.nmf(Vs[b], k, W_init=W0[b], H_init=H0[b], maxiter=15,
+                     tolerance=1e-30, dtype=np.float64)
+        np.testing.assert_allclose(res.W[b], ref.W, atol=1e-9)
+        np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+
+
+def test_batched_default_inits_and_validation():
+    import pytest
+    rng = np.random.default_rng(1)
+    Vs = rng.uniform(0.1, 1, (3, 12, 16)).astype(np.float32)
+    res = nt.nmf_batched(Vs, 2, maxiter=10, seed=4)
+    assert np.all(np.isfinite(res.cost))
+    assert np.all(np.diff(res.cost, axis=1) <= 1e-3 * np.abs(res.cost[:, :-1]))
+    with pytest.raises(ValueError, match="B, m, n"):
+        nt.nmf_batched(Vs[0], 2)
