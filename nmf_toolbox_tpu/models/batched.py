@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
 from ..ops.gram import euclidean_cost_gram, sq_norm
 from ..ops.normalize import unit_l2_columns
+from ..parallel import apply_placements
 
 
 class _Spec(NamedTuple):
@@ -73,7 +74,8 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
     """Euclidean NMF over a batch Vs of shape (B, m, n).
 
     Parameters: W_init (B, m, k), H_init (B, k, n), maxiter (100), seed,
-    dtype, eps.  Returns Result with W (B, m, k), H (B, k, n), and cost
+    dtype, eps, mesh (problems shard over the batch axis — B must divide
+    the mesh size).  Returns Result with W (B, m, k), H (B, k, n), and cost
     (B, maxiter) — one trace per problem.
     """
     cfg = merge_config(config, kwargs)
@@ -94,6 +96,10 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
         H0 = uniform_init(kh, (B, k, n), dtype)
     W0 = jax.vmap(unit_l2_columns)(jnp.asarray(W0, dtype))  # nmf.m:132-134
     H0 = jnp.asarray(H0, dtype)
+
+    # mesh: problems shard over the batch axis (data-parallel serving)
+    Vs, W0, H0 = apply_placements(cfg.get("mesh"), "nmf_batched",
+                                  V=Vs, W=W0, H=H0)
 
     W, H, costs = _build_solver(_Spec(maxiter, eps))(Vs, W0, H0)
     return Result(fields=("W", "H", "cost"),

@@ -97,6 +97,10 @@ def placements_for(solver: str, mesh: Mesh) -> dict:
         "convexnmf": {"V": V, "G": P(n_ax, None), "H": Hcol},
         "chnmf": {"V": V, "S": Wrow, "G": P(None, None), "H": Hcol},
         "chcnmf": {"V": V, "S": Wrow, "G": P(None, None, None), "H": Hcol},
+        # batched serving: shard the BATCH axis (data-parallel problems);
+        # the sample axis of the mesh carries the batch dimension here.
+        "nmf_batched": {"V": P(n_ax, None, None), "W": P(n_ax, None, None),
+                        "H": P(n_ax, None, None)},
     }
     return table[solver]
 

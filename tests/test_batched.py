@@ -30,3 +30,22 @@ def test_batched_default_inits_and_validation():
     assert np.all(np.diff(res.cost, axis=1) <= 1e-3 * np.abs(res.cost[:, :-1]))
     with pytest.raises(ValueError, match="B, m, n"):
         nt.nmf_batched(Vs[0], 2)
+
+
+def test_batched_sharded_matches_single_device():
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nmf_toolbox_tpu.parallel import make_mesh
+    rng = np.random.default_rng(2)
+    B, m, n, k = 16, 12, 18, 2
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W0 = rng.uniform(size=(B, m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    a = nt.nmf_batched(Vs, k, W_init=W0, H_init=H0, maxiter=10,
+                       dtype=np.float64)
+    b = nt.nmf_batched(Vs, k, W_init=W0, H_init=H0, maxiter=10,
+                       dtype=np.float64, mesh=make_mesh(8))
+    np.testing.assert_allclose(a.W, b.W, atol=1e-10)
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
