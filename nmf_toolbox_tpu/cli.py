@@ -48,6 +48,11 @@ def build_parser():
                         "--out after each (crash-resumable)")
     p.add_argument("--mesh", type=int, default=None,
                    help="shard over this many devices (sample axis)")
+    p.add_argument("--streaming", action="store_true",
+                   help="out-of-core euclidean NMF: memory-map the input "
+                        "and stream column blocks (nmf solver only)")
+    p.add_argument("--block-size", type=int, default=4096,
+                   help="columns per streamed block (with --streaming)")
     p.add_argument("--out", required=True, help="output .npz checkpoint")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -61,7 +66,14 @@ def main(argv=None):
                                                   run_checkpointed)
 
     shape = tuple(int(x) for x in args.shape.split(",")) if args.shape else None
-    V = load_matrix(args.input, shape=shape, dtype=args.input_dtype)
+    if args.streaming:
+        if args.solver != "nmf" or not args.input.endswith(".npy"):
+            print("error: --streaming supports the nmf solver with .npy input",
+                  file=sys.stderr)
+            return 2
+        V = np.load(args.input, mmap_mode="r")
+    else:
+        V = load_matrix(args.input, shape=shape, dtype=args.input_dtype)
 
     cfg = {"maxiter": args.maxiter, "tolerance": args.tolerance,
            "seed": args.seed}
@@ -91,7 +103,13 @@ def main(argv=None):
             return 2
         pos = [np.load(args.labels), args.k]
 
-    if args.checkpoint_every:
+    if args.streaming:
+        res = nt.nmf_streaming(V, args.k, block_size=args.block_size,
+                               epochs=max(1, args.maxiter),
+                               tolerance=args.tolerance, seed=args.seed,
+                               return_H=False)
+        save_factors(args.out, res)
+    elif args.checkpoint_every:
         res = run_checkpointed(solver, V, *pos, total_iters=args.maxiter,
                                chunk=args.checkpoint_every, path=args.out,
                                **{k: v for k, v in cfg.items()

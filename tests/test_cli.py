@@ -97,3 +97,20 @@ def test_cli_mesh(matrix_file, tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     s = json.loads(r.stdout.strip().splitlines()[-1])
     assert s["iterations"] == 5
+
+
+def test_cli_streaming(matrix_file, tmp_path):
+    out = str(tmp_path / "s.npz")
+    r = run_cli(["nmf", matrix_file, "--k", "3", "--maxiter", "4",
+                 "--streaming", "--block-size", "16", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["iterations"] >= 1
+    from nmf_toolbox_tpu.utils.checkpoint import load_factors
+    assert load_factors(out)["W_init"].shape == (30, 3)
+
+
+def test_cli_streaming_rejects_other_solvers(matrix_file, tmp_path):
+    r = run_cli(["lnmf", matrix_file, "--k", "3", "--streaming",
+                 "--out", str(tmp_path / "x.npz")])
+    assert r.returncode == 2 and "streaming" in r.stderr
