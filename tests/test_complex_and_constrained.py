@@ -208,3 +208,15 @@ def test_chcnmf_fixed_flags_parity():
         np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9)
         np.testing.assert_allclose(r.G, Gg, atol=1e-9)
         np.testing.assert_allclose(r.H, Hg, atol=1e-9)
+
+
+def test_constrainednmf_all_unlabeled():
+    """labels all -1: A degenerates to the identity and the model reduces
+    to plain NMF with H = Z."""
+    rng = np.random.default_rng(30)
+    V = rng.uniform(0.1, 1, (10, 14))
+    labels = np.full(14, -1)
+    r = nt.constrainednmf(V, labels, 3, maxiter=5, dtype=np.float64, seed=1)
+    np.testing.assert_array_equal(r.A, np.eye(14))
+    np.testing.assert_allclose(r.H, r.Z, atol=0)
+    assert np.all(np.isfinite(r.cost))
