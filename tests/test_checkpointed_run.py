@@ -90,3 +90,19 @@ def test_total_iterations_reported(tmp_path):
                            path=tmp_path / "t.npz", tolerance=1e-30,
                            seed=1, dtype=np.float64)
     assert res.n_iters == 12 and len(res.cost) == 12
+
+
+def test_chunked_cnmf_exact(tmp_path):
+    """cnmf is memoryless across iterations -> chunked == continuous."""
+    rng = np.random.default_rng(6)
+    V = rng.uniform(0.1, 1, (16, 30))
+    W0 = rng.uniform(0.1, 1, (16, 3, 2))
+    H0 = rng.uniform(0.1, 1, (3, 30))
+    ref = nt.cnmf(V, 3, 2, W_init=W0, H_init=H0, maxiter=18,
+                  tolerance=1e-30, dtype=np.float64)
+    res = run_checkpointed(nt.cnmf, V, 3, 2, total_iters=18, chunk=6,
+                           path=tmp_path / "c.npz", W_init=W0, H_init=H0,
+                           tolerance=1e-30, dtype=np.float64)
+    np.testing.assert_allclose(res.W, ref.W, atol=1e-12)
+    np.testing.assert_allclose(res.H, ref.H, atol=1e-12)
+    np.testing.assert_allclose(res.cost, ref.cost, rtol=1e-12)
