@@ -7,9 +7,12 @@ completion, so trials perturb the init and the first is discarded —
 see bench.py).  Emits one JSON object per config and a summary file.
 
 Usage:
-    python benchmarks/run_all.py [--quick] [--out report.json]
+    python benchmarks/run_all.py [--quick] [--out report.json] [--isolate]
 
 --quick shrinks every config ~8x (CPU-runnable smoke mode).
+--isolate runs each config in its own subprocess — required on hosts
+whose TPU attaches through the axon relay, which can crash after several
+fresh solver compiles in one process (benchmarks/RESULTS_v5e.md).
 """
 from __future__ import annotations
 
@@ -36,13 +39,55 @@ def _timed_iters(call, make_init, iters):
     return iters / med
 
 
+CONFIG_NAMES = ["nmf-euclid", "nmf-kl", "nmfsc", "cnmf", "cnmfsc",
+                "cmfwisa", "convexnmf", "seminmf"]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--isolate", action="store_true",
+                    help="one subprocess per config (relay-safe)")
+    ap.add_argument("--only", default=None, choices=CONFIG_NAMES,
+                    help="run a single config (used by --isolate children)")
     args = ap.parse_args()
 
+    if args.isolate:
+        import os
+        import subprocess
+        rows = []
+        for name in CONFIG_NAMES:
+            cmd = [sys.executable, __file__, "--only", name]
+            if args.quick:
+                cmd.append("--quick")
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               env=dict(os.environ))
+            ok = False
+            for line in r.stdout.splitlines():
+                try:
+                    obj = json.loads(line)
+                except (ValueError, TypeError):
+                    continue
+                if isinstance(obj, dict) and "results" in obj:
+                    rows.extend(obj["results"])
+                    ok = True
+            status = "ok" if ok else f"FAILED rc={r.returncode}"
+            print(f"[isolate] {name}: {status}", file=sys.stderr)
+        import jax
+        out = {"device": str(jax.devices('cpu')[0] if args.quick else None),
+               "quick": args.quick, "isolated": True, "results": rows}
+        print(json.dumps(out))
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(out, fh, indent=2)
+        return
+
     import jax
+    if args.quick:
+        # smoke mode must not pay the (possibly tunneled) accelerator
+        # warmup; the env var alone cannot override a forced platform.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import nmf_toolbox_tpu as nt
 
@@ -61,74 +106,91 @@ def main():
         return jax.random.uniform(jax.random.PRNGKey(key), shape,
                                   jnp.float32, lo, hi)
 
+    def want(name):
+        return args.only is None or args.only == name
+
     # 1) nmf euclidean 1000x500 r25 (PR1 reference config, CPU-runnable)
     m, n, k = (1000, 500, 25) if not args.quick else (225, 112, 25)
-    V, H0 = rnd(0, (m, n)), rnd(2, (k, n))
-    W0 = rnd(1, (m, k))
-    ips = _timed_iters(
-        lambda W: nt.nmf(V, k, W_init=W, H_init=H0, maxiter=iters,
-                         tolerance=1e-30),
-        lambda f: W0 * f, iters)
-    record(f"nmf euclidean {m}x{n} r{k}", ips)
+    if want("nmf-euclid"):
+        V, H0 = rnd(0, (m, n)), rnd(2, (k, n))
+        W0 = rnd(1, (m, k))
+        ips = _timed_iters(
+            lambda W: nt.nmf(V, k, W_init=W, H_init=H0, maxiter=iters,
+                             tolerance=1e-30),
+            lambda f: W0 * f, iters)
+        record(f"nmf euclidean {m}x{n} r{k}", ips)
 
     # 2) KL nmf + Hoyer nmfsc 5000x2000 r50
     m, n, k = 5000 // q, 2000 // q, 50
-    V, W0, H0 = rnd(3, (m, n)), rnd(4, (m, k)), rnd(5, (k, n))
-    ips = _timed_iters(
-        lambda W: nt.nmf(V, k, W_init=W, H_init=H0, divergence="kl",
-                         maxiter=iters, tolerance=1e-30),
-        lambda f: W0 * f, iters)
-    record(f"nmf KL {m}x{n} r{k}", ips)
-    H0n = H0 / jnp.sqrt(jnp.sum(H0 * H0, axis=1, keepdims=True))
-    ips = _timed_iters(
-        lambda W: nt.nmfsc(V, k, W_init=W, H_init=H0n, H_sparsity=0.6,
-                           maxiter=iters, tolerance=1e-30),
-        lambda f: W0 * f, iters)
-    record(f"nmfsc Hoyer(0.6) {m}x{n} r{k}", ips)
+    if want("nmf-kl") or want("nmfsc"):
+        V, W0, H0 = rnd(3, (m, n)), rnd(4, (m, k)), rnd(5, (k, n))
+        if want("nmf-kl"):
+            ips = _timed_iters(
+                lambda W: nt.nmf(V, k, W_init=W, H_init=H0, divergence="kl",
+                                 maxiter=iters, tolerance=1e-30),
+                lambda f: W0 * f, iters)
+            record(f"nmf KL {m}x{n} r{k}", ips)
+        if want("nmfsc"):
+            H0n = H0 / jnp.sqrt(jnp.sum(H0 * H0, axis=1, keepdims=True))
+            ips = _timed_iters(
+                lambda W: nt.nmfsc(V, k, W_init=W, H_init=H0n, H_sparsity=0.6,
+                                   maxiter=iters, tolerance=1e-30),
+                lambda f: W0 * f, iters)
+            record(f"nmfsc Hoyer(0.6) {m}x{n} r{k}", ips)
 
     # 3) cnmf / cnmfsc on a 513 x 10k STFT-shaped matrix, T=8
     m, n, k, T = 513, 10_000 // q, 64, 8
-    V, W0, H0 = rnd(6, (m, n)), rnd(7, (m, k, T)), rnd(8, (k, n))
-    ips = _timed_iters(
-        lambda W: nt.cnmf(V, k, T, W_init=W, H_init=H0, maxiter=iters,
-                          tolerance=1e-30),
-        lambda f: W0 * f, iters)
-    record(f"cnmf euclid-gram {m}x{n} r{k} T{T}", ips)
-    H0n = H0 / jnp.sqrt(jnp.sum(H0 * H0, axis=1, keepdims=True))
-    ips = _timed_iters(
-        lambda W: nt.cnmfsc(V, k, T, W_init=W, H_init=H0n, H_sparsity=0.5,
-                            maxiter=iters, tolerance=1e-30),
-        lambda f: W0 * f, iters)
-    record(f"cnmfsc Hoyer(0.5) {m}x{n} r{k} T{T}", ips)
+    if want("cnmf") or want("cnmfsc"):
+        V, W0, H0 = rnd(6, (m, n)), rnd(7, (m, k, T)), rnd(8, (k, n))
+        if want("cnmf"):
+            ips = _timed_iters(
+                lambda W: nt.cnmf(V, k, T, W_init=W, H_init=H0, maxiter=iters,
+                                  tolerance=1e-30),
+                lambda f: W0 * f, iters)
+            record(f"cnmf euclid-gram {m}x{n} r{k} T{T}", ips)
+        if want("cnmfsc"):
+            H0n = H0 / jnp.sqrt(jnp.sum(H0 * H0, axis=1, keepdims=True))
+            ips = _timed_iters(
+                lambda W: nt.cnmfsc(V, k, T, W_init=W, H_init=H0n,
+                                    H_sparsity=0.5, maxiter=iters,
+                                    tolerance=1e-30),
+                lambda f: W0 * f, iters)
+            record(f"cnmfsc Hoyer(0.5) {m}x{n} r{k} T{T}", ips)
 
     # 4) cmfwisa complex64 spectrograms
     m, n, k = 513, 5000 // q, 32
-    mag = rnd(9, (m, n))
-    ph = jax.random.uniform(jax.random.PRNGKey(10), (m, n), jnp.float32,
-                            -np.pi, np.pi)
-    Vc = (mag * jnp.exp(1j * ph)).astype(jnp.complex64)
-    W0, H0 = rnd(11, (m, k)), rnd(12, (k, n))
-    ips = _timed_iters(
-        lambda W: nt.cmfwisa(Vc, k, W_init=W, H_init=H0, maxiter=iters,
-                             tolerance=1e-30),
-        lambda f: W0 * f, iters)
-    record(f"cmfwisa complex64 {m}x{n} r{k}", ips)
+    if want("cmfwisa"):
+        mag = rnd(9, (m, n))
+        ph = jax.random.uniform(jax.random.PRNGKey(10), (m, n), jnp.float32,
+                                -np.pi, np.pi)
+        Vc = (mag * jnp.exp(1j * ph)).astype(jnp.complex64)
+        W0, H0 = rnd(11, (m, k)), rnd(12, (k, n))
+        ips = _timed_iters(
+            lambda W: nt.cmfwisa(Vc, k, W_init=W, H_init=H0, maxiter=iters,
+                                 tolerance=1e-30),
+            lambda f: W0 * f, iters)
+        record(f"cmfwisa complex64 {m}x{n} r{k}", ips)
 
     # 5) hull family at scale: convexnmf/seminmf (n x n Gram regime)
     m, n, k = 100_000 // q, 10_000 // q, 200
-    V = rnd(13, (m, n))
-    G0, H0 = rnd(14, (n, k)), rnd(15, (k, n))
-    ips = _timed_iters(
-        lambda G: nt.convexnmf(V, k, G_init=G, H_init=H0, maxiter=iters,
-                               tolerance=1e-30),
-        lambda f: G0 * f, iters)
-    record(f"convexnmf {m}x{n} r{k}", ips)
-    W0 = jax.random.uniform(jax.random.PRNGKey(16), (m, k), jnp.float32, -1, 1)
-    ips = _timed_iters(
-        lambda W: nt.seminmf(V, k, W_init=W, H_init=H0, maxiter=iters,
-                             tolerance=1e-30),
-        lambda f: W0 * f, iters)
-    record(f"seminmf {m}x{n} r{k}", ips)
+    if want("convexnmf") or want("seminmf"):
+        V = rnd(13, (m, n))
+        H0 = rnd(15, (k, n))
+        if want("convexnmf"):
+            G0 = rnd(14, (n, k))
+            ips = _timed_iters(
+                lambda G: nt.convexnmf(V, k, G_init=G, H_init=H0,
+                                       maxiter=iters, tolerance=1e-30),
+                lambda f: G0 * f, iters)
+            record(f"convexnmf {m}x{n} r{k}", ips)
+        if want("seminmf"):
+            W0 = jax.random.uniform(jax.random.PRNGKey(16), (m, k),
+                                    jnp.float32, -1, 1)
+            ips = _timed_iters(
+                lambda W: nt.seminmf(V, k, W_init=W, H_init=H0,
+                                     maxiter=iters, tolerance=1e-30),
+                lambda f: W0 * f, iters)
+            record(f"seminmf {m}x{n} r{k}", ips)
 
     out = {"device": str(jax.devices()[0]), "quick": args.quick,
            "results": results}
