@@ -60,3 +60,13 @@ def test_fit_refuses_3d_basis_solver():
     with pytest.raises(ValueError, match="3-D basis"):
         NMF(n_components=3, solver="cnmf", solver_args=(2,), max_iter=3,
             dtype=np.float64).fit(X)
+
+
+def test_nmfsc_solver_facade_roundtrip():
+    rng = np.random.default_rng(5)
+    X = (rng.gamma(2.0, 1.0, (60, 4)) @ rng.gamma(1.0, 1.0, (4, 24)) + 0.01)
+    est = NMF(n_components=4, solver="nmfsc", H_sparsity=0.5, max_iter=30,
+              dtype=np.float64, random_state=6).fit(X)
+    Ht = est.transform(X[:5])
+    assert Ht.shape == (5, 4)
+    assert np.all(np.isfinite(Ht))
