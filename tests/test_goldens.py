@@ -1,0 +1,40 @@
+"""Stored golden trajectories (generated ONCE from the NumPy oracle and
+committed): detects numeric drift even if oracle.py and the solvers were
+edited together."""
+import pathlib
+
+import numpy as np
+import pytest
+
+import nmf_toolbox_tpu as nt
+
+GOLD = pathlib.Path(__file__).parent / "goldens"
+
+
+def test_golden_nmf_kl():
+    g = np.load(GOLD / "nmf_kl.npz")
+    r = nt.nmf(g["V"], g["W0"].shape[1], W_init=g["W0"], H_init=g["H0"],
+               divergence="kl", maxiter=20, tolerance=1e-12, dtype=np.float64)
+    np.testing.assert_allclose(r.W, g["W"], atol=1e-9)
+    np.testing.assert_allclose(r.H, g["H"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r.cost), g["cost"], rtol=1e-9)
+
+
+def test_golden_cnmf_euclid():
+    g = np.load(GOLD / "cnmf_euclid.npz")
+    for method in ("naive", "gram"):
+        r = nt.cnmf(g["V"], g["W0"].shape[1], g["W0"].shape[2],
+                    W_init=g["W0"], H_init=g["H0"], maxiter=15,
+                    tolerance=1e-12, dtype=np.float64, method=method)
+        np.testing.assert_allclose(r.W, g["W"], atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r.cost), g["cost"], rtol=1e-8)
+
+
+def test_golden_nmfsc_sparse():
+    g = np.load(GOLD / "nmfsc_sparse.npz")
+    r = nt.nmfsc(g["V"], g["W0"].shape[1], W_init=g["W0"], H_init=g["H0"],
+                 W_sparsity=0.5, H_sparsity=0.6, maxiter=12, tolerance=1e-12,
+                 dtype=np.float64)
+    assert len(r.cost) == len(g["cost"])
+    np.testing.assert_allclose(r.W, g["W"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r.cost), g["cost"], rtol=1e-9)
