@@ -99,3 +99,18 @@ class NMF:
 
     def inverse_transform(self, Ht):
         return np.asarray(Ht) @ self.components_
+
+    # sklearn plumbing (enables clone()/Pipeline/GridSearchCV)
+    def get_params(self, deep=True):
+        return {"n_components": self.n_components, "solver": self.solver,
+                "divergence": self.divergence, "max_iter": self.max_iter,
+                "tol": self.tol, "random_state": self.random_state,
+                "solver_args": self.solver_args, **self.config}
+
+    def set_params(self, **params):
+        for key in ("n_components", "solver", "divergence", "max_iter",
+                    "tol", "random_state", "solver_args"):
+            if key in params:
+                setattr(self, key, params.pop(key))
+        self.config.update(params)
+        return self

@@ -70,3 +70,11 @@ def test_nmfsc_solver_facade_roundtrip():
     Ht = est.transform(X[:5])
     assert Ht.shape == (5, 4)
     assert np.all(np.isfinite(Ht))
+
+
+def test_sklearn_params_protocol():
+    est = NMF(n_components=3, divergence="kl", H_sparsity=0.1)
+    p = est.get_params()
+    assert p["n_components"] == 3 and p["H_sparsity"] == 0.1
+    est.set_params(max_iter=7, H_sparsity=0.2)
+    assert est.max_iter == 7 and est.config["H_sparsity"] == 0.2

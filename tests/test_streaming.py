@@ -46,3 +46,14 @@ def test_streaming_early_stop():
     res = nt.nmf_streaming(V, 3, block_size=64, epochs=50, tolerance=1.0,
                            seed=3)
     assert res.converged and res.n_iters < 50
+
+
+def test_streaming_single_block():
+    """block_size >= n degenerates to full-batch online updates."""
+    rng = np.random.default_rng(3)
+    V = _lowrank(rng, 20, 50, 3)
+    res = nt.nmf_streaming(V, 3, block_size=512, epochs=8, seed=1,
+                           return_H=True)
+    assert res.H.shape == (3, 50)
+    c = np.asarray(res.cost)
+    assert c[-1] < c[0] and np.all(np.isfinite(c))
