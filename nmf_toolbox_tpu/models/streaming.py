@@ -90,8 +90,9 @@ def nmf_streaming(V, num_basis_elems: int, config: dict | None = None,
     return_H.
     """
     cfg = merge_config(config, kwargs)
-    dtype = resolve_dtype(np.zeros(()), cfg.get("dtype")) if cfg.get("dtype") \
-        else jnp.dtype(np.float32)
+    # np.asarray on a memmap is a no-copy view, so this never materializes
+    # the out-of-core source
+    dtype = resolve_dtype(V, cfg.get("dtype"))
     m, n = V.shape
     k = int(num_basis_elems)
     maxiter, tolerance, eps, key = common_scalars(cfg)
