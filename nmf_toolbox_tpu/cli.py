@@ -71,6 +71,21 @@ def main(argv=None):
             print("error: --streaming supports the nmf solver with .npy input",
                   file=sys.stderr)
             return 2
+        # The streaming path is euclidean-only with a reduced config; error
+        # rather than silently ignore options it cannot honor.
+        unsupported = [flag for flag, val in [
+            ("--divergence", args.divergence if args.divergence
+             not in (None, "euclidean") else None),
+            ("--dtype", args.dtype), ("--w-sparsity", args.w_sparsity),
+            ("--h-sparsity", args.h_sparsity), ("--alpha", args.alpha),
+            ("--beta", args.beta), ("--resume", args.resume),
+            ("--checkpoint-every", args.checkpoint_every),
+            ("--mesh", args.mesh),
+        ] if val is not None]
+        if unsupported:
+            print("error: --streaming (euclidean out-of-core) does not "
+                  f"support: {', '.join(unsupported)}", file=sys.stderr)
+            return 2
         V = np.load(args.input, mmap_mode="r")
     else:
         V = load_matrix(args.input, shape=shape, dtype=args.input_dtype)

@@ -72,8 +72,9 @@ class NMF:
         self.components_ = W.T
         self.n_iter_ = res.n_iters
         self.cost_trace_ = np.asarray(res.cost)
-        self.reconstruction_err_ = float(self.cost_trace_[self.cost_trace_ != 0][-1]) \
-            if np.any(self.cost_trace_ != 0) else float(self.cost_trace_[-1])
+        # final_cost handles per-solver trace semantics (offset traces,
+        # lnmf zero-padding) and correctly reports an exact-fit 0.0.
+        self.reconstruction_err_ = float(res.final_cost)
         self._result = res
         return np.asarray(res.H).T
 

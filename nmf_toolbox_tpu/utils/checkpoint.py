@@ -120,9 +120,13 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
         chunk_cost = np.asarray(res.cost)
         if costs and len(chunk_cost) and len(costs[-1]):
             prev_last = costs[-1][-1]
-            # offset-trace solvers re-store the boundary cost as their
-            # initial entry; drop the duplicate
-            if chunk_cost[0] == prev_last:
+            # Offset-trace solvers (nmfsc/cnmfsc/chcnmf) re-store the
+            # boundary cost as their initial entry; those traces have
+            # length n_iters+1.  Gate the duplicate-drop on that trace
+            # shape AND value equality, so a genuine bit-identical
+            # plateau in a length-n_iters solver is never swallowed.
+            offset_trace = len(chunk_cost) == int(res.n_iters) + 1
+            if offset_trace and chunk_cost[0] == prev_last:
                 chunk_cost = chunk_cost[1:]
             # host-side boundary convergence check (the device loop can
             # only compare within its own chunk)

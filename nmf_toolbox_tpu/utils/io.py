@@ -9,6 +9,7 @@ shape/dtype.
 """
 from __future__ import annotations
 
+import ast
 import os
 
 import numpy as np
@@ -27,8 +28,15 @@ def _npy_header(path):
             hlen = int.from_bytes(f.read(2), "little")
         else:
             hlen = int.from_bytes(f.read(4), "little")
-        header = eval(f.read(hlen).decode("latin1"),
-                      {"__builtins__": {}}, {"False": False, "True": True})
+        # The header is a Python dict literal; ast.literal_eval is the safe
+        # parser for it (an eval() here would execute attacker-controlled
+        # code from a crafted .npy even with empty __builtins__).
+        try:
+            header = ast.literal_eval(f.read(hlen).decode("latin1"))
+        except (ValueError, SyntaxError):
+            return None  # malformed header: let numpy.load raise its error
+        if not isinstance(header, dict):
+            return None
         if header.get("fortran_order"):
             return None  # fall back to numpy for F-order
         return (np.dtype(header["descr"]), tuple(header["shape"]), f.tell())
