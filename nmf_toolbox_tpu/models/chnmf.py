@@ -37,6 +37,7 @@ class _Spec(NamedTuple):
     g_fixed: bool
     h_fixed: bool
     eps: float
+    compat: bool = False  # reference-exact buggy H update (chnmf.m:187)
 
 
 @functools.lru_cache(maxsize=None)
@@ -61,10 +62,17 @@ def _build_solver(spec: _Spec):
                 G = G * (nG / jnp.maximum(pG + g_sparsity, eps))  # chnmf.m:180
                 G = unit_sum_columns(G)                           # chnmf.m:181
             if not spec.h_fixed:
-                GtSV_pos = G.T @ sv_pos
-                GtSV_neg = G.T @ sv_neg
-                nH = GtSV_pos + (G.T @ ss_neg @ G) @ H
-                pH = GtSV_neg + (G.T @ ss_pos @ G) @ H
+                if spec.compat:
+                    # compat="reference": the literal chnmf.m:187 update,
+                    # which omits the G' projection and is only
+                    # shape-consistent when p == k (checked at entry).
+                    nH = sv_pos + (ss_neg @ G) @ H
+                    pH = sv_neg + (ss_pos @ G) @ H
+                else:
+                    GtSV_pos = G.T @ sv_pos
+                    GtSV_neg = G.T @ sv_neg
+                    nH = GtSV_pos + (G.T @ ss_neg @ G) @ H
+                    pH = GtSV_neg + (G.T @ ss_pos @ G) @ H
                 H = H * (nH / jnp.maximum(pH + h_sparsity, eps))
             # cost 0.5||V - S G H||^2 via Grams (W = S G, chnmf.m:183,190-192)
             StVG = StV.T @ G           # (n, k) — V'(S G)
@@ -86,7 +94,9 @@ def chnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     from V), pct_eigval_energy (0.95), G_init, H_init, G_sparsity,
     H_sparsity, G_fixed, H_fixed, maxiter (100), tolerance (1e-3).
     Extras: dtype, seed, max_eigvecs (cap on principal directions
-    examined, default 16).
+    examined, default 16), compat ("paper" default / "reference":
+    reproduce the literal chnmf.m:187 H update, which omits the G'
+    projection and requires hull size p == k).
     """
     cfg = merge_config(config, kwargs)
     dtype = resolve_dtype(V, cfg.get("dtype"))
@@ -120,10 +130,22 @@ def chnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     g_sp = max(float(cfg.get("G_sparsity", 0.0) or 0.0), 0.0)
     h_sp = max(float(cfg.get("H_sparsity", 0.0) or 0.0), 0.0)
 
+    compat = str(cfg.get("compat", "paper"))
+    if compat not in ("paper", "reference"):
+        raise ValueError(f"compat must be 'paper' or 'reference', got {compat!r}")
+    if compat == "reference" and p != k:
+        # The literal chnmf.m:187 update is shape-inconsistent unless the
+        # hull size equals the rank (MATLAB errors at runtime there too).
+        raise ValueError(
+            f"compat='reference' requires hull size p == k (got p={p}, "
+            f"k={k}); the reference's H update (chnmf.m:187) omits the G' "
+            "projection and only runs for p == k")
+
     V, S, G0, H0 = apply_placements(cfg.get("mesh"), "chnmf", V=V, S=S, G=G0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),
-                 bool(cfg.get("H_fixed", False)), eps)
+                 bool(cfg.get("H_fixed", False)), eps,
+                 compat == "reference")
     out = _build_solver(spec)(V, S, G0, H0,
                               jnp.asarray(g_sp, dtype), jnp.asarray(h_sp, dtype),
                               jnp.asarray(tolerance, dtype))

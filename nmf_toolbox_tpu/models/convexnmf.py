@@ -93,8 +93,18 @@ def convexnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     maxiter, tolerance, _, key = common_scalars(cfg)
     g_sparsity = max(float(cfg.get("G_sparsity", 0.0) or 0.0), 0.0)
 
+    compat = str(cfg.get("compat", "paper"))
+    if compat not in ("paper", "reference"):
+        raise ValueError(f"compat must be 'paper' or 'reference', got {compat!r}")
     H0 = cfg.get("H_init")
     G0 = cfg.get("G_init")
+    if G0 is None and compat == "reference":
+        # The reference's default G_init references undefined variables
+        # (convexnmf.m:69-71) and always errors; reproduce that contract.
+        raise ValueError(
+            "compat='reference': convexnmf requires an explicit G_init "
+            "(the reference's default at convexnmf.m:69-71 references "
+            "undefined variables and errors)")
     if H0 is None or G0 is None:
         Hk = kmeans_indicator_h(key, V, k, dtype)  # indicator + 0.2
         if H0 is None:

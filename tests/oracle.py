@@ -315,10 +315,13 @@ def projfunc(s, k1, k2, nn=True):
 
 
 def chnmf(V, S, G_init, H_init, maxiter=100, tolerance=1e-3,
-          G_sparsity=0.0, H_sparsity=0.0, G_fixed=False, H_fixed=False):
+          G_sparsity=0.0, H_sparsity=0.0, G_fixed=False, H_fixed=False,
+          compat=False):
     """chnmf.m:169-199 with the paper-correct H update (the reference's
     chnmf.m:187 omits the G' projection and only runs when p == k; see
-    COMPAT.md).  Literal/naive association for the G update."""
+    COMPAT.md).  Literal/naive association for the G update.
+    ``compat=True`` runs the literal buggy chnmf.m:187 update instead
+    (requires p == k)."""
     V = np.asarray(V, np.float64)
     S = np.asarray(S, np.float64)
     G = np.array(G_init, np.float64)
@@ -340,8 +343,12 @@ def chnmf(V, S, G_init, H_init, maxiter=100, tolerance=1e-3,
         W = S @ G
         if not H_fixed:
             GH = G @ H
-            H = H * ((G.T @ (sv_pos + ss_neg @ GH))
-                     / np.maximum(G.T @ (sv_neg + ss_pos @ GH) + H_sparsity, EPS))
+            if compat:  # literal chnmf.m:187 (no G' projection; p == k only)
+                H = H * ((sv_pos + ss_neg @ GH)
+                         / np.maximum(sv_neg + ss_pos @ GH + H_sparsity, EPS))
+            else:
+                H = H * ((G.T @ (sv_pos + ss_neg @ GH))
+                         / np.maximum(G.T @ (sv_neg + ss_pos @ GH) + H_sparsity, EPS))
         V_hat = W @ H
         cost[it] = 0.5 * np.sum((V - V_hat) ** 2)
         if it > 0 and cost[it] < cost[it - 1] and cost[it - 1] - cost[it] < tolerance:
