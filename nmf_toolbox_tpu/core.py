@@ -61,7 +61,22 @@ def resolve_dtype(V, dtype):
 
 
 def real_dtype_of(dtype):
-    return jnp.zeros((), dtype=dtype).real.dtype
+    # Pure host-side dtype arithmetic: building a device scalar and taking
+    # .real would execute a complex op on the backend, which some TPU
+    # runtimes reject at import-adjacent time (axon relay: UNIMPLEMENTED).
+    return jnp.dtype(np.finfo(np.dtype(dtype)).dtype)
+
+
+def to_host(x):
+    """Device -> NumPy, complex-safe: some TPU runtimes cannot transfer
+    complex buffers to the host (UNIMPLEMENTED); fetch real/imag planes
+    (native device ops) and recombine on the host instead."""
+    if x is None or isinstance(x, np.ndarray):
+        return x
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+    return np.asarray(x)
 
 
 def as_list(x) -> tuple[list, bool]:

@@ -37,7 +37,7 @@ from ..ops.normalize import unit_sum_columns
 from ..ops.shift import shift_left, shift_right, stack_shifts_right
 from ..utils.init import convex_hull_anchors
 from ..ops.gram import conv_cross_grams_h as _cross_grams_h
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
@@ -46,6 +46,7 @@ class _Spec(NamedTuple):
     g_fixed: bool
     h_fixed: bool
     eps: float
+    n_valid: int = None  # true n of a mesh-padded problem
 
 
 @functools.lru_cache(maxsize=None)
@@ -58,14 +59,15 @@ def _build_solver(spec: _Spec):
         eps = jnp.asarray(spec.eps, dt)
         sv_pos, sv_neg = pos_neg_split(StV)
         ss_pos, ss_neg = pos_neg_split(StS)
+        nv = spec.n_valid  # truncate shift spill past the true n (padding)
 
         def conv_f(G, H):
-            Hs = stack_shifts_right(H, T)
+            Hs = stack_shifts_right(H, T, nv)
             return jnp.einsum("pkt,tkn->pn", G, Hs, preferred_element_type=dt)
 
         def cost_fn(G, H):
             # 0.5||V - sum_t S G_t H^(t)||^2 via Grams only.
-            Hs = stack_shifts_right(H, T)
+            Hs = stack_shifts_right(H, T, nv)
             lin = jnp.einsum("pn,tkn,pkt->", StV, Hs, G)
             StSG = jnp.einsum("pq,qls->pls", StS, G, preferred_element_type=dt)
             E = jnp.einsum("pkt,pls->tskl", G, StSG, preferred_element_type=dt)
@@ -78,8 +80,9 @@ def _build_solver(spec: _Spec):
             G = G0
             F = conv_f(G0, H)
             if not spec.g_fixed:
+                Hs_m = stack_shifts_right(H, T, nv)
                 for t in range(T):  # sequential: F is clamped incrementally
-                    Hst = shift_right(H, t)
+                    Hst = Hs_m[t]
                     num = (sv_pos + ss_neg @ F) @ Hst.T
                     den = (sv_neg + ss_pos @ F) @ Hst.T
                     Gt = G0[:, :, t] * (num / jnp.maximum(den + g_sparsity, eps))
@@ -200,14 +203,23 @@ def chcnmf(V, num_basis_elems: int, context_len: int,
     StS = S.T @ S
     v_sq = jnp.sum(V * V)
 
-    StV, G0, H0 = apply_placements(cfg.get("mesh"), "chcnmf",
-                                   V=StV, G=G0, H=H0)
+    # Mesh padding: the hull/Grams above are computed from the TRUE V;
+    # only the sample axis of StV/H pads (the p axis is replicated).
+    mesh = cfg.get("mesh")
+    _, pad_n, valid = plan_padding(mesh, StV.shape[0], n)
+    if valid is not None and pad_n:
+        StV = pad_axes(StV, {1: pad_n})
+        H0 = pad_axes(H0, {1: pad_n})
+    StV, G0, H0 = apply_placements(mesh, "chcnmf", V=StV, G=G0, H=H0)
 
-    spec = _Spec(T, maxiter, g_fixed, bool(cfg.get("H_fixed", False)), eps)
+    spec = _Spec(T, maxiter, g_fixed, bool(cfg.get("H_fixed", False)), eps,
+                 n if pad_n else None)
     out = _build_solver(spec)(v_sq, StV, StS, G0, H0,
                               jnp.asarray(g_sp, dtype), jnp.asarray(h_sp, dtype),
                               jnp.asarray(tolerance, dtype))
     G, H, _ = out.state
+    if pad_n:
+        H = H[:, :n]
     W = jnp.einsum("mp,pkt->mkt", S, G)
     return Result(fields=("W", "H", "S", "G", "cost"),
                   W=np.asarray(W), H=np.asarray(H),

@@ -29,7 +29,7 @@ from ..ops import loop as looplib
 from ..ops.gram import pos_neg_split
 from ..ops.normalize import unit_sum_columns
 from ..utils.init import convex_hull_anchors
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
@@ -141,7 +141,17 @@ def chnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
             f"k={k}); the reference's H update (chnmf.m:187) omits the G' "
             "projection and only runs for p == k")
 
-    V, S, G0, H0 = apply_placements(cfg.get("mesh"), "chnmf", V=V, S=S, G=G0, H=H0)
+    # Mesh padding (parallel/padding.py): the hull is extracted from the
+    # TRUE V above; zero pads are exact here because every update is
+    # eps-guarded (pad columns of H have zero numerators and stay zero)
+    # and the cost is Gram-form.
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    if valid is not None:
+        V = pad_axes(V, {0: pad_m, 1: pad_n})
+        S = pad_axes(S, {0: pad_m})
+        H0 = pad_axes(H0, {1: pad_n})
+    V, S, G0, H0 = apply_placements(mesh, "chnmf", V=V, S=S, G=G0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),
                  bool(cfg.get("H_fixed", False)), eps,
@@ -150,6 +160,8 @@ def chnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
                               jnp.asarray(g_sp, dtype), jnp.asarray(h_sp, dtype),
                               jnp.asarray(tolerance, dtype))
     G, H = out.state
+    if valid is not None:
+        S, H = S[:m], H[:, :n]
     return Result(fields=("W", "H", "S", "G", "cost"),
                   W=np.asarray(S @ G), H=np.asarray(H),
                   S=np.asarray(S), G=np.asarray(G),

@@ -33,8 +33,9 @@ from ..core import (common_scalars, Result, as_list, merge_config, per_column,
                     source_blocks, unwrap_sources, uniform_init,
                     real_dtype_of)
 from ..ops import loop as looplib
+from ..ops.masking import region_mask
 from ..ops.normalize import unit_l2_columns
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
@@ -44,6 +45,7 @@ class _Spec(NamedTuple):
     p_fixed: tuple
     blocks: tuple
     eps: float
+    valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
 
 
 @functools.lru_cache(maxsize=None)
@@ -52,9 +54,21 @@ def _build_solver(spec: _Spec):
     S = len(blocks)
 
     @jax.jit
-    def solve(V, W0, H0, P0, hsp, tolerance):
+    def solve(V_re, V_im, W0, H0, P_re, P_im, hsp, tolerance):
+        # The complex data/phase cross the jit boundary as real planes:
+        # several TPU runtimes (the axon relay included) cannot TRANSFER
+        # complex buffers host<->device, while complex COMPUTE inside one
+        # compiled program is fully supported.  All complex arithmetic
+        # lives in here; inputs and outputs are real.
+        V = jax.lax.complex(V_re, V_im)
+        P0 = jax.lax.complex(P_re, P_im)
         rdt = W0.dtype
         eps = jnp.asarray(spec.eps, rdt)
+        rzero = jnp.zeros((), rdt)
+        # Pad region of a mesh-padded problem: WH and R are exactly 0
+        # there, so beta and G are unguarded 0/0 (as in the reference's
+        # valid math, which never sees zeros) — pin them to zero.
+        mask = region_mask(V.shape, spec.valid)
 
         def per_source_wh(W, H):
             # stacked (S, m, n) per-source reconstructions W_i @ H_i
@@ -65,6 +79,8 @@ def _build_solver(spec: _Spec):
             V_hat = jnp.sum(WH * P, axis=0)
             R = jnp.sum(WH, axis=0)                # stale W_all H_all (real)
             beta = WH / R                          # cmfwisa.m:178
+            if mask is not None:
+                beta = jnp.where(mask[None], beta, rzero)
             V_bar = WH * P + beta * (V - V_hat)    # cmfwisa.m:179
             # Phase update (cmfwisa.m:183-187).
             P_new = jnp.exp(1j * jnp.angle(V_bar)).astype(P.dtype)
@@ -74,6 +90,8 @@ def _build_solver(spec: _Spec):
             else:
                 P = P_new
             G = jnp.abs(V_bar) / beta              # (S, m, n) real
+            if mask is not None:
+                G = jnp.where(mask[None], G, rzero)
 
             # W updates (cmfwisa.m:190-195) — denominators share R @ H_i'.
             RHt = R @ H.T                          # (m, k_all)
@@ -107,8 +125,11 @@ def _build_solver(spec: _Spec):
             return (W_new, H_new, P, WH_new), c, jnp.asarray(False)
 
         WH0 = per_source_wh(W0, H0)
-        return looplib.run(step, (W0, H0, P0, WH0), spec.maxiter, tolerance,
-                           cost_dtype=rdt)
+        out = looplib.run(step, (W0, H0, P0, WH0), spec.maxiter, tolerance,
+                          cost_dtype=rdt)
+        W, H, P, _ = out.state
+        # complex -> real planes for the transfer back (see above)
+        return out._replace(state=(W, H, jnp.real(P), jnp.imag(P)))
     return solve
 
 
@@ -125,7 +146,7 @@ def cmfwisa(V, num_basis_elems, config: dict | None = None, **kwargs):
     if not jnp.issubdtype(cdt, jnp.complexfloating):
         cdt = jnp.dtype(np.complex128) if cdt == jnp.float64 else jnp.dtype(np.complex64)
     rdt = real_dtype_of(cdt)
-    V = jnp.asarray(V, cdt)
+    V = np.asarray(V, cdt)  # stays on host; only real planes ship to device
     m, n = V.shape
 
     ks, was_seq = as_list(num_basis_elems)
@@ -156,22 +177,43 @@ def cmfwisa(V, num_basis_elems, config: dict | None = None, **kwargs):
         h_list = [uniform_init(kk, (k, n), rdt) for kk, k in zip(keys, ks)]
         h_was_seq = was_seq
     if p_list is None:
-        p0 = jnp.exp(1j * jnp.angle(V)).astype(cdt)  # cmfwisa.m:119
+        p0 = np.exp(1j * np.angle(V)).astype(cdt)  # cmfwisa.m:119
         p_list = [p0] * S
         p_was_seq = was_seq
 
     W0 = unit_l2_columns(jnp.concatenate([jnp.asarray(w, rdt) for w in w_list], axis=1))
     H0 = jnp.concatenate([jnp.asarray(h, rdt) for h in h_list], axis=0)
-    P0 = jnp.stack([jnp.asarray(p, cdt) for p in p_list])
+    P0 = np.stack([np.asarray(p, cdt) for p in p_list])
     hsp = per_column(h_sp, ks, rdt)
 
-    V, W0, H0, P0 = apply_placements(cfg.get("mesh"), "cmfwisa",
-                                     V=V, W=W0, H=H0, P=P0)
+    # Complex arrays cross the device boundary as real planes (see solve).
+    V_re, V_im = jnp.asarray(V.real, rdt), jnp.asarray(V.imag, rdt)
+    P_re, P_im = jnp.asarray(P0.real, rdt), jnp.asarray(P0.imag, rdt)
 
-    spec = _Spec(maxiter, w_fx, h_fx, p_fx, blocks, eps)
-    out = _build_solver(spec)(V, W0, H0, P0, hsp, jnp.asarray(tolerance, rdt))
-    W, H, P, _ = out.state
-    P_parts = [np.asarray(P[s]) for s in range(S)]
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    if valid is not None:
+        V_re = pad_axes(V_re, {0: pad_m, 1: pad_n})
+        V_im = pad_axes(V_im, {0: pad_m, 1: pad_n})
+        W0 = pad_axes(W0, {0: pad_m})
+        H0 = pad_axes(H0, {1: pad_n})
+        P_re = pad_axes(P_re, {1: pad_m, 2: pad_n})
+        P_im = pad_axes(P_im, {1: pad_m, 2: pad_n})
+    V_re, W0, H0, P_re = apply_placements(mesh, "cmfwisa",
+                                          V=V_re, W=W0, H=H0, P=P_re)
+    if mesh is not None:
+        V_im = apply_placements(mesh, "cmfwisa", V=V_im)
+        P_im = apply_placements(mesh, "cmfwisa", P=P_im)
+
+    spec = _Spec(maxiter, w_fx, h_fx, p_fx, blocks, eps, valid)
+    out = _build_solver(spec)(V_re, V_im, W0, H0, P_re, P_im, hsp,
+                              jnp.asarray(tolerance, rdt))
+    W, H, P_re_o, P_im_o = out.state
+    if valid is not None:
+        W, H = W[:m], H[:, :n]
+        P_re_o, P_im_o = P_re_o[:, :m, :n], P_im_o[:, :m, :n]
+    P = np.asarray(P_re_o) + 1j * np.asarray(P_im_o)
+    P_parts = [P[s] for s in range(S)]
     return Result(
         fields=("W", "H", "P", "cost"),
         W=unwrap_sources(W, blocks, 1, w_was_seq),

@@ -29,9 +29,10 @@ from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.normalize import cross_frame_norm, unit_l2_columns
 from ..ops.gram import conv_cross_grams_h, conv_cross_grams_w
+from ..ops.masking import region_mask
 from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
                          shift_left, stack_shifts_right)
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
@@ -45,6 +46,7 @@ class _Spec(NamedTuple):
     blocks: tuple
     eps: float
     method: str          # 'gram' (euclidean only) | 'naive'
+    valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
 
 
 @functools.lru_cache(maxsize=None)
@@ -67,9 +69,13 @@ def _build_solver(spec: _Spec):
         eps = jnp.asarray(spec.eps, V.dtype)
         dt = V.dtype
         v_sq = jnp.sum(V * V)
+        # Mesh padding: the shift spill past the true n must be truncated
+        # (stack_shifts_right n_valid) and the nonlinear fields masked.
+        nv = None if spec.valid is None else spec.valid[1]
+        mask = region_mask(V.shape, spec.valid)
 
         def cross_grams_h(H):
-            return conv_cross_grams_h(stack_shifts_right(H, T))
+            return conv_cross_grams_h(stack_shifts_right(H, T, nv))
 
         def gram_step(carry, i):
             # Euclidean-only Gram form: the convolutive reconstruction is
@@ -80,7 +86,7 @@ def _build_solver(spec: _Spec):
             W, H = carry
             if w_any:
                 HH = cross_grams_h(H)                    # HH[s, t]
-                A = conv_phi_ht(V, H, T)                 # (m, k, T) [big]
+                A = conv_phi_ht(V, H, T, nv)             # (m, k, T) [big]
                 # B[:, :, t] = V_hat @ H^(t)' = sum_s W_s HH[s, t]
                 B = jnp.einsum("mks,stkl->mlt", W, HH,
                                preferred_element_type=dt)
@@ -94,7 +100,7 @@ def _build_solver(spec: _Spec):
             gneg = conv_wt_phi(W, V)                     # (k, n) [big]
             if h_any:
                 WW = conv_cross_grams_w(W)
-                Hs = stack_shifts_right(H, T)
+                Hs = stack_shifts_right(H, T, nv)
                 gpos = jnp.zeros_like(gneg)
                 for t in range(T):
                     gpos = gpos + shift_left(
@@ -115,24 +121,26 @@ def _build_solver(spec: _Spec):
         def step(carry, i):
             W, H = carry  # W: (m, k, T), H: (k, n)
             if w_any:
-                V_hat = conv_reconstruct(W, H)
-                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b)
+                V_hat = conv_reconstruct(W, H, nv)
+                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b, mask=mask)
                 # One batched matmul per field against all T shifted H's
                 # (cnmf.m:180-195).
-                A = conv_phi_ht(phi_neg, H, T)      # (m, k, T)
+                A = conv_phi_ht(phi_neg, H, T, nv)  # (m, k, T)
                 if kl:
                     # Phi_pos == ones: ones(m,n) @ shift_right(H,t)' is a
                     # broadcast of the shifted rowsums sum(H[:, :n-t]) —
                     # no m-by-n matmul needed.
                     csum = jnp.cumsum(H[:, ::-1], axis=1)[:, ::-1]
-                    n_ = H.shape[1]
+                    # the ones field spans the TRUE n of a padded problem:
+                    # rs[t] = sum(H[:, :n_true - t]) (H's pads are zero)
+                    n_ = H.shape[1] if nv is None else nv
                     rs = jnp.stack([csum[:, 0] if t == 0 else
                                     csum[:, 0] - csum[:, n_ - t]
                                     for t in range(T)], axis=1)  # (k, T)
                     B = jnp.broadcast_to(rs[None], (V.shape[0],) + rs.shape)
                     dneg = jnp.sum(W, axis=0) * rs
                 else:
-                    B = conv_phi_ht(phi_pos, H, T)  # (m, k, T)
+                    B = conv_phi_ht(phi_pos, H, T, nv)  # (m, k, T)
                     dneg = jnp.sum(W * B, axis=0)   # diag(Hs Phi_pos' W_t), (k, T)
                 dpos = jnp.sum(W * A, axis=0)
                 neg = dv.apply_power(A + W * dneg[None], power)
@@ -142,8 +150,8 @@ def _build_solver(spec: _Spec):
                 Wn, _ = cross_frame_norm(Wn, None, T)
                 W = Wn if w_all_free else jnp.where(w_mask[None, :, None], W, Wn)
             if h_any:
-                V_hat = conv_reconstruct(W, H)
-                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b)
+                V_hat = conv_reconstruct(W, H, nv)
+                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b, mask=mask)
                 gneg = conv_wt_phi(W, phi_neg)      # (k, n)
                 if kl:
                     # KL special case: V_pos is NOT shifted (cnmf.m:220-224),
@@ -157,8 +165,8 @@ def _build_solver(spec: _Spec):
                 gpos = dv.apply_power(gpos, power)
                 Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
                 H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
-            V_hat = conv_reconstruct(W, H)
-            c = dv.cost(spec.divergence, V, V_hat, a, b)
+            V_hat = conv_reconstruct(W, H, nv)
+            c = dv.cost(spec.divergence, V, V_hat, a, b, mask=mask)
             c = c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
                      + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
             return (W, H), c, jnp.asarray(False)
@@ -232,7 +240,13 @@ def cnmf(V, num_basis_elems, context_len: int,
     wsp = per_column(w_sp, ks, dtype)
     hsp = per_column(h_sp, ks, dtype)
 
-    V, W0, H0 = apply_placements(cfg.get("mesh"), "cnmf", V=V, W=W0, H=H0)
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    if valid is not None:
+        V = pad_axes(V, {0: pad_m, 1: pad_n})
+        W0 = pad_axes(W0, {0: pad_m})
+        H0 = pad_axes(H0, {1: pad_n})
+    V, W0, H0 = apply_placements(mesh, "cnmf", V=V, W=W0, H=H0)
 
     method = cfg.get("method", "auto")
     euclid = div == "euclidean" and alpha == 1.0 and beta == 1.0
@@ -241,9 +255,12 @@ def cnmf(V, num_basis_elems, context_len: int,
     if method == "gram" and not euclid:
         raise ValueError("method='gram' is only valid for the euclidean divergence")
 
-    spec = _Spec(div, alpha, beta, T, maxiter, w_fx, h_fx, blocks, eps, method)
+    spec = _Spec(div, alpha, beta, T, maxiter, w_fx, h_fx, blocks, eps, method,
+                 valid)
     out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
     W, H = out.state
+    if valid is not None:
+        W, H = W[:m], H[:, :n]
     return Result(
         fields=("W", "H", "cost"),
         W=unwrap_sources(W, blocks, 1, w_was_seq),

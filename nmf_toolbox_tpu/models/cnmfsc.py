@@ -41,7 +41,7 @@ from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
 from ..ops.gram import conv_cross_grams_w as _cross_grams_w
 from ..ops.gram import conv_cross_grams_h as _cross_grams_h
 from ..ops.linesearch import backtracking_search as _line_search_obj
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 
@@ -55,6 +55,7 @@ class _Spec(NamedTuple):
     eps: float
     l1_w: float
     l1_h: float
+    valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
 
 
 @functools.lru_cache(maxsize=None)
@@ -68,14 +69,19 @@ def _build_solver(spec: _Spec):
         one = jnp.ones((), dt)
         v_sq = jnp.sum(V * V)
 
+        # Mesh padding: shift spill past the true n is truncated in every
+        # stacked-shift/reconstruction below; Hoyer projections run with
+        # the TRUE vector lengths (ops/projection.py).
+        mv, nv = spec.valid if spec.valid is not None else (None, None)
+
         def proj_rows(H):
-            return project_columns(H.T, spec.l1_h, one)[0].T
+            return project_columns(H.T, spec.l1_h, one, valid=nv)[0].T
 
         def proj_cols(W2d):
-            return project_columns(W2d, spec.l1_w, one)[0]
+            return project_columns(W2d, spec.l1_w, one, valid=mv)[0]
 
         def conv_cost(W, H):
-            r = V - conv_reconstruct(W, H)
+            r = V - conv_reconstruct(W, H, nv)
             return 0.5 * jnp.sum(r * r)
 
         def step(carry, i):
@@ -88,7 +94,7 @@ def _build_solver(spec: _Spec):
             # iteration 1 when the init projection wrote W alone) ----
             if not spec.h_fixed:
                 neg = conv_wt_phi(W0, V)  # sum_t W0_t' V<-t (cnmfsc.m:161-163)
-                Hs = stack_shifts_right(H, T)
+                Hs = stack_shifts_right(H, T, nv)
                 WW0 = _cross_grams_w(W0)
                 # pos = sum_t W0_t' (conv(W,H))<-t via cross-Grams W0_t' W_s
                 WX = jnp.einsum("mkt,mls->tskl", W0, W,
@@ -101,7 +107,7 @@ def _build_solver(spec: _Spec):
                 if spec.h_sparse:
                     dH = pos - neg
                     def obj_h(Hnew):
-                        Hns = stack_shifts_right(Hnew, T)
+                        Hns = stack_shifts_right(Hnew, T, nv)
                         sq = jnp.sum(WW0 * _cross_grams_h(Hns))
                         return 0.5 * (v_sq - 2.0 * jnp.sum(neg * Hnew) + sq)
                     H1, step_h1, under_h, _ = _line_search_obj(
@@ -116,10 +122,10 @@ def _build_solver(spec: _Spec):
 
             # ---- W phase (cnmfsc.m:213-265) ----
             if not spec.w_fixed:
-                Hs = stack_shifts_right(H, T)
+                Hs = stack_shifts_right(H, T, nv)
                 if spec.w_sparse:
                     HH = _cross_grams_h(Hs)           # HH[s, t] = Hs[s] Hs[t]'
-                    VHt_all = conv_phi_ht(V, H, T)    # (m, k, T)
+                    VHt_all = conv_phi_ht(V, H, T, nv)  # (m, k, T)
                     WW0 = _cross_grams_w(W0)
                     lin0 = jnp.sum(VHt_all * W0)
                     begobj = 0.5 * (v_sq - 2.0 * lin0 + jnp.sum(WW0 * HH))
@@ -149,7 +155,7 @@ def _build_solver(spec: _Spec):
                         begobj = obj_t       # next frame's begobj (cnmfsc.m:218)
                         Wprev = Wnew
                 else:
-                    V_hat = conv_reconstruct(W0, H)  # cnmfsc.m:215
+                    V_hat = conv_reconstruct(W0, H, nv)  # cnmfsc.m:215
                     for t in range(T):
                         Hst = Hs[t]
                         neg = V @ Hst.T
@@ -215,16 +221,25 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
     if h_sp > 0:
         H0 = project_columns(H0.T, l1_h, 1.0)[0].T
 
-    V, W0, W_proj, H0 = apply_placements(cfg.get("mesh"), "cnmfsc",
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    if valid is not None:
+        V = pad_axes(V, {0: pad_m, 1: pad_n})
+        W0 = pad_axes(W0, {0: pad_m})
+        W_proj = pad_axes(W_proj, {0: pad_m})
+        H0 = pad_axes(H0, {1: pad_n})
+    V, W0, W_proj, H0 = apply_placements(mesh, "cnmfsc",
                                          V=V, W=W0, W2=W_proj, H=H0)
 
     spec = _Spec(T, maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
-                 eps, float(l1_w), float(l1_h))
+                 eps, float(l1_w), float(l1_h), valid)
     out = _build_solver(spec)(V, W0, W_proj, H0, jnp.asarray(tolerance, dtype))
     _, W, H = out.state[0], out.state[1], out.state[2]
+    if valid is not None:
+        W, H = W[:m], H[:, :n]
     return Result(fields=("W", "H", "cost"),
-                  W=np.asarray(out.state[1]), H=np.asarray(H),
+                  W=np.asarray(W), H=np.asarray(H),
                   cost=looplib.trim_cost(out, maxiter, offset=1),
                   n_iters=int(out.n_iters),
                   converged=bool(out.stopped) or bool(out.terminated))

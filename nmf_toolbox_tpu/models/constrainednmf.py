@@ -29,8 +29,9 @@ import jax.numpy as jnp
 from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
 from ..ops import divergence as dv
 from ..ops import loop as looplib
+from ..ops.masking import region_mask
 from ..ops.normalize import unit_l2_columns
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
@@ -43,6 +44,7 @@ class _Spec(NamedTuple):
     n_unlabeled: int
     num_classes: int
     eps: float
+    valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
 
 
 @functools.lru_cache(maxsize=None)
@@ -56,6 +58,7 @@ def _build_solver(spec: _Spec):
         dt = V.dtype
         eps = jnp.asarray(spec.eps, dt)
         m, n = V.shape
+        mask = region_mask(V.shape, spec.valid)
 
         def apply_A(Z):
             """H = Z A: unlabeled block passes through, labeled block is
@@ -72,7 +75,7 @@ def _build_solver(spec: _Spec):
             H = apply_A(Z)
             V_hat = W @ H
             if not spec.w_fixed:
-                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta)
+                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta, mask=mask)
                 A_ = phi_neg @ H.T
                 if phi_pos is None:
                     B_ = jnp.broadcast_to(jnp.sum(H, axis=1)[None, :], A_.shape)
@@ -86,7 +89,7 @@ def _build_solver(spec: _Spec):
                 W = unit_l2_columns(W)
                 V_hat = W @ H
             if not spec.z_fixed:
-                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta)
+                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta, mask=mask)
                 neg = apply_At(W.T @ phi_neg)
                 if phi_pos is None:
                     pos = apply_At(jnp.broadcast_to(
@@ -98,7 +101,7 @@ def _build_solver(spec: _Spec):
                 Z = Z * (neg / jnp.maximum(pos + zsp, eps))
                 H = apply_A(Z)
                 V_hat = W @ H
-            c = dv.cost(div, V, V_hat, alpha, beta)
+            c = dv.cost(div, V, V_hat, alpha, beta, mask=mask)
             c = c + wsp * jnp.sum(jnp.abs(W)) + zsp * jnp.sum(jnp.abs(Z))
             return (W, Z), c, jnp.asarray(False)
 
@@ -169,15 +172,26 @@ def constrainednmf(V, labels, num_basis_elems: int,
         Z0 = uniform_init(kz, (k, n_u + num_classes), dtype, floor_eps=False)  # :174
     Z0 = jnp.asarray(Z0, dtype)
 
-    V_sorted, W0, Z0 = apply_placements(cfg.get("mesh"), "constrainednmf",
+    # Mesh padding: Z is replicated (small), so only V pads; the labeled
+    # block of A gains zero columns so H = Z A matches the padded n.
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    onehot_in = jnp.asarray(class_onehot)
+    if valid is not None:
+        V_sorted = pad_axes(V_sorted, {0: pad_m, 1: pad_n})
+        W0 = pad_axes(W0, {0: pad_m})
+        onehot_in = pad_axes(onehot_in, {1: pad_n})
+    V_sorted, W0, Z0 = apply_placements(mesh, "constrainednmf",
                                         V=V_sorted, W=W0, Z=Z0)
 
     spec = _Spec(div, alpha, beta, maxiter, bool(cfg.get("W_fixed", False)),
-                 bool(cfg.get("Z_fixed", False)), n_u, num_classes, eps)
-    out = _build_solver(spec)(V_sorted, W0, Z0, jnp.asarray(class_onehot),
+                 bool(cfg.get("Z_fixed", False)), n_u, num_classes, eps, valid)
+    out = _build_solver(spec)(V_sorted, W0, Z0, onehot_in,
                               jnp.asarray(wsp, dtype), jnp.asarray(zsp, dtype),
                               jnp.asarray(tolerance, dtype))
     W, Z = out.state
+    if valid is not None:
+        W = W[:m]
 
     # Materialize A in the original sample order (constrainednmf.m:263-267).
     A_sorted = np.zeros((n_u + num_classes, n))

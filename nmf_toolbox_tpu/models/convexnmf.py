@@ -28,15 +28,17 @@ import jax.numpy as jnp
 from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.gram import pos_neg_split
+from ..ops.masking import col_mask
 from ..ops.normalize import unit_sum_columns
 from ..utils.init import kmeans_indicator_h
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
     maxiter: int
     g_fixed: bool
     h_fixed: bool
+    n_valid: int = None  # true n of a mesh-padded problem
 
 
 @functools.lru_cache(maxsize=None)
@@ -46,6 +48,15 @@ def _build_solver(spec: _Spec):
         VtV = V.T @ V  # one-time n-by-n Gram (convexnmf.m:86-87)
         vv_pos, vv_neg = pos_neg_split(VtV)
         v_sq = jnp.trace(VtV)
+        # Pad rows of G / pad columns of H have 0/0 sqrt-MU ratios (the
+        # reference's updates are unguarded); pin them to zero.
+        cmask = col_mask(V.shape[1], spec.n_valid)
+
+        def masked(ratio, colwise: bool):
+            if cmask is None:
+                return ratio
+            sel = cmask[None, :] if colwise else cmask[:, None]
+            return jnp.where(sel, ratio, jnp.zeros((), ratio.dtype))
 
         def step(carry, i):
             G, H = carry
@@ -54,7 +65,7 @@ def _build_solver(spec: _Spec):
                 # ((VV_pos + VV_neg G H) H') -> VV_pos H' + (VV_neg G)(H H')
                 pG = vv_pos @ H.T + (vv_neg @ G) @ HHt
                 nG = vv_neg @ H.T + (vv_pos @ G) @ HHt
-                G = G * jnp.sqrt(pG / (nG + g_sparsity))  # convexnmf.m:94
+                G = G * jnp.sqrt(masked(pG / (nG + g_sparsity), False))  # convexnmf.m:94
                 G = unit_sum_columns(G)                   # convexnmf.m:95
             if not spec.h_fixed:
                 GtVV_pos = G.T @ vv_pos
@@ -63,7 +74,7 @@ def _build_solver(spec: _Spec):
                 # G'(VV_pos + VV_neg G H) -> (G'VV_pos) + (G'VV_neg G) H
                 pH = GtVV_pos + (GtVV_neg @ G) @ H
                 nH = GtVV_neg + (GtVV_pos @ G) @ H
-                H = H * jnp.sqrt(pH / nH)                 # convexnmf.m:101
+                H = H * jnp.sqrt(masked(pH / nH, True))   # convexnmf.m:101
             # cost 0.5||V - V G H||^2 in Gram form (k-by-k only):
             # = 0.5(tr(V'V) - 2 tr(H' G' V'V) + tr((G' V'V G)(H H')))
             VtVG = VtV @ G
@@ -120,13 +131,23 @@ def convexnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     G0 = unit_sum_columns(jnp.asarray(G0, dtype))  # convexnmf.m:83
     H0 = jnp.asarray(H0, dtype)
 
-    V, G0, H0 = apply_placements(cfg.get("mesh"), "convexnmf", V=V, G=G0, H=H0)
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    if valid is not None:
+        V = pad_axes(V, {0: pad_m, 1: pad_n})
+        G0 = pad_axes(G0, {0: pad_n})  # G is (n, k): rows follow samples
+        H0 = pad_axes(H0, {1: pad_n})
+    V, G0, H0 = apply_placements(mesh, "convexnmf", V=V, G=G0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),
-                 bool(cfg.get("H_fixed", False)))
+                 bool(cfg.get("H_fixed", False)),
+                 None if valid is None else n)
     out = _build_solver(spec)(V, G0, H0, jnp.asarray(g_sparsity, dtype),
                               jnp.asarray(tolerance, dtype))
     G, H = out.state
+    if valid is not None:
+        G, H = G[:n], H[:, :n]
+        V = V[:m, :n]
     W = np.asarray(V @ G)
     return Result(fields=("W", "H", "G", "cost"),
                   W=W, H=np.asarray(H), G=np.asarray(G),

@@ -19,8 +19,9 @@ import jax.numpy as jnp
 
 from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
 from ..ops import loop as looplib
+from ..ops.masking import region_mask
 from ..ops.normalize import unit_sum_columns
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
@@ -28,6 +29,7 @@ class _Spec(NamedTuple):
     w_fixed: bool
     h_fixed: bool
     eps: float
+    valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
 
 
 @functools.lru_cache(maxsize=None)
@@ -35,21 +37,34 @@ def _build_solver(spec: _Spec):
     @jax.jit
     def solve(V, W0, H0, tolerance):
         eps = jnp.asarray(spec.eps, V.dtype)
+        mask = region_mask(V.shape, spec.valid)
+        zero = jnp.zeros((), V.dtype)
+
+        def ratio(V_hat):
+            r = V / V_hat
+            return r if mask is None else jnp.where(mask, r, zero)
+
         # Precompute the constant part of the KL cost.
-        v_logv = jnp.sum(V * jnp.log(V)) - jnp.sum(V)
+        vlv = V * jnp.log(V)
+        if mask is not None:
+            vlv = jnp.where(mask, vlv, zero)
+        v_logv = jnp.sum(vlv) - jnp.sum(V)
 
         def step(carry, i):
             W, H = carry
             if not spec.w_fixed:
                 V_hat = W @ H
                 h_rowsum = jnp.sum(H, axis=1)  # ones(m,n) @ H' (lnmf.m:74)
-                W = W * (((V / V_hat) @ H.T) / jnp.maximum(h_rowsum[None, :], eps))
+                W = W * ((ratio(V_hat) @ H.T) / jnp.maximum(h_rowsum[None, :], eps))
                 W = unit_sum_columns(W)
             if not spec.h_fixed:
                 V_hat = W @ H
-                H = jnp.sqrt(H * (W.T @ (V / V_hat)))  # lnmf.m:81
+                H = jnp.sqrt(H * (W.T @ ratio(V_hat)))  # lnmf.m:81
             V_hat = W @ H
-            c = v_logv - jnp.sum(V * jnp.log(V_hat)) + jnp.sum(V_hat)
+            vlvh = V * jnp.log(V_hat)
+            if mask is not None:
+                vlvh = jnp.where(mask, vlvh, zero)
+            c = v_logv - jnp.sum(vlvh) + jnp.sum(V_hat)
             return (W, H), c, jnp.asarray(False)
 
         return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
@@ -82,12 +97,20 @@ def lnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     W0 = unit_sum_columns(jnp.asarray(W0, dtype))  # lnmf.m:64
     H0 = jnp.asarray(H0, dtype)
 
-    V, W0, H0 = apply_placements(cfg.get("mesh"), "lnmf", V=V, W=W0, H=H0)
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    if valid is not None:
+        V = pad_axes(V, {0: pad_m, 1: pad_n})
+        W0 = pad_axes(W0, {0: pad_m})
+        H0 = pad_axes(H0, {1: pad_n})
+    V, W0, H0 = apply_placements(mesh, "lnmf", V=V, W=W0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("W_fixed", False)),
-                 bool(cfg.get("H_fixed", False)), eps)
+                 bool(cfg.get("H_fixed", False)), eps, valid)
     out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
     W, H = out.state
+    if valid is not None:
+        W, H = W[:m], H[:, :n]
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H),
                   cost=looplib.trim_cost(out, maxiter, trim=False),

@@ -35,8 +35,9 @@ from ..core import (common_scalars, Result, as_list, default_h_init, default_w_i
 from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.gram import euclidean_cost_gram, sq_norm
+from ..ops.masking import region_mask
 from ..ops.normalize import unit_l2_columns
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
@@ -50,6 +51,7 @@ class _Spec(NamedTuple):
     blocks: tuple
     eps: float
     callback: object = None  # optional (i, cost) host logger
+    valid: tuple = None      # (m, n) true sizes of a mesh-padded problem
 
 
 def _kl_ones_b(H, m):
@@ -125,12 +127,14 @@ def _build_solver_impl(spec: _Spec):
 
     def naive_step(V, v_sq, wsp, hsp, eps):
         m, n = V.shape
+        mask = region_mask(V.shape, spec.valid)
 
         def step(carry, i):
             W, H = carry
             V_hat = W @ H
             if w_any:
-                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta)
+                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta,
+                                                    mask=mask)
                 A = phi_neg @ H.T
                 B = _kl_ones_b(H, m) if phi_pos is None else phi_pos @ H.T
                 dneg = jnp.sum(W * B, axis=0)
@@ -142,14 +146,15 @@ def _build_solver_impl(spec: _Spec):
                 W = Wn if w_all_free else jnp.where(w_mask[None, :], W, Wn)
                 V_hat = W @ H
             if h_any:
-                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta)
+                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta,
+                                                    mask=mask)
                 neg = dv.apply_power(W.T @ phi_neg, power)
                 pos = _kl_ones_pos_h(W, n) if phi_pos is None else W.T @ phi_pos
                 pos = dv.apply_power(pos, power)
                 Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
                 H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
                 V_hat = W @ H
-            c = dv.cost(div, V, V_hat, alpha, beta)
+            c = dv.cost(div, V, V_hat, alpha, beta, mask=mask)
             c = c + _sparsity_penalty(W, H, wsp, hsp)
             return (W, H), c, jnp.asarray(False)
         return step
@@ -309,13 +314,25 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
                              "euclidean Gram method")
         V = V.astype(jnp.dtype(data_dtype))
 
-    V, W0, H0 = apply_placements(cfg.get("mesh"), "nmf", V=V, W=W0, H=H0)
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    if valid is not None:
+        if method == "fused":
+            raise ValueError(
+                "method='fused' does not support mesh shapes that need "
+                "padding; use a divisible (m, n) or method='naive'")
+        V = pad_axes(V, {0: pad_m, 1: pad_n})
+        W0 = pad_axes(W0, {0: pad_m})
+        H0 = pad_axes(H0, {1: pad_n})
+    V, W0, H0 = apply_placements(mesh, "nmf", V=V, W=W0, H=H0)
 
     spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps,
-                 cfg.get("callback"))
+                 cfg.get("callback"), valid)
     out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
 
     W, H = out.state
+    if valid is not None:
+        W, H = W[:m], H[:, :n]
     cost = looplib.trim_cost(out, maxiter)
     return Result(
         fields=("W", "H", "cost"),

@@ -33,7 +33,7 @@ from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.normalize import row_l2_transfer
 from ..ops.linesearch import backtracking_search
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
@@ -45,6 +45,7 @@ class _Spec(NamedTuple):
     eps: float
     l1_w: float
     l1_h: float
+    valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
 
 
 @functools.lru_cache(maxsize=None)
@@ -69,11 +70,15 @@ def _build_solver(spec: _Spec):
                               + jnp.sum((W.T @ W) * HHt))
             return f
 
+        # Hoyer projections of mesh-padded vectors run with the TRUE
+        # vector length (pad rows enter pre-zeroed — ops/projection.py).
+        mv, nv = spec.valid if spec.valid is not None else (None, None)
+
         def proj_rows(H):
-            return project_columns(H.T, spec.l1_h, one)[0].T
+            return project_columns(H.T, spec.l1_h, one, valid=nv)[0].T
 
         def proj_cols(W):
-            return project_columns(W, spec.l1_w, one)[0]
+            return project_columns(W, spec.l1_w, one, valid=mv)[0]
 
         def initial_cost(W, H):
             WtV = W.T @ V
@@ -172,13 +177,21 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     if h_sp > 0:  # nmfsc.m:106-109
         H0 = project_columns(H0.T, l1_h, 1.0)[0].T
 
-    V, W0, H0 = apply_placements(cfg.get("mesh"), "nmfsc", V=V, W=W0, H=H0)
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    if valid is not None:
+        V = pad_axes(V, {0: pad_m, 1: pad_n})
+        W0 = pad_axes(W0, {0: pad_m})
+        H0 = pad_axes(H0, {1: pad_n})
+    V, W0, H0 = apply_placements(mesh, "nmfsc", V=V, W=W0, H=H0)
 
     spec = _Spec(maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
-                 eps, float(l1_w), float(l1_h))
+                 eps, float(l1_w), float(l1_h), valid)
     out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
     W, H = out.state[0], out.state[1]
+    if valid is not None:
+        W, H = W[:m], H[:, :n]
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H),
                   cost=looplib.trim_cost(out, maxiter, offset=1),

@@ -18,14 +18,16 @@ import jax.numpy as jnp
 from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.gram import euclidean_cost_gram, pos_neg_split, sq_norm
+from ..ops.masking import col_mask
 from ..utils.init import kmeans_indicator_h
-from ..parallel import apply_placements
+from ..parallel import apply_placements, pad_axes, plan_padding
 
 
 class _Spec(NamedTuple):
     maxiter: int
     w_fixed: bool
     h_fixed: bool
+    valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
 
 
 @functools.lru_cache(maxsize=None)
@@ -33,6 +35,10 @@ def _build_solver(spec: _Spec):
     @jax.jit
     def solve(V, W0, H0, tolerance):
         v_sq = sq_norm(V)
+        # Pad columns of the sqrt MU ratio are 0/0 (the reference's update
+        # has no eps guard); pin them to zero so NaN never forms.
+        cmask = col_mask(V.shape[1], None if spec.valid is None
+                         else spec.valid[1])
 
         def step(carry, i):
             W, H = carry
@@ -50,7 +56,11 @@ def _build_solver(spec: _Spec):
                 wv_pos, wv_neg = pos_neg_split(WtV)
                 ww_pos, ww_neg = pos_neg_split(WtW)
                 # seminmf.m:73-77 (no eps guard in the reference)
-                H = H * jnp.sqrt((wv_pos + ww_neg @ H) / (wv_neg + ww_pos @ H))
+                ratio = (wv_pos + ww_neg @ H) / (wv_neg + ww_pos @ H)
+                if cmask is not None:
+                    ratio = jnp.where(cmask[None, :], ratio,
+                                      jnp.zeros((), ratio.dtype))
+                H = H * jnp.sqrt(ratio)
             c = euclidean_cost_gram(v_sq, WtV, WtW, H)
             return (W, H), c, jnp.asarray(False)
 
@@ -84,12 +94,20 @@ def seminmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     W0 = jnp.asarray(W0, dtype)
     H0 = jnp.asarray(H0, dtype)
 
-    V, W0, H0 = apply_placements(cfg.get("mesh"), "seminmf", V=V, W=W0, H=H0)
+    mesh = cfg.get("mesh")
+    pad_m, pad_n, valid = plan_padding(mesh, m, n)
+    if valid is not None:
+        V = pad_axes(V, {0: pad_m, 1: pad_n})
+        W0 = pad_axes(W0, {0: pad_m})
+        H0 = pad_axes(H0, {1: pad_n})
+    V, W0, H0 = apply_placements(mesh, "seminmf", V=V, W=W0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("W_fixed", False)),
-                 bool(cfg.get("H_fixed", False)))
+                 bool(cfg.get("H_fixed", False)), valid)
     out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
     W, H = out.state
+    if valid is not None:
+        W, H = W[:m], H[:, :n]
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H),
                   cost=looplib.trim_cost(out, maxiter),

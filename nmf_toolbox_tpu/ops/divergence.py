@@ -54,45 +54,64 @@ def ab_params(divergence: str, alpha: float, beta: float) -> tuple[float, float]
     return float(alpha), float(beta)
 
 
-def fields(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0):
+def _masked(phi, mask):
+    """Zero a field outside the valid region (mesh zero-padding: the pad
+    entries are 0/0 or 0**negative and must not leak NaN/Inf into the
+    gradient matmuls — parallel/padding.py)."""
+    if phi is None or mask is None:
+        return phi
+    return jnp.where(mask, phi, jnp.zeros((), phi.dtype))
+
+
+def fields(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0,
+           mask=None):
     """Return (Phi_neg, Phi_pos, power).
 
     ``Phi_pos`` of None means the all-ones field; ``power`` of None means no
     exponent is applied to the assembled gradients (the non-AB updates).
-    Reference: nmf.m:147-167.
+    ``mask`` (bool, broadcastable to V) zeroes the fields outside the valid
+    region of a mesh-padded problem.  Reference: nmf.m:147-167.
     """
     d = canon(divergence)
     if d == "euclidean":
-        return V, V_hat, None
+        return V, V_hat, None  # linear in V: pads are exactly 0, no mask
     if d == "kl":
-        return V / V_hat, None, None
+        return _masked(V / V_hat, mask), None, None
     if d == "is":
-        return V / (V_hat * V_hat), 1.0 / V_hat, None
+        return (_masked(V / (V_hat * V_hat), mask),
+                _masked(1.0 / V_hat, mask), None)
     # AB family; alpha == 0 uses the dual equations (nmf.m:124-128,159-160).
     if alpha == 0.0:
         phi_neg = V ** (alpha - 1.0) * V_hat ** beta
         phi_pos = V ** (alpha + beta - 1.0)
-        return phi_neg, phi_pos, 1.0 / beta
+        return _masked(phi_neg, mask), _masked(phi_pos, mask), 1.0 / beta
     phi_neg = V ** alpha * V_hat ** (beta - 1.0)
     phi_pos = V_hat ** (alpha + beta - 1.0)
-    return phi_neg, phi_pos, 1.0 / alpha
+    return _masked(phi_neg, mask), _masked(phi_pos, mask), 1.0 / alpha
 
 
-def ab_fields(V, V_hat, alpha: float, beta: float):
+def ab_fields(V, V_hat, alpha: float, beta: float, mask=None):
     """AB fields for the convolutive family where every divergence is mapped
-    to (alpha, beta) first (cnmf.m:137-153, 180-232)."""
+    to (alpha, beta) first (cnmf.m:137-153, 180-232).  ``mask`` as in
+    :func:`fields`."""
     if alpha == 0.0:
-        return (V ** (alpha - 1.0) * V_hat ** beta,
-                V ** (alpha + beta - 1.0),
+        return (_masked(V ** (alpha - 1.0) * V_hat ** beta, mask),
+                _masked(V ** (alpha + beta - 1.0), mask),
                 1.0 / beta)
     one = jnp.ones((), V.dtype)
-    phi_neg = V if (alpha == 1.0 and beta == 1.0) else V ** alpha * V_hat ** (beta - 1.0)
+    if alpha == 1.0 and beta == 1.0:
+        phi_neg = V  # linear: pads are exactly 0
+    else:
+        phi_neg = _masked(V ** alpha * V_hat ** (beta - 1.0), mask)
     if alpha + beta == 1.0:
         phi_pos = jnp.broadcast_to(one, V_hat.shape)
+        # the ones field is position-independent; consumers restrict it to
+        # the valid region themselves (the KL special cases)
+        phi_pos = _masked(phi_pos, mask)
     elif alpha + beta == 2.0:
-        phi_pos = V_hat
+        phi_pos = V_hat  # linear in the factors: pads are exactly 0
     else:
-        phi_pos = V_hat ** (alpha + beta - 1.0)
+        phi_pos = _masked(V_hat ** (alpha + beta - 1.0), mask)
     power = None if alpha == 1.0 else 1.0 / alpha
     return phi_neg, phi_pos, power
 
@@ -101,22 +120,25 @@ def apply_power(x, power):
     return x if power is None or power == 1.0 else x ** power
 
 
-def cost(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0):
+def cost(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0,
+         mask=None):
     """Per-iteration cost (nmf.m:206-215; identical in cnmf.m:239-248 and
-    constrainednmf.m:241-250)."""
+    constrainednmf.m:241-250).  ``mask`` restricts the elementwise summand
+    to the valid region of a mesh-padded problem."""
     d = canon(divergence)
     if d == "euclidean":
-        r = V - V_hat
+        r = V - V_hat  # pads are exactly 0 - 0
         return 0.5 * jnp.sum(r * r)
     if d == "kl":
-        return jnp.sum(V * jnp.log(V / V_hat) - V + V_hat)
+        term = V * jnp.log(V / V_hat) - V + V_hat
+        return jnp.sum(_masked(term, mask))
     if d == "is":
-        return jnp.sum(jnp.log(V_hat / V) + V / V_hat - 1.0)
+        term = jnp.log(V_hat / V) + V / V_hat - 1.0
+        return jnp.sum(_masked(term, mask))
     a, b = alpha, beta
     # MATLAB 1/0 == Inf: with alpha*beta == 0 the reference's AB cost is
     # +-Inf (nmf.m:214); the convergence rule then simply never fires.
     factor = -1.0 / (a * b) if a * b != 0.0 else -math.inf
-    return factor * jnp.sum(
-        V ** a * V_hat ** b
-        - (a * V ** (a + b) + b * V_hat ** (a + b) + b) / (a + b)
-    )
+    term = (V ** a * V_hat ** b
+            - (a * V ** (a + b) + b * V_hat ** (a + b) + b) / (a + b))
+    return factor * jnp.sum(_masked(term, mask))

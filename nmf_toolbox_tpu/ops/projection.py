@@ -15,11 +15,17 @@ import jax
 import jax.numpy as jnp
 
 
-def project_columns(S, k1, k2):
+def project_columns(S, k1, k2, valid: int | None = None):
     """Project every column of S (N, B) onto {sum=k1, sum of squares=k2, >=0}.
 
     k1/k2 may be scalars or per-column (B,) vectors.  Returns (V, iters)
     where iters is the per-column pass count (projfunc.m `usediters`).
+
+    ``valid`` handles mesh-padded vectors (parallel/padding.py): only the
+    first ``valid`` rows form the true vector; the pad rows enter the loop
+    pre-zeroed (the algorithm's own "clamped coefficient" state), so every
+    sum, midpoint and redistribution divides by the TRUE vector length and
+    the result is bit-compatible with projecting the unpadded vector.
     """
     S = jnp.asarray(S)
     N, B = S.shape
@@ -27,10 +33,22 @@ def project_columns(S, k1, k2):
     k1 = jnp.broadcast_to(jnp.asarray(k1, dt), (B,))
     k2 = jnp.broadcast_to(jnp.asarray(k2, dt), (B,))
 
-    # Initial projection onto the sum-constraint hyperplane (projfunc.m:22).
-    v0 = S + (k1 - jnp.sum(S, axis=0)) / N
-
-    zero0 = jnp.zeros((N, B), dtype=bool)
+    if valid is None or valid >= N:
+        row_valid = None
+        n_eff = N
+        # Initial projection onto the sum hyperplane (projfunc.m:22).
+        v0 = S + (k1 - jnp.sum(S, axis=0)) / N
+        zero0 = jnp.zeros((N, B), dtype=bool)
+    else:
+        row_valid = (jnp.arange(N) < valid)[:, None]
+        n_eff = valid
+        Sm = jnp.where(row_valid, S, jnp.zeros((), dt))
+        v0 = jnp.where(row_valid,
+                       Sm + (k1 - jnp.sum(Sm, axis=0)) / n_eff,
+                       jnp.zeros((), dt))
+        # Pad rows are permanently "zeroed coefficients": excluded from the
+        # midpoint via the nz count and pinned at 0 by the clamp/where.
+        zero0 = jnp.broadcast_to(~row_valid, (N, B))
     done0 = jnp.zeros((B,), dtype=bool)
     iters0 = jnp.zeros((B,), dtype=jnp.int32)
 

@@ -32,20 +32,32 @@ def shift_left(X, t: int):
     return jnp.pad(X, pad)[..., t:]
 
 
-def stack_shifts_right(H, T: int):
-    """(T, k, n) tensor of right-shifted copies of H; cheap for T <= ~16."""
-    return jnp.stack([shift_right(H, t) for t in range(T)], axis=0)
+def stack_shifts_right(H, T: int, n_valid: int | None = None):
+    """(T, k, n) tensor of right-shifted copies of H; cheap for T <= ~16.
+
+    ``n_valid`` masks the shift SPILL of a mesh-padded problem: the true
+    signal ends at column n_valid, so a right shift must truncate there —
+    columns >= n_valid of every shifted copy are zeroed (otherwise valid
+    H data spills into the pad region and changes the cross-Grams and the
+    reconstruction vs the unpadded problem; parallel/padding.py).
+    """
+    Hs = jnp.stack([shift_right(H, t) for t in range(T)], axis=0)
+    if n_valid is not None and n_valid < H.shape[-1]:
+        cols = jnp.arange(H.shape[-1]) < n_valid
+        Hs = jnp.where(cols[None, None, :], Hs, jnp.zeros((), Hs.dtype))
+    return Hs
 
 
-def conv_reconstruct(W, H):
+def conv_reconstruct(W, H, n_valid: int | None = None):
     """Convolutive reconstruction V_hat = sum_t W[:, :, t] @ shift_right(H, t).
 
     Reference: ReconstructFromDecomposition.m:32-38.  W is (m, k, T).
     Implemented as ONE batched matmul over the stacked shifts so the MXU
     sees a single (T, m, n) contraction instead of T small matmuls.
+    ``n_valid``: see :func:`stack_shifts_right`.
     """
     T = W.shape[2]
-    Hs = stack_shifts_right(H, T)  # (T, k, n)
+    Hs = stack_shifts_right(H, T, n_valid)  # (T, k, n)
     return jnp.einsum("mkt,tkn->mn", W, Hs, preferred_element_type=W.dtype)
 
 
@@ -80,11 +92,13 @@ def conv_wt_phi(W, Phi):
     return out
 
 
-def conv_phi_ht(Phi, H, T: int):
+def conv_phi_ht(Phi, H, T: int, n_valid: int | None = None):
     """Phi @ shift_right(H, t)' for all t -> (m, k, T).
 
     The W-update gradient of cnmf.m:182-192, batched into one matmul over
-    the stacked H shifts.
+    the stacked H shifts.  ``n_valid``: see :func:`stack_shifts_right`
+    (exactness holds whenever Phi's pad columns are zero, but masking here
+    keeps the contraction independent of pad garbage).
     """
-    Hs = stack_shifts_right(H, T)  # (T, k, n)
+    Hs = stack_shifts_right(H, T, n_valid)  # (T, k, n)
     return jnp.einsum("mn,tkn->mkt", Phi, Hs, preferred_element_type=Phi.dtype)

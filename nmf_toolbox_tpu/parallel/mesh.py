@@ -96,7 +96,11 @@ def placements_for(solver: str, mesh: Mesh) -> dict:
         # Gram family: the n-by-n Gram shards over samples on one side.
         "convexnmf": {"V": V, "G": P(n_ax, None), "H": Hcol},
         "chnmf": {"V": V, "S": Wrow, "G": P(None, None), "H": Hcol},
-        "chcnmf": {"V": V, "S": Wrow, "G": P(None, None, None), "H": Hcol},
+        # chcnmf's placed "V" is the p-by-n Gram S'V: the hull size p is
+        # data-dependent and small, so its axis is REPLICATED (sharding it
+        # over the feature axis would demand p % mesh == 0 for no gain).
+        "chcnmf": {"V": P(None, n_ax), "S": Wrow,
+                   "G": P(None, None, None), "H": Hcol},
         # batched serving: shard the BATCH axis (data-parallel problems);
         # the sample axis of the mesh carries the batch dimension here.
         "nmf_batched": {"V": P(n_ax, None, None), "W": P(n_ax, None, None),
