@@ -1,8 +1,12 @@
-"""Headline benchmark: Euclidean NMF multiplicative-update throughput at
+"""Headline benchmark: Euclidean NMF multiplicative updates at
 100k x 10k rank-200 (BASELINE.json's metric) on the available device.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "iters/sec", "vs_baseline": N}
+Prints ONE JSON line carrying BOTH halves of the BASELINE metric:
+
+  {"metric": ..., "value": N, "unit": "iters/sec", "vs_baseline": N,
+   "time_to_tol_s": ..., "tol_iters": ..., "tol_criterion": ...,
+   "vs_matlab_time_to_tol": ..., "hals_time_to_tol_s": ...,
+   "objective_rel_vs_oracle": ..., "objective_within_1e5": true}
 
 vs_baseline is the speedup over single-core MATLAB running the reference
 implementation (nmf.m) on the same problem.  The reference publishes no
@@ -16,65 +20,127 @@ estimate:
   single MATLAB/BLAS core sustains ~5e10 FLOP/s in double precision
   -> ~80 s/iter -> 0.0125 iters/s.
 
-This framework's Gram-form iteration does 2 full-size matmuls (V H' and
-W'V, 4*m*n*k = 8.0e11 FLOPs) and never materializes the m-by-n
-reconstruction — the cost is evaluated from k-by-k Grams.
+Time-to-tolerance: MU on a full-rank random V converges to a stationary
+point it cannot improve (a rank-200 model of a random 100k x 10k matrix
+has ~0.46 irreducible relative error; "1e-4 reconstruction error" is
+unreachable for ANY implementation of this algorithm), so the measurable
+tolerance event is CONVERGENCE AT 1e-4 RELATIVE DECREASE: the first
+iteration where (cost_prev - cost) / cost < 1e-4 * iters_in_chunk,
+with the cost evaluated as a direct f32 residual 0.5||V - WH||^2 (the
+Gram identity's f32 cancellation floor cannot certify this).  The MU
+trajectory is implementation-independent, so MATLAB would need the SAME
+iteration count: vs_matlab_time_to_tol = tol_iters * 80s / time_to_tol_s.
+
+The objective check (north star "objective within 1e-5 relative"): the
+f32 TPU run of BASELINE config #1 (1000x500 r25, 200 iters) must land
+within 1e-5 relative of a float64 NumPy transliteration of nmf.m's
+update equations, both objectives evaluated in f64 from the final
+factors.  Runs in a subprocess (one compiled program per process keeps
+the relay-attached worker stable; benchmarks/RESULTS_v5e.md).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 MATLAB_ITERS_PER_SEC = 0.0125  # documented estimate above
+MATLAB_SEC_PER_ITER = 1.0 / MATLAB_ITERS_PER_SEC
+REL_DECREASE_TOL = 1e-4
 
 
-def _secondary_configs():
-    """BASELINE.json configs #2/#3 throughput, reported on stderr only
-    (the driver's JSON line stays the headline config)."""
-    import time
+def _objective_check_child():
+    """BASELINE config #1 parity: f32 device run vs f64 literal oracle."""
     import jax
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
     import nmf_toolbox_tpu as nt
 
-    ent = np.random.default_rng()
+    rng = np.random.default_rng(42)
+    V = rng.uniform(0.05, 1.0, (1000, 500))
+    W0 = rng.uniform(size=(1000, 25))
+    H0 = rng.uniform(size=(25, 500))
+    EPS = np.finfo(np.float64).eps
 
-    def timed(fn, W0, iters, label):
-        med = []
-        for t in range(4):
-            W0t = W0 * np.float32(1.0 + 1e-5 * ent.uniform())
-            jax.block_until_ready(W0t)
-            t0 = time.perf_counter()
-            fn(W0t)
-            med.append(time.perf_counter() - t0)
-        med = sorted(med[1:])[len(med[1:]) // 2]
-        print(f"{label}: {iters / med:.1f} iters/s ({med / iters * 1e3:.2f} ms/iter)",
-              file=sys.stderr)
+    def oracle(V, W, H, iters):
+        # literal nmf.m:147-203 euclidean updates in float64
+        W = W / np.sqrt((W ** 2).sum(0, keepdims=True))
+        for _ in range(iters):
+            Vh = W @ H
+            neg = V @ H.T + W * np.diag(H @ Vh.T @ W)[None, :]
+            pos = Vh @ H.T + W * np.diag(H @ V.T @ W)[None, :]
+            W = W * (neg / np.maximum(pos, EPS))
+            W = W / np.sqrt((W ** 2).sum(0, keepdims=True))
+            Vh = W @ H
+            H = H * ((W.T @ V) / np.maximum(W.T @ Vh, EPS))
+        return W, H
 
-    # config #2: KL nmf 5000x2000 r50
-    key = jax.random.PRNGKey(7)
-    kv, kw, kh = jax.random.split(key, 3)
-    V = jax.random.uniform(kv, (5000, 2000), jnp.float32, 0.05, 1.0)
-    W0 = jax.random.uniform(kw, (5000, 50), jnp.float32)
-    H0 = jax.random.uniform(kh, (50, 2000), jnp.float32)
+    Wo, Ho = oracle(V, W0.copy(), H0.copy(), 200)
+    c_oracle = 0.5 * np.sum((V - Wo @ Ho) ** 2)
+    r = nt.nmf(V.astype(np.float32), 25, W_init=W0.astype(np.float32),
+               H_init=H0.astype(np.float32), maxiter=200, tolerance=1e-30)
+    Wf, Hf = r.W.astype(np.float64), r.H.astype(np.float64)
+    c_dev = 0.5 * np.sum((V - Wf @ Hf) ** 2)
+    rel = abs(c_dev - c_oracle) / c_oracle
+    print(json.dumps({"objective_rel_vs_oracle": rel,
+                      "objective_within_1e5": bool(rel <= 1e-5)}))
+
+
+def _hals_tol_child():
+    """HALS (the framework's best euclidean solver) time-to-tolerance at
+    the headline scale, factors kept on device between chunks."""
+    import jax
+    import jax.numpy as jnp
+    from nmf_toolbox_tpu.models.hals import _build_solver, _Spec
+    from nmf_toolbox_tpu.core import EPS
+
+    m, n, k = 100_000, 10_000, 200
+    chunk = 20
+    kv, kw, kh = jax.random.split(jax.random.PRNGKey(0), 3)
+    V = jax.random.uniform(kv, (m, n), jnp.float32, 0.05, 1.0)
+    W = jax.random.uniform(kw, (m, k), jnp.float32)
+    H = jax.random.uniform(kh, (k, n), jnp.float32)
     jax.block_until_ready(V)
-    nt.nmf(V, 50, W_init=W0, H_init=H0, divergence="kl", maxiter=50,
-           tolerance=1e-30)  # warmup/compile
-    timed(lambda W: nt.nmf(V, 50, W_init=W, H_init=H0, divergence="kl",
-                           maxiter=50, tolerance=1e-30),
-          W0, 50, "KL nmf 5000x2000 r50")
 
-    # config #3: euclidean cnmf 513x10000 r64 T=8 (Gram path)
-    kv, kw, kh = jax.random.split(jax.random.PRNGKey(8), 3)
-    V = jax.random.uniform(kv, (513, 10_000), jnp.float32, 0.05, 1.0)
-    W0 = jax.random.uniform(kw, (513, 64, 8), jnp.float32)
-    H0 = jax.random.uniform(kh, (64, 10_000), jnp.float32)
-    jax.block_until_ready(V)
-    nt.cnmf(V, 64, 8, W_init=W0, H_init=H0, maxiter=50, tolerance=1e-30)
-    timed(lambda W: nt.cnmf(V, 64, 8, W_init=W, H_init=H0, maxiter=50,
-                            tolerance=1e-30),
-          W0, 50, "euclid cnmf 513x10000 r64 T8")
+    solve = _build_solver(_Spec(chunk, k, EPS))
+    tol = jnp.float32(1e-30)
+
+    @jax.jit
+    def direct_cost(V, W, H):
+        E = V - jax.lax.dot(W, H, preferred_element_type=jnp.float32)
+        return 0.5 * jnp.sum(E * E)
+
+    out = solve(V, W, H, tol)  # warmup compile
+    float(direct_cost(V, *out.state))
+
+    t0 = time.perf_counter()
+    c_prev, iters = None, 0
+    for _ in range(30):  # cap at 600 iterations
+        out = solve(V, W, H, tol)
+        W, H = out.state
+        iters += chunk
+        c = float(direct_cost(V, W, H))
+        if c_prev is not None and (c_prev - c) / c < REL_DECREASE_TOL * chunk:
+            break
+        c_prev = c
+    dt = time.perf_counter() - t0
+    print(json.dumps({"hals_time_to_tol_s": round(dt, 3),
+                      "hals_tol_iters": iters}))
+
+
+def _run_child(name, timeout):
+    env = dict(os.environ)
+    env["NMF_TPU_BENCH_CHILD"] = name
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, timeout=timeout,
+                           env=env)
+        line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
+        return json.loads(line)
+    except Exception as e:
+        print(f"child {name} failed: {e}", file=sys.stderr)
+        return {}
 
 
 def main():
@@ -106,10 +172,19 @@ def main():
             zeros = jnp.zeros((k,), jnp.float32)
             tol = jnp.float32(1e-30)  # never triggers: time all iterations
 
-            # Warmup (compile + one full run).
+            @jax.jit
+            def direct_cost(V, W, H):
+                # direct f32 residual: the Gram identity's cancellation
+                # floor (~v_sq * eps_f32) cannot resolve the tolerance event
+                E = V - jax.lax.dot(W, H, preferred_element_type=jnp.float32)
+                return 0.5 * jnp.sum(E * E)
+
+            # Warmup (compile + one full run of both programs).
             out = solve(V, W0, H0, zeros, zeros, tol)
             jax.block_until_ready(out.cost_buf)
+            float(direct_cost(V, out.state[0], out.state[1]))
 
+            # --- Phase 1: iters/sec ----------------------------------
             # Perturb the init each trial with fresh entropy (the remote
             # relay caches identical-argument calls) and DISCARD the first
             # trial: the first post-warmup call on the tunneled device has
@@ -127,28 +202,60 @@ def main():
                 float(out.cost_buf[-1])  # drain
             dts = dts[1:]
             dt = sorted(dts)[len(dts) // 2]
-
             iters_per_sec = timing_iters / dt
             c = np.asarray(out.cost_buf)
             print(f"config {m}x{n} r{k}: {iters_per_sec:.2f} iters/s "
                   f"({dt*1e3/timing_iters:.1f} ms/iter), cost {c[0]:.3e} -> {c[-1]:.3e}",
                   file=sys.stderr)
+
+            # --- Phase 2: time to 1e-4 relative decrease --------------
+            # Chunked on the SAME compiled program; factors stay on device
+            # (a host round-trip of the 80 MB basis through the relay
+            # tunnel would dominate and is not part of the solve).
+            W0t = W0 * np.float32(1.0 + 1e-5 * ent.uniform(0.1, 1.0))
+            jax.block_until_ready(W0t)
+            t0 = time.perf_counter()
+            Wd, Hd = W0t, H0
+            c_prev, tol_iters = None, 0
+            for _ in range(30):  # cap at 600 iterations
+                out = solve(V, Wd, Hd, zeros, zeros, tol)
+                Wd, Hd = out.state
+                tol_iters += timing_iters
+                cc = float(direct_cost(V, Wd, Hd))
+                if c_prev is not None and \
+                        (c_prev - cc) / cc < REL_DECREASE_TOL * timing_iters:
+                    break
+                c_prev = cc
+            time_to_tol = time.perf_counter() - t0
+            v_sq = float(jnp.sum(V * V))
+            rel_err = (2.0 * cc / v_sq) ** 0.5
+            print(f"time-to-tol (1e-4 rel decrease): {time_to_tol:.2f}s over "
+                  f"{tol_iters} iters (rel recon err {rel_err:.4f})",
+                  file=sys.stderr)
+
             result = {
                 "metric": f"euclidean NMF MU iters/sec, {m}x{n} rank-{k}, f32, "
                           f"1 chip ({dev.platform})",
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/sec",
                 "vs_baseline": round(iters_per_sec / MATLAB_ITERS_PER_SEC, 1),
+                "time_to_tol_s": round(time_to_tol, 3),
+                "tol_iters": tol_iters,
+                "tol_criterion": "first iter with relative objective "
+                                 "decrease < 1e-4 (direct f32 residual)",
+                "rel_recon_err_at_tol": round(rel_err, 5),
+                "vs_matlab_time_to_tol": round(
+                    tol_iters * MATLAB_SEC_PER_ITER / time_to_tol, 1),
             }
-            # Secondary configs are opt-in: compiling several distinct
-            # solvers in one process can crash this container's
-            # relay-attached worker (see benchmarks/RESULTS_v5e.md), and
-            # the headline JSON line must be recorded reliably.
-            if os.environ.get("NMF_TPU_BENCH_SECONDARY") == "1":
-                try:
-                    _secondary_configs()
-                except Exception as e:
-                    print(f"secondary configs skipped: {e}", file=sys.stderr)
+
+            # --- Phase 3/4: children (own processes: one compiled
+            # program per process keeps the relay worker stable) -------
+            if m == 100_000:
+                result.update(_run_child("hals_tol", timeout=900))
+            result.update(_run_child("objective_check", timeout=600))
+
+            # Secondary configs are opt-in (benchmarks/run_all.py runs
+            # them as separate processes).
             print(json.dumps(result))
             return
         except Exception as e:  # OOM etc. — try the next size
@@ -160,4 +267,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    child = os.environ.get("NMF_TPU_BENCH_CHILD")
+    if child == "objective_check":
+        _objective_check_child()
+    elif child == "hals_tol":
+        _hals_tol_child()
+    else:
+        main()
