@@ -39,6 +39,40 @@ def _timed_iters(call, make_init, iters):
     return iters / med
 
 
+def _timed_chunked(solve_chunk, state0, chunk, n_chunks):
+    """Time `n_chunks` dispatches of a `chunk`-iteration compiled solver,
+    threading DEVICE-RESIDENT state between dispatches.
+
+    This is how the full-iteration-count numbers for nmfsc/cmfwisa are
+    recorded on the axon relay, whose worker crashes on long single
+    while_loop dispatches (RESULTS_v5e.md "KNOWN RIG LIMITATION"): the
+    run_checkpointed-style bounded dispatch sidesteps the crash while
+    measuring the same per-iteration work.  The first (post-warmup)
+    dispatch is discarded, matching _timed_iters.
+    """
+    import jax
+
+    def fence(state):
+        # On the tunneled relay block_until_ready can return early; a
+        # host readback of one scalar is the only reliable completion
+        # fence (same workaround as bench.py's cost_buf drain).
+        jax.block_until_ready(state)
+        float(jax.numpy.ravel(state[0])[0])
+
+    state = solve_chunk(state0)  # warmup/compile dispatch
+    fence(state)
+    state = solve_chunk(state)   # discard: unreliable first-call signaling
+    fence(state)
+    ts = []
+    for _ in range(n_chunks):
+        t0 = time.perf_counter()
+        state = solve_chunk(state)
+        fence(state)
+        ts.append(time.perf_counter() - t0)
+    med = sorted(ts)[len(ts) // 2]
+    return chunk / med, (1 + n_chunks) * chunk  # iters/s, iters executed
+
+
 CONFIG_NAMES = ["nmf-euclid", "nmf-kl", "nmfsc", "cnmf", "cnmfsc",
                 "cmfwisa", "convexnmf", "seminmf"]
 
@@ -132,11 +166,33 @@ def main():
             record(f"nmf KL {m}x{n} r{k}", ips)
         if want("nmfsc"):
             H0n = H0 / jnp.sqrt(jnp.sum(H0 * H0, axis=1, keepdims=True))
-            ips = _timed_iters(
-                lambda W: nt.nmfsc(V, k, W_init=W, H_init=H0n, H_sparsity=0.6,
-                                   maxiter=iters, tolerance=1e-30),
-                lambda f: W0 * f, iters)
-            record(f"nmfsc Hoyer(0.6) {m}x{n} r{k}", ips)
+            if args.quick:
+                ips = _timed_iters(
+                    lambda W: nt.nmfsc(V, k, W_init=W, H_init=H0n,
+                                       H_sparsity=0.6, maxiter=iters,
+                                       tolerance=1e-30),
+                    lambda f: W0 * f, iters)
+                total = iters
+            else:
+                # Full size: chunked dispatch (10 iters per device call),
+                # device-resident state between chunks.
+                from nmf_toolbox_tpu.models.nmfsc import (
+                    _build_solver as _nmfsc_build, _Spec as _NmfscSpec)
+                from nmf_toolbox_tpu.ops.projection import hoyer_l1_target
+                from nmf_toolbox_tpu.core import EPS
+                chunk = 10
+                spec = _NmfscSpec(chunk, False, True, False, False, EPS,
+                                  0.0, float(hoyer_l1_target(n, 0.6)))
+                solve = _nmfsc_build(spec)
+                Vn = V / jnp.max(V)  # wrapper semantics (nmfsc.m:62)
+                tol = jnp.float32(1e-30)
+
+                def solve_chunk(state):
+                    return solve(Vn, state[0], state[1], tol).state
+
+                ips, total = _timed_chunked(solve_chunk, (W0, H0n), chunk, 2)
+            record(f"nmfsc Hoyer(0.6) {m}x{n} r{k}", ips,
+                   {"iters_executed": total})
 
     # 3) cnmf / cnmfsc on a 513 x 10k STFT-shaped matrix, T=8
     m, n, k, T = 513, 10_000 // q, 64, 8
@@ -163,13 +219,40 @@ def main():
         mag = rnd(9, (m, n))
         ph = jax.random.uniform(jax.random.PRNGKey(10), (m, n), jnp.float32,
                                 -np.pi, np.pi)
-        Vc = (mag * jnp.exp(1j * ph)).astype(jnp.complex64)
         W0, H0 = rnd(11, (m, k)), rnd(12, (k, n))
-        ips = _timed_iters(
-            lambda W: nt.cmfwisa(Vc, k, W_init=W, H_init=H0, maxiter=iters,
-                                 tolerance=1e-30),
-            lambda f: W0 * f, iters)
-        record(f"cmfwisa complex64 {m}x{n} r{k}", ips)
+        if args.quick:
+            Vc = (mag * jnp.exp(1j * ph)).astype(jnp.complex64)
+            ips = _timed_iters(
+                lambda W: nt.cmfwisa(Vc, k, W_init=W, H_init=H0, maxiter=iters,
+                                     tolerance=1e-30),
+                lambda f: W0 * f, iters)
+            total = iters
+        else:
+            # Full size: chunked dispatch on the internal solver; the
+            # complex data/phase stay on device as real planes.
+            from nmf_toolbox_tpu.models.cmfwisa import (
+                _build_solver as _cm_build, _Spec as _CmSpec)
+            from nmf_toolbox_tpu.core import EPS
+            chunk = 10
+            spec = _CmSpec(chunk, (False,), (False,), (False,),
+                           ((0, k),), EPS)
+            solve = _cm_build(spec)
+            V_re = mag * jnp.cos(ph)
+            V_im = mag * jnp.sin(ph)
+            # P0 = exp(1j angle(V)): planes cos(ph), sin(ph)
+            P_re0 = jnp.cos(ph)[None]
+            P_im0 = jnp.sin(ph)[None]
+            hsp = jnp.zeros((k,), jnp.float32)
+            tol = jnp.float32(1e-30)
+
+            def solve_chunk(state):
+                W, H, P_re, P_im = state
+                return solve(V_re, V_im, W, H, P_re, P_im, hsp, tol).state
+
+            ips, total = _timed_chunked(
+                solve_chunk, (W0, H0, P_re0, P_im0), chunk, 2)
+        record(f"cmfwisa complex64 {m}x{n} r{k}", ips,
+               {"iters_executed": total})
 
     # 5) hull family at scale: convexnmf/seminmf (n x n Gram regime)
     m, n, k = 100_000 // q, 10_000 // q, 200

@@ -80,7 +80,6 @@ def main(argv=None):
             ("--h-sparsity", args.h_sparsity), ("--alpha", args.alpha),
             ("--beta", args.beta), ("--resume", args.resume),
             ("--checkpoint-every", args.checkpoint_every),
-            ("--mesh", args.mesh),
         ] if val is not None]
         if unsupported:
             print("error: --streaming (euclidean out-of-core) does not "
@@ -122,7 +121,7 @@ def main(argv=None):
         res = nt.nmf_streaming(V, args.k, block_size=args.block_size,
                                epochs=max(1, args.maxiter),
                                tolerance=args.tolerance, seed=args.seed,
-                               return_H=False)
+                               return_H=False, mesh=cfg.get("mesh"))
         save_factors(args.out, res)
     elif args.checkpoint_every:
         res = run_checkpointed(solver, V, *pos, total_iters=args.maxiter,

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
 from ..ops.normalize import unit_l2_columns
+from ..parallel import mesh_multiples, pad_amount
 
 
 class _Spec(NamedTuple):
@@ -83,7 +84,13 @@ def nmf_streaming(V, num_basis_elems: int, config: dict | None = None,
     ~5 passes), inner_iters (3 MU encodings per block), forget (sufficient
     -statistics discount rho per block, default 1.0 = no forgetting),
     W_init, return_H (False: skip the final full-matrix encoding),
-    tolerance (early stop on epoch-cost decrease), seed, dtype.
+    tolerance (early stop on epoch-cost decrease), seed, dtype,
+    mesh (shard each streamed block over the device mesh: W and the
+    sufficient statistics follow the feature axis and stay replicated on
+    a 1-D sample mesh; block columns shard over the sample axis — the
+    out-of-core path composes with multi-chip; blocks are zero-padded to
+    a uniform mesh multiple, which is exact for the MU algebra and also
+    means ONE compiled program serves every block incl. the short tail).
 
     Returns Result as (W, H, cost) with cost = per-epoch objective
     (computed online from the streamed blocks) and H = None unless
@@ -102,27 +109,64 @@ def nmf_streaming(V, num_basis_elems: int, config: dict | None = None,
     rho = float(cfg.get("forget", 1.0))
     kw, kh = jax.random.split(key)
 
+    mesh = cfg.get("mesh")
+    mmul, nmul = mesh_multiples(mesh)
+    pad_m = pad_amount(m, mmul)
+    # every block ships at one uniform padded width (zero pad is exact;
+    # one compiled program serves all blocks)
+    blk_pad = block + pad_amount(block, nmul) if mesh is not None else block
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        m_ax = "m" if "m" in mesh.axis_names else None
+        n_ax = "n" if "n" in mesh.axis_names else None
+        sh_V = NamedSharding(mesh, P(m_ax, n_ax))
+        sh_W = NamedSharding(mesh, P(m_ax, None))
+        sh_H = NamedSharding(mesh, P(None, n_ax))
+        sh_B = NamedSharding(mesh, P())
+
+    def place(x, sh):
+        return jax.device_put(x, sh) if mesh is not None else x
+
+    def pad_block(arr, width, axis, row_pad=0):
+        pads = [(0, 0)] * arr.ndim
+        pads[axis] = (0, width - arr.shape[axis])
+        if row_pad:
+            pads[0] = (0, row_pad)
+        return jnp.pad(jnp.asarray(arr), pads) if any(p != (0, 0) for p in pads) \
+            else jnp.asarray(arr)
+
     W = cfg.get("W_init")
     if W is None:
         W = unit_l2_columns(uniform_init(kw, (m, k), dtype))
-    W = jnp.asarray(W, dtype)
+    W = place(pad_block(jnp.asarray(W, dtype), k, 1, row_pad=pad_m), sh_W) \
+        if mesh is not None else jnp.asarray(W, dtype)
 
     encode, stats, update_w, block_cost = _block_fns(_Spec(inner, eps))
 
     starts = list(range(0, n, block))
-    # Per-block encodings persist across epochs (warm starts).
+    # Per-block encodings persist across epochs (warm starts); padded
+    # columns start (and stay) exactly zero under the MU encodings.
     hkeys = jax.random.split(kh, len(starts))
-    H_blocks = [uniform_init(hk, (k, min(block, n - a)), dtype)
-                for hk, a in zip(hkeys, starts)]
+    H_blocks = []
+    for hk, a in zip(hkeys, starts):
+        w_valid = min(block, n - a)
+        Hb = uniform_init(hk, (k, w_valid), dtype)
+        if mesh is not None:
+            Hb = place(pad_block(Hb, blk_pad, 1), sh_H)
+        H_blocks.append(Hb)
 
-    A = jnp.zeros((m, k), dtype)
-    B = jnp.zeros((k, k), dtype)
+    A = place(jnp.zeros((m + pad_m, k), dtype), sh_W) if mesh is not None \
+        else jnp.zeros((m, k), dtype)
+    B = place(jnp.zeros((k, k), dtype), sh_B) if mesh is not None \
+        else jnp.zeros((k, k), dtype)
     cost = []
     for epoch in range(epochs):
         total = 0.0
         for bi, a in enumerate(starts):
             b = min(a + block, n)
             Vb = jnp.asarray(np.asarray(V[:, a:b]), dtype)
+            if mesh is not None:
+                Vb = place(pad_block(Vb, blk_pad, 1, row_pad=pad_m), sh_V)
             Hb = encode(Vb, W, H_blocks[bi])
             H_blocks[bi] = Hb
             Ab, Bb, v_sq = stats(Vb, Hb)
@@ -135,12 +179,19 @@ def nmf_streaming(V, num_basis_elems: int, config: dict | None = None,
                 and cost[-2] - cost[-1] < tolerance):
             break
 
+    def host_block(Hb, a):
+        w_valid = min(block, n - a)
+        return np.asarray(Hb)[:, :w_valid]
+
     H = None
     if cfg.get("return_H", False):
-        H = np.concatenate(
-            [np.asarray(encode(jnp.asarray(np.asarray(V[:, a:min(a + block, n)]),
-                                           dtype), W, H_blocks[bi]))
-             for bi, a in enumerate(starts)], axis=1)
+        parts = []
+        for bi, a in enumerate(starts):
+            Vb = jnp.asarray(np.asarray(V[:, a:min(a + block, n)]), dtype)
+            if mesh is not None:
+                Vb = place(pad_block(Vb, blk_pad, 1, row_pad=pad_m), sh_V)
+            parts.append(host_block(encode(Vb, W, H_blocks[bi]), a))
+        H = np.concatenate(parts, axis=1)
     return Result(fields=("W", "H", "cost"),
-                  W=np.asarray(W), H=H, cost=np.asarray(cost),
+                  W=np.asarray(W)[:m], H=H, cost=np.asarray(cost),
                   n_iters=len(cost), converged=len(cost) < epochs)
