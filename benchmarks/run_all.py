@@ -180,7 +180,7 @@ def main():
                     _build_solver as _nmfsc_build, _Spec as _NmfscSpec)
                 from nmf_toolbox_tpu.ops.projection import hoyer_l1_target
                 from nmf_toolbox_tpu.core import EPS
-                chunk = 10
+                chunk = 5  # 10-iteration dispatches still fault the relay
                 spec = _NmfscSpec(chunk, False, True, False, False, EPS,
                                   0.0, float(hoyer_l1_target(n, 0.6)))
                 solve = _nmfsc_build(spec)
