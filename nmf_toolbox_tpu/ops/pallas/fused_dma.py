@@ -8,14 +8,15 @@ streams its row of V tiles from HBM with a two-slot double buffer
 VMEM, so the reduction loop runs at DMA/compute overlap speed.
 
 Scope: KL W-phase only ((V / (W@H)) @ H') — the experiment that decides
-whether manual pipelining can beat XLA's fusion.  STATUS: correct in
-interpreter mode (tested); on this container's tunneled TPU the
-measurement could not be completed — compiling pallas_call inside a
-device loop through the remote-compile relay hangs and can crash the
-TPU worker (twice reproduced), so the comparison is deferred to an
-environment with direct chip access.  fused.py remains the production
-(opt-in) kernel set.  Requires k <= 512 and n such that H fits VMEM
-(kp * np * 4 <= ~6 MB).
+whether manual pipelining can beat XLA's fusion.  STATUS: MEASURED on
+the v5e (round 2, benchmarks/PALLAS_COMPARE_v5e.json): this kernel is
+identical in speed to the grid-blocked fused.py kernel at every shape
+tried (15.2 vs 15.3 ms at 40k x 10k r100) — per-grid-step overhead was
+NOT the gap — and XLA's automatic fusion beats both by up to 3.2x,
+reaching 41%% of the one-V-read HBM floor.  The Pallas north-star item
+is retired on this evidence; XLA fusion is the production compute path
+and these kernels stay opt-in reference implementations.  Requires
+k <= 512 and n such that H fits VMEM (kp * np * 4 <= ~6 MB).
 """
 from __future__ import annotations
 
