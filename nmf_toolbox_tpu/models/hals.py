@@ -94,9 +94,20 @@ def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     kw, kh = jax.random.split(key)
 
     W0 = cfg.get("W_init")
+    H0 = cfg.get("H_init")
+    init = str(cfg.get("init", "random"))
+    if init != "random":
+        if init not in ("nndsvd", "nndsvda", "nndsvdar"):
+            raise ValueError(f"unknown init {init!r}; expected 'random', "
+                             "'nndsvd', 'nndsvda', or 'nndsvdar'")
+        if W0 is not None or H0 is not None:
+            raise ValueError("init='nndsvd*' cannot be combined with "
+                             "W_init/H_init")
+        from ..utils.init import nndsvd
+        cdt = jnp.promote_types(dtype, jnp.float32)
+        W0, H0 = nndsvd(V.astype(cdt), k, key=key, variant=init)
     if W0 is None:
         W0 = unit_l2_columns(uniform_init(kw, (m, k), dtype))
-    H0 = cfg.get("H_init")
     if H0 is None:
         H0 = uniform_init(kh, (k, n), dtype)
     W0 = jnp.asarray(W0, dtype)

@@ -285,6 +285,26 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
 
     w_list, w_was_seq = promote_inits(cfg.get("W_init"), S, "basis")
     h_list, h_was_seq = promote_inits(cfg.get("H_init"), S, "encoding")
+    init = str(cfg.get("init", "random"))
+    if init != "random":
+        # Beyond-reference extra: SVD-seeded factors (utils/init.nndsvd).
+        if init not in ("nndsvd", "nndsvda", "nndsvdar"):
+            raise ValueError(f"unknown init {init!r}; expected 'random', "
+                             "'nndsvd', 'nndsvda', or 'nndsvdar'")
+        if w_list is not None or h_list is not None:
+            raise ValueError("init='nndsvd*' cannot be combined with "
+                             "W_init/H_init")
+        if S != 1:
+            raise ValueError("init='nndsvd*' supports a single source")
+        from ..utils.init import nndsvd
+        cdt = jnp.promote_types(dtype, jnp.float32)
+        Wn, Hn = nndsvd(V.astype(cdt), ks[0], key=key, variant=init)
+        # The solver normalizes W columns to unit L2 (nmf.m:132-134);
+        # transfer the norms into H first so W @ H is preserved.
+        norms = jnp.sqrt(jnp.maximum(jnp.sum(Wn * Wn, axis=0), eps))
+        w_list = [(Wn / norms[None, :]).astype(dtype)]
+        h_list = [(Hn * norms[:, None]).astype(dtype)]
+        w_was_seq = h_was_seq = was_seq
     kw, kh = jax.random.split(key)
     if w_list is None:
         w_list = default_w_init(kw, m, ks, dtype)
