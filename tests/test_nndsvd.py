@@ -99,3 +99,14 @@ def test_init_nndsvd_preserves_product_through_renorm():
     rel_seed = (np.linalg.norm(V - np.asarray(Wn) @ np.asarray(Hn))
                 / np.linalg.norm(V))
     assert rel < rel_seed
+
+
+def test_estimator_facade_with_nndsvd_init():
+    from nmf_toolbox_tpu.estimators import NMF
+    X = _lowrank(40, 30, 4, seed=9).T  # sklearn layout: samples x features
+    est = NMF(4, solver="mu", max_iter=10, tol=1e-30, init="nndsvdar")
+    Ht = est.fit_transform(X)
+    assert Ht.shape == (30, 4)
+    # transform must not forward the fit-time init choice alongside W_init
+    Ht2 = est.transform(X)
+    assert Ht2.shape == (30, 4)
