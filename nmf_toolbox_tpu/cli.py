@@ -17,8 +17,8 @@ import sys
 
 import numpy as np
 
-SOLVERS = ("nmf", "nmfsc", "cnmf", "cnmfsc", "cmfwisa", "lnmf", "convexnmf",
-           "seminmf", "chnmf", "chcnmf", "constrainednmf")
+SOLVERS = ("nmf", "nmf_hals", "nmfsc", "cnmf", "cnmfsc", "cmfwisa", "lnmf",
+           "convexnmf", "seminmf", "chnmf", "chcnmf", "constrainednmf")
 
 
 def build_parser():
@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--maxiter", type=int, default=100)
     p.add_argument("--tolerance", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init", default=None,
+                   choices=("random", "nndsvd", "nndsvda", "nndsvdar"),
+                   help="factor seeding for nmf/nmf_hals (default random)")
     p.add_argument("--dtype", default=None, help="compute dtype override")
     p.add_argument("--shape", default=None, help="rows,cols for raw binary input")
     p.add_argument("--input-dtype", default="float32", help="raw binary dtype")
@@ -80,6 +83,7 @@ def main(argv=None):
             ("--h-sparsity", args.h_sparsity), ("--alpha", args.alpha),
             ("--beta", args.beta), ("--resume", args.resume),
             ("--checkpoint-every", args.checkpoint_every),
+            ("--init", args.init),
         ] if val is not None]
         if unsupported:
             print("error: --streaming (euclidean out-of-core) does not "
@@ -96,6 +100,31 @@ def main(argv=None):
                      ("H_sparsity", args.h_sparsity), ("dtype", args.dtype)]:
         if val is not None:
             cfg[key] = val
+    if args.solver == "nmf_hals":
+        # hals is euclidean-only with no sparsity penalties; error rather
+        # than silently ignore flags it cannot honor.
+        bad = [f for f, v in [("--divergence", args.divergence
+                               if args.divergence not in (None, "euclidean")
+                               else None),
+                              ("--alpha", args.alpha), ("--beta", args.beta),
+                              ("--w-sparsity", args.w_sparsity),
+                              ("--h-sparsity", args.h_sparsity)]
+               if v is not None]
+        if bad:
+            print(f"error: nmf_hals (euclidean HALS) does not support: "
+                  f"{', '.join(bad)}", file=sys.stderr)
+            return 2
+        cfg.pop("divergence", None)
+    if args.init and args.init != "random":
+        if args.solver not in ("nmf", "nmf_hals"):
+            print("error: --init nndsvd* is only supported for nmf/nmf_hals",
+                  file=sys.stderr)
+            return 2
+        if args.resume:
+            print("error: --init cannot be combined with --resume "
+                  "(resume restores the factors)", file=sys.stderr)
+            return 2
+        cfg["init"] = args.init
     if args.mesh:
         from nmf_toolbox_tpu.parallel import make_mesh
         cfg["mesh"] = make_mesh(args.mesh)

@@ -114,3 +114,24 @@ def test_cli_streaming_rejects_other_solvers(matrix_file, tmp_path):
     r = run_cli(["lnmf", matrix_file, "--k", "3", "--streaming",
                  "--out", str(tmp_path / "x.npz")])
     assert r.returncode == 2 and "streaming" in r.stderr
+
+
+def test_cli_init_flag(matrix_file, tmp_path):
+    out = str(tmp_path / "f.npz")
+    r = run_cli(["nmf", matrix_file, "--k", "4", "--init", "nndsvdar",
+                 "--maxiter", "5", "--out", out])
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["iterations"] == 5
+    r = run_cli(["nmf_hals", matrix_file, "--k", "4", "--init", "nndsvda",
+                 "--maxiter", "5", "--out", out])
+    assert r.returncode == 0, r.stderr
+    # init is nmf/nmf_hals-only; resume conflicts; hals rejects divergence
+    r = run_cli(["seminmf", matrix_file, "--k", "4", "--init", "nndsvda",
+                 "--maxiter", "5", "--out", out])
+    assert r.returncode == 2 and "only supported" in r.stderr
+    r = run_cli(["nmf", matrix_file, "--k", "4", "--init", "nndsvda",
+                 "--resume", out, "--maxiter", "5", "--out", out])
+    assert r.returncode == 2 and "--resume" in r.stderr
+    r = run_cli(["nmf_hals", matrix_file, "--k", "4", "--divergence", "kl",
+                 "--maxiter", "5", "--out", out])
+    assert r.returncode == 2 and "does not support" in r.stderr
