@@ -163,3 +163,25 @@ def test_h_fixed_parity():
     np.testing.assert_allclose(res.W, Wg[0], atol=1e-10)
     np.testing.assert_array_equal(res.H, H0)  # untouched
     np.testing.assert_allclose(res.cost, cg, rtol=1e-9)
+
+
+def test_data_dtype_bf16_storage():
+    # data_dtype stores V in bf16 on the gram path; MU dots feed the MXU
+    # the storage dtype and accumulate f32, so the trajectory must stay
+    # close to the f32 run (V itself is quantized, so this is loose).
+    import numpy as np
+    import nmf_toolbox_tpu as nt
+    rng = np.random.default_rng(0)
+    V = (rng.gamma(2.0, 1.0, (120, 80)) @ rng.gamma(0.5, 1.0, (80, 60))
+         + 0.01).astype(np.float32)
+    W0 = rng.uniform(size=(120, 8)).astype(np.float32)
+    H0 = rng.uniform(size=(8, 60)).astype(np.float32)
+    r32 = nt.nmf(V, 8, W_init=W0, H_init=H0, maxiter=20, tolerance=1e-30)
+    rbf = nt.nmf(V, 8, W_init=W0, H_init=H0, maxiter=20, tolerance=1e-30,
+                 data_dtype="bfloat16")
+    assert rbf.W.dtype == np.float32  # factors stay in the compute dtype
+    rel = abs(rbf.cost[-1] - r32.cost[-1]) / r32.cost[-1]
+    assert rel < 0.05
+    import pytest
+    with pytest.raises(ValueError, match="data_dtype"):
+        nt.nmf(V, 8, divergence="kl", data_dtype="bfloat16")
