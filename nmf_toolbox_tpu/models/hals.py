@@ -33,6 +33,7 @@ class _Spec(NamedTuple):
     maxiter: int
     k: int
     eps: float
+    inner: int = 1  # accelerated-HALS inner sweep repetitions
 
 
 @functools.lru_cache(maxsize=None)
@@ -48,6 +49,10 @@ def _build_solver(spec: _Spec):
         def step(carry, i):
             W, H = carry
             # --- W sweep: exact rank-1 updates, columns in sequence ---
+            # Accelerated HALS (Gillis & Glineur 2012, arXiv:1107.5194):
+            # VHt / HHt depend only on V and the fixed H, so the sweep can
+            # repeat `inner` times reusing them; each extra sweep costs
+            # m-by-k^2 instead of the m-by-n-by-k V dot.
             HHt = H @ H.T
             VHt = V @ H.T                          # [mnk]
             diagH = jnp.maximum(jnp.diag(HHt), eps)
@@ -56,7 +61,8 @@ def _build_solver(spec: _Spec):
                 wj = W[:, j] + (VHt[:, j] - W @ HHt[:, j]) / diagH[j]
                 return W.at[:, j].set(jnp.maximum(wj, eps))
 
-            W = jax.lax.fori_loop(0, k, w_col, W)
+            for _ in range(spec.inner):
+                W = jax.lax.fori_loop(0, k, w_col, W)
             # --- H sweep ---
             WtW = W.T @ W
             WtV = W.T @ V                          # [mnk]
@@ -66,7 +72,8 @@ def _build_solver(spec: _Spec):
                 hj = H[j, :] + (WtV[j, :] - WtW[j, :] @ H) / diagW[j]
                 return H.at[j, :].set(jnp.maximum(hj, eps))
 
-            H = jax.lax.fori_loop(0, k, h_row, H)
+            for _ in range(spec.inner):
+                H = jax.lax.fori_loop(0, k, h_row, H)
             c = euclidean_cost_gram(v_sq, WtV, WtW, H)
             return (W, H), c, jnp.asarray(False)
 
@@ -115,7 +122,11 @@ def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
 
     V, W0, H0 = apply_placements(cfg.get("mesh"), "nmf", V=V, W=W0, H=H0)
 
-    spec = _Spec(maxiter, k, eps)
+    inner = cfg.get("inner_iters", 1)
+    inner = 1 if inner is None else int(inner)
+    if inner < 1:
+        raise ValueError("inner_iters must be >= 1")
+    spec = _Spec(maxiter, k, eps, inner)
     out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
     W, H = out.state
     return Result(fields=("W", "H", "cost"),

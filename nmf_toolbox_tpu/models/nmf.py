@@ -52,6 +52,7 @@ class _Spec(NamedTuple):
     eps: float
     callback: object = None  # optional (i, cost) host logger
     valid: tuple = None      # (m, n) true sizes of a mesh-padded problem
+    inner: int = 1           # accelerated-MU inner repetitions (gram only)
 
 
 def _kl_ones_b(H, m):
@@ -107,19 +108,26 @@ def _build_solver_impl(spec: _Spec):
             if w_any:
                 HHt = H @ H.T
                 VHt = vdot(V, H.T)                 # [mnk]
-                WG = W @ HHt                       # = V_hat @ H'
-                dneg = jnp.sum(W * WG, axis=0)     # diag(Hs V_hat' Ws), col-local
-                dpos = jnp.sum(W * VHt, axis=0)    # diag(Hs V' Ws)
-                neg = VHt + W * dneg[None, :]
-                pos = WG + W * dpos[None, :]
-                Wn = W * (neg / jnp.maximum(pos + wsp[None, :], eps))
-                Wn = unit_l2_columns(Wn)
-                W = Wn if w_all_free else jnp.where(w_mask[None, :], W, Wn)
+                # Accelerated MU (Gillis & Glineur 2012, arXiv:1107.5194):
+                # VHt and HHt depend only on the V data and the fixed H,
+                # so the W step can repeat `inner` times reusing them —
+                # each extra rep costs one m-by-k^2 product instead of the
+                # m-by-n-by-k V dot.  inner=1 is the reference trajectory.
+                for _ in range(spec.inner):
+                    WG = W @ HHt                   # = V_hat @ H'
+                    dneg = jnp.sum(W * WG, axis=0)  # diag(Hs V_hat' Ws)
+                    dpos = jnp.sum(W * VHt, axis=0)  # diag(Hs V' Ws)
+                    neg = VHt + W * dneg[None, :]
+                    pos = WG + W * dpos[None, :]
+                    Wn = W * (neg / jnp.maximum(pos + wsp[None, :], eps))
+                    Wn = unit_l2_columns(Wn)
+                    W = Wn if w_all_free else jnp.where(w_mask[None, :], W, Wn)
             WtV = vdot(V.T, W).T                   # [mnk]
             WtW = W.T @ W
             if h_any:
-                Hn = H * (WtV / jnp.maximum(WtW @ H + hsp[:, None], eps))
-                H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
+                for _ in range(spec.inner):
+                    Hn = H * (WtV / jnp.maximum(WtW @ H + hsp[:, None], eps))
+                    H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
             c = euclidean_cost_gram(v_sq, WtV, WtW, H)
             c = c + _sparsity_penalty(W, H, wsp, hsp)
             return (W, H), c, jnp.asarray(False)
@@ -346,8 +354,18 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
         H0 = pad_axes(H0, {1: pad_n})
     V, W0, H0 = apply_placements(mesh, "nmf", V=V, W=W0, H=H0)
 
+    inner = cfg.get("inner_iters", 1)
+    inner = 1 if inner is None else int(inner)
+    if inner < 1:
+        raise ValueError("inner_iters must be >= 1")
+    if inner > 1 and method != "gram":
+        raise ValueError(
+            "inner_iters > 1 (accelerated MU) requires the euclidean Gram "
+            "method: the KL/IS/AB fields are nonlinear in W @ H, so inner "
+            "repetitions would still need the full-size reconstruction")
+
     spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps,
-                 cfg.get("callback"), valid)
+                 cfg.get("callback"), valid, inner)
     out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
 
     W, H = out.state
