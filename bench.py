@@ -145,6 +145,53 @@ def _hals_tol_child():
     print(json.dumps(res))
 
 
+def _accel_tol_child():
+    """Accelerated MU (inner_iters=4; Gillis & Glineur) time-to-tolerance
+    at the headline scale — the MU family's best time-to-tol setting."""
+    import jax
+    import jax.numpy as jnp
+    from nmf_toolbox_tpu.models.nmf import _build_solver, _Spec
+    from nmf_toolbox_tpu.core import EPS
+    from nmf_toolbox_tpu.ops.normalize import unit_l2_columns
+
+    m, n, k = 100_000, 10_000, 200
+    chunk, inner = 10, 4
+    kv, kw, kh = jax.random.split(jax.random.PRNGKey(0), 3)
+    V = jax.random.uniform(kv, (m, n), jnp.float32, 0.05, 1.0)
+    W = unit_l2_columns(jax.random.uniform(kw, (m, k), jnp.float32))
+    H = jax.random.uniform(kh, (k, n), jnp.float32)
+    jax.block_until_ready(V)
+
+    spec = _Spec("euclidean", 1.0, 1.0, "gram", chunk,
+                 (False,), (False,), ((0, k),), EPS, None, None, inner)
+    solve = _build_solver(spec)
+    zeros = jnp.zeros((k,), jnp.float32)
+    tol = jnp.float32(1e-30)
+
+    @jax.jit
+    def direct_cost(V, W, H):
+        E = V - jax.lax.dot(W, H, preferred_element_type=jnp.float32)
+        return 0.5 * jnp.sum(E * E)
+
+    out = solve(V, W, H, zeros, zeros, tol)  # warmup compile
+    float(direct_cost(V, *out.state))
+
+    t0 = time.perf_counter()
+    c_prev, iters = None, 0
+    for _ in range(60):  # cap at 600 outer iterations
+        out = solve(V, W, H, zeros, zeros, tol)
+        W, H = out.state
+        iters += chunk
+        c = float(direct_cost(V, W, H))
+        if c_prev is not None and (c_prev - c) / c < REL_DECREASE_TOL * chunk:
+            break
+        c_prev = c
+    dt = time.perf_counter() - t0
+    print(json.dumps({"mu_accel_time_to_tol_s": round(dt, 3),
+                      "mu_accel_tol_iters": iters,
+                      "mu_accel_inner_iters": inner}))
+
+
 def _run_child(name, timeout):
     env = dict(os.environ)
     env["NMF_TPU_BENCH_CHILD"] = name
@@ -268,6 +315,7 @@ def main():
             # program per process keeps the relay worker stable) -------
             if m == 100_000:
                 result.update(_run_child("hals_tol", timeout=900))
+                result.update(_run_child("accel_tol", timeout=900))
             result.update(_run_child("objective_check", timeout=600))
 
             # Secondary configs are opt-in (benchmarks/run_all.py runs
@@ -288,5 +336,7 @@ if __name__ == "__main__":
         _objective_check_child()
     elif child == "hals_tol":
         _hals_tol_child()
+    elif child == "accel_tol":
+        _accel_tol_child()
     else:
         main()

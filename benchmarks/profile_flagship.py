@@ -122,8 +122,10 @@ def job_vt(data_dtype, tag):
     jax.block_until_ready(VT)
     eps = jnp.float32(EPS)
 
+    # V / VT are ARGUMENTS (a closed-over device array would become a jit
+    # constant that the relay uploads through the compile path — minutes)
     @jax.jit
-    def run(W, H):
+    def run(V, VT, W, H):
         def body(c, _):
             W, H = c
             Wn, Hn, cost = gram_step_vt(V, VT, W, H, eps)
@@ -131,7 +133,10 @@ def job_vt(data_dtype, tag):
         (W, H), costs = jax.lax.scan(body, (W, H), None, length=ITERS)
         return (W, H), costs
 
-    return time_chained(run, lambda: (W0, H0), tag)
+    def fn(W, H):
+        return run(V, VT, W, H)
+
+    return time_chained(fn, lambda: (W0, H0), tag)
 
 
 def job_donate(tag):

@@ -41,6 +41,9 @@ def build_parser():
     p.add_argument("--init", default=None,
                    choices=("random", "nndsvd", "nndsvda", "nndsvdar"),
                    help="factor seeding for nmf/nmf_hals (default random)")
+    p.add_argument("--inner-iters", type=int, default=None,
+                   help="accelerated-MU/HALS inner repetitions per V pass "
+                        "(euclidean nmf / nmf_hals)")
     p.add_argument("--dtype", default=None, help="compute dtype override")
     p.add_argument("--shape", default=None, help="rows,cols for raw binary input")
     p.add_argument("--input-dtype", default="float32", help="raw binary dtype")
@@ -115,6 +118,12 @@ def main(argv=None):
                   f"{', '.join(bad)}", file=sys.stderr)
             return 2
         cfg.pop("divergence", None)
+    if args.inner_iters is not None:
+        if args.solver not in ("nmf", "nmf_hals"):
+            print("error: --inner-iters is only supported for nmf/nmf_hals",
+                  file=sys.stderr)
+            return 2
+        cfg["inner_iters"] = args.inner_iters
     if args.init and args.init != "random":
         if args.solver not in ("nmf", "nmf_hals"):
             print("error: --init nndsvd* is only supported for nmf/nmf_hals",
