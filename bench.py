@@ -219,7 +219,12 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    timing_iters = 20
+    # 100 iterations per dispatch: the tunneled relay adds ~40-60 ms of
+    # round-trip per device call, which at 20 iters/dispatch inflated the
+    # per-iteration time ~25% (8.83 -> 7.19 ms/iter measured at 20 vs 100;
+    # benchmarks/profile_flagship.py).  Production solves run far longer
+    # dispatches, so the amortized number is the honest one.
+    timing_iters = 100
     for (m, n, k) in candidates:
         try:
             key = jax.random.PRNGKey(0)

@@ -39,7 +39,7 @@ import os
 M = int(os.environ.get("PF_M", 100_000))
 N = int(os.environ.get("PF_N", 10_000))
 K = int(os.environ.get("PF_K", 200))
-ITERS = 20
+ITERS = int(os.environ.get("PF_ITERS", 20))
 TRIALS = 4  # first discarded
 
 
@@ -85,9 +85,9 @@ def production_runner(solve, V):
     return fn
 
 
-def job_production(data_dtype, tag):
+def job_production(data_dtype, tag, w_fixed=False, h_fixed=False):
     spec = _Spec("euclidean", 1.0, 1.0, "gram", ITERS,
-                 (False,), (False,), ((0, K),), EPS)
+                 (w_fixed,), (h_fixed,), ((0, K),), EPS)
     solve = _build_solver(spec)
     V, W0, H0 = make_problem(data_dtype)
     return time_chained(production_runner(solve, V), lambda: (W0, H0), tag)
@@ -190,6 +190,22 @@ def main():
             r[j] = job_production(jnp.float32, "production f32 V")
         elif j == "bf16":
             r[j] = job_production(jnp.bfloat16, "production bf16 V")
+        elif j == "wfix":
+            # W phase disabled: remaining cost = WtV dot + H update + cost
+            r[j] = job_production(jnp.float32, "production f32, W fixed",
+                                  w_fixed=True)
+        elif j == "hfix":
+            # H update elementwise disabled (WtV still computed for cost)
+            r[j] = job_production(jnp.float32, "production f32, H fixed",
+                                  h_fixed=True)
+        elif j == "accel4":
+            spec = _Spec("euclidean", 1.0, 1.0, "gram", ITERS,
+                         (False,), (False,), ((0, K),), EPS, None, None, 4)
+            solve = _build_solver(spec)
+            V, W0, H0 = make_problem(jnp.float32)
+            r[j] = time_chained(production_runner(solve, V),
+                                lambda: (W0, H0),
+                                "production f32, inner_iters=4")
         elif j == "vt_f32":
             r[j] = job_vt(jnp.float32, "VT-passed f32")
         elif j == "vt_bf16":
