@@ -28,7 +28,8 @@ import os
 M = int(os.environ.get("HM_M", 100_000))
 N = int(os.environ.get("HM_N", 10_000))
 K = int(os.environ.get("HM_K", 200))
-LO, HI = 10, 40
+LO = int(os.environ.get("HM_LO", 10))
+HI = int(os.environ.get("HM_HI", 40))
 TRIALS = 4  # first discarded
 
 
