@@ -96,24 +96,48 @@ def kmeans_indicator_h(key, V, k: int, dtype, offset: float = 0.2):
 # NNDSVD (Boutsidis & Gallopoulos 2008) — beyond-reference extra init
 # ---------------------------------------------------------------------------
 
+def _cholesky_qr(A, eps):
+    """Orthonormalize the columns of a tall-skinny A via Cholesky-QR.
+
+    One k-by-k Gram + triangular solve instead of Householder QR: on TPU
+    the Gram is MXU work while jnp.linalg.qr on a (100k, 200) operand
+    costs tens of seconds.  Squares the condition number — fine for the
+    randomized-SVD power iterations, which re-orthogonalize repeatedly.
+    """
+    G = jax.lax.dot_general(A, A, (((0,), (0,)), ((), ())),
+                            preferred_element_type=A.dtype)
+    G = G + eps * jnp.trace(G) * jnp.eye(G.shape[0], dtype=A.dtype)
+    R = jnp.linalg.cholesky(G, upper=True)
+    return jax.scipy.linalg.solve_triangular(R.T, A.T, lower=True).T
+
+
 def _randomized_svd(key, V, k: int, oversample: int = 10,
                     power_iters: int = 2):
     """Truncated randomized SVD (Halko et al. 2011), fully on device.
 
     The m-by-n input is touched only through matmuls (MXU work); the
-    dense SVD runs on the small (k+p, n) projection.  Power iterations
-    with QR re-orthogonalization sharpen the spectrum enough for an
-    *initialization* (this is not a certified SVD).
+    dense decompositions run on (p, p) Grams of the (m|n, p) sketches
+    (Cholesky-QR + eigh — TPU's native QR/SVD on tall operands cost tens
+    of seconds at 100k rows).  Power iterations with re-orthogonalization
+    sharpen the spectrum enough for an *initialization* (this is not a
+    certified SVD).
     """
     m, n = V.shape
     p = int(min(k + oversample, m, n))
+    eps = jnp.asarray(np.finfo(np.float32).eps, V.dtype)
     Om = jax.random.normal(key, (n, p), V.dtype)
-    Q, _ = jnp.linalg.qr(V @ Om)
+    Q = _cholesky_qr(V @ Om, eps)
     for _ in range(power_iters):
-        Z, _ = jnp.linalg.qr(V.T @ Q)
-        Q, _ = jnp.linalg.qr(V @ Z)
+        Z = _cholesky_qr(V.T @ Q, eps)
+        Q = _cholesky_qr(V @ Z, eps)
     B = Q.T @ V                                   # (p, n)
-    Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
+    # SVD of B from the (p, p) eigendecomposition of B B'.
+    M = jax.lax.dot_general(B, B, (((1,), (1,)), ((), ())),
+                            preferred_element_type=B.dtype)
+    vals, Ub = jnp.linalg.eigh(M)                 # ascending
+    vals, Ub = vals[::-1], Ub[:, ::-1]
+    s = jnp.sqrt(jnp.maximum(vals, 0.0))
+    Vt = (Ub.T @ B) / jnp.maximum(s, eps * jnp.max(s))[:, None]
     return (Q @ Ub)[:, :k], s[:k], Vt[:k, :]
 
 
