@@ -133,7 +133,7 @@ def _build_solver_impl(spec: _Spec):
             return (W, H), c, jnp.asarray(False)
         return step
 
-    def naive_step(V, v_sq, wsp, hsp, eps):
+    def naive_step(V, v_sq, wsp, hsp, eps, Mw=None):
         m, n = V.shape
         mask = region_mask(V.shape, spec.valid)
 
@@ -142,7 +142,7 @@ def _build_solver_impl(spec: _Spec):
             V_hat = W @ H
             if w_any:
                 phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta,
-                                                    mask=mask)
+                                                    mask=mask, weights=Mw)
                 A = phi_neg @ H.T
                 B = _kl_ones_b(H, m) if phi_pos is None else phi_pos @ H.T
                 dneg = jnp.sum(W * B, axis=0)
@@ -155,14 +155,14 @@ def _build_solver_impl(spec: _Spec):
                 V_hat = W @ H
             if h_any:
                 phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta,
-                                                    mask=mask)
+                                                    mask=mask, weights=Mw)
                 neg = dv.apply_power(W.T @ phi_neg, power)
                 pos = _kl_ones_pos_h(W, n) if phi_pos is None else W.T @ phi_pos
                 pos = dv.apply_power(pos, power)
                 Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
                 H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
                 V_hat = W @ H
-            c = dv.cost(div, V, V_hat, alpha, beta, mask=mask)
+            c = dv.cost(div, V, V_hat, alpha, beta, mask=mask, weights=Mw)
             c = c + _sparsity_penalty(W, H, wsp, hsp)
             return (W, H), c, jnp.asarray(False)
         return step
@@ -221,10 +221,14 @@ def _build_solver_impl(spec: _Spec):
                  "fused": fused_step}[spec.method]
 
     @jax.jit
-    def solve(V, W0, H0, wsp, hsp, tolerance):
+    def solve(V, W0, H0, wsp, hsp, tolerance, Mw=None):
         eps = jnp.asarray(spec.eps, W0.dtype)
         v_sq = sq_norm(V.astype(W0.dtype)) if spec.method == "gram" else None
-        step = make_step(V, v_sq, wsp, hsp, eps)
+        if Mw is None:
+            step = make_step(V, v_sq, wsp, hsp, eps)
+        else:
+            # per-entry weights: naive path only (wrapper enforces)
+            step = make_step(V, v_sq, wsp, hsp, eps, Mw)
         return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
                            cost_dtype=W0.dtype, callback=spec.callback)
 
@@ -239,7 +243,10 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
     only), ``W_init``/``H_init`` (array or per-source list),
     ``W_sparsity``/``H_sparsity``, ``W_fixed``/``H_fixed``,
     ``maxiter`` (100), ``tolerance`` (1e-3).  Extras: ``dtype``, ``seed``,
-    ``method`` ('auto' | 'gram' | 'naive'), ``eps``.
+    ``method`` ('auto' | 'gram' | 'naive'), ``eps``, ``init``
+    ('nndsvd*' seeding), ``inner_iters`` (accelerated MU, euclidean Gram
+    path), ``weights`` ((m, n) nonnegative per-entry weights — minimizes
+    sum(weights * d(V, WH)); zero weights mark missing entries).
 
     Returns a :class:`Result` unpacking as (W, H, cost).
     """
@@ -264,6 +271,20 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
 
     method = cfg.get("method", "auto")
     k_total = sum(ks)
+    weights = cfg.get("weights")
+    if weights is not None:
+        # Per-entry weighted objective (beyond-reference: missing-data /
+        # confidence weighting).  The weighted fields need the full
+        # reconstruction, so only the naive path applies.
+        if method == "auto":
+            method = "naive"
+        elif method != "naive":
+            raise ValueError("weights= requires method='naive' (the "
+                             "weighted fields are nonlinear in W @ H)")
+        weights = jnp.asarray(weights, dtype)
+        if weights.shape != (m, n):
+            raise ValueError(f"weights has shape {weights.shape}, "
+                             f"expected {(m, n)}")
     if method == "auto":
         # 'fused' (Pallas) is numerically equivalent at f32 but measured
         # slower than XLA's own fusion of the naive path on v5e (15 vs
@@ -352,7 +373,12 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
         V = pad_axes(V, {0: pad_m, 1: pad_n})
         W0 = pad_axes(W0, {0: pad_m})
         H0 = pad_axes(H0, {1: pad_n})
+        if weights is not None:
+            # zero-weight padding: pad entries contribute nothing
+            weights = pad_axes(weights, {0: pad_m, 1: pad_n})
     V, W0, H0 = apply_placements(mesh, "nmf", V=V, W=W0, H=H0)
+    if weights is not None:
+        weights = apply_placements(mesh, "nmf", V=weights)  # shard like V
 
     inner = cfg.get("inner_iters", 1)
     inner = 1 if inner is None else int(inner)
@@ -366,7 +392,12 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
 
     spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps,
                  cfg.get("callback"), valid, inner)
-    out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
+    solve = _build_solver(spec)
+    tol = jnp.asarray(tolerance, dtype)
+    if weights is None:
+        out = solve(V, W0, H0, wsp, hsp, tol)
+    else:
+        out = solve(V, W0, H0, wsp, hsp, tol, weights)
 
     W, H = out.state
     if valid is not None:

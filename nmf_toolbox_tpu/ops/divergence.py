@@ -64,30 +64,51 @@ def _masked(phi, mask):
 
 
 def fields(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0,
-           mask=None):
+           mask=None, weights=None):
     """Return (Phi_neg, Phi_pos, power).
 
     ``Phi_pos`` of None means the all-ones field; ``power`` of None means no
     exponent is applied to the assembled gradients (the non-AB updates).
     ``mask`` (bool, broadcastable to V) zeroes the fields outside the valid
     region of a mesh-padded problem.  Reference: nmf.m:147-167.
+
+    ``weights`` (nonnegative, broadcastable to V) makes the updates
+    minimize the per-entry-weighted objective sum(weights * d(V, V_hat))
+    — the elementwise majorize-minimize derivation of the MU rules
+    commutes with per-entry weights, so both fields are simply scaled
+    (for KL the implicit all-ones Phi_pos BECOMES the weight matrix).
+    Beyond-reference capability (missing-data / confidence weighting);
+    zero-weight entries contribute nothing to either factor update.
     """
     d = canon(divergence)
     if d == "euclidean":
+        if weights is not None:
+            return weights * V, weights * V_hat, None
         return V, V_hat, None  # linear in V: pads are exactly 0, no mask
     if d == "kl":
-        return _masked(V / V_hat, mask), None, None
+        phi_neg = _masked(V / V_hat, mask)
+        if weights is not None:
+            return weights * phi_neg, _masked(weights, mask), None
+        return phi_neg, None, None
     if d == "is":
-        return (_masked(V / (V_hat * V_hat), mask),
-                _masked(1.0 / V_hat, mask), None)
+        phi_neg = _masked(V / (V_hat * V_hat), mask)
+        phi_pos = _masked(1.0 / V_hat, mask)
+        if weights is not None:
+            return weights * phi_neg, weights * phi_pos, None
+        return phi_neg, phi_pos, None
     # AB family; alpha == 0 uses the dual equations (nmf.m:124-128,159-160).
     if alpha == 0.0:
         phi_neg = V ** (alpha - 1.0) * V_hat ** beta
         phi_pos = V ** (alpha + beta - 1.0)
-        return _masked(phi_neg, mask), _masked(phi_pos, mask), 1.0 / beta
-    phi_neg = V ** alpha * V_hat ** (beta - 1.0)
-    phi_pos = V_hat ** (alpha + beta - 1.0)
-    return _masked(phi_neg, mask), _masked(phi_pos, mask), 1.0 / alpha
+        power = 1.0 / beta
+    else:
+        phi_neg = V ** alpha * V_hat ** (beta - 1.0)
+        phi_pos = V_hat ** (alpha + beta - 1.0)
+        power = 1.0 / alpha
+    phi_neg, phi_pos = _masked(phi_neg, mask), _masked(phi_pos, mask)
+    if weights is not None:
+        phi_neg, phi_pos = weights * phi_neg, weights * phi_pos
+    return phi_neg, phi_pos, power
 
 
 def ab_fields(V, V_hat, alpha: float, beta: float, mask=None):
@@ -120,25 +141,36 @@ def apply_power(x, power):
     return x if power is None or power == 1.0 else x ** power
 
 
+def _weighted_sum(term, weights):
+    """sum(weights * term) with zero-weight entries hard-zeroed FIRST —
+    a masked-out entry may carry NaN/Inf in its term (e.g. 0*log(0)) and
+    0 * NaN is NaN."""
+    if weights is None:
+        return jnp.sum(term)
+    return jnp.sum(jnp.where(weights > 0, weights * term,
+                             jnp.zeros((), term.dtype)))
+
+
 def cost(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0,
-         mask=None):
+         mask=None, weights=None):
     """Per-iteration cost (nmf.m:206-215; identical in cnmf.m:239-248 and
     constrainednmf.m:241-250).  ``mask`` restricts the elementwise summand
-    to the valid region of a mesh-padded problem."""
+    to the valid region of a mesh-padded problem; ``weights`` scales it
+    per entry (see :func:`fields`)."""
     d = canon(divergence)
     if d == "euclidean":
         r = V - V_hat  # pads are exactly 0 - 0
-        return 0.5 * jnp.sum(r * r)
+        return 0.5 * _weighted_sum(r * r, weights)
     if d == "kl":
         term = V * jnp.log(V / V_hat) - V + V_hat
-        return jnp.sum(_masked(term, mask))
+        return _weighted_sum(_masked(term, mask), weights)
     if d == "is":
         term = jnp.log(V_hat / V) + V / V_hat - 1.0
-        return jnp.sum(_masked(term, mask))
+        return _weighted_sum(_masked(term, mask), weights)
     a, b = alpha, beta
     # MATLAB 1/0 == Inf: with alpha*beta == 0 the reference's AB cost is
     # +-Inf (nmf.m:214); the convergence rule then simply never fires.
     factor = -1.0 / (a * b) if a * b != 0.0 else -math.inf
     term = (V ** a * V_hat ** b
             - (a * V ** (a + b) + b * V_hat ** (a + b) + b) / (a + b))
-    return factor * jnp.sum(_masked(term, mask))
+    return factor * _weighted_sum(_masked(term, mask), weights)

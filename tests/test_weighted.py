@@ -1,0 +1,136 @@
+"""Per-entry weighted NMF (weights= on nt.nmf; beyond-reference).
+
+The weighted MU rules fall out of the same elementwise majorization as
+the reference's updates with both gradient fields scaled by the weights
+(ops/divergence.fields).  Pinned here against a literal NumPy oracle of
+the weighted update equations, plus property and recovery tests.
+"""
+import numpy as np
+import pytest
+
+import nmf_toolbox_tpu as nt
+
+EPS = np.finfo(np.float64).eps
+
+
+def _problem(m=60, n=40, r=5, seed=0):
+    rng = np.random.default_rng(seed)
+    V = (rng.gamma(2.0, 1.0, (m, r)) @ rng.gamma(0.5, 1.0, (r, n))
+         + 0.01).astype(np.float64)
+    W0 = rng.uniform(0.1, 1.0, (m, 6))
+    H0 = rng.uniform(0.1, 1.0, (6, n))
+    M = (rng.uniform(size=(m, n)) < 0.8).astype(np.float64)
+    return V, W0, H0, M
+
+
+def _oracle_euclidean(V, W, H, M, iters):
+    W = W / np.sqrt((W ** 2).sum(0, keepdims=True))
+    costs = []
+    for _ in range(iters):
+        Vh = W @ H
+        A = (M * V) @ H.T
+        B = (M * Vh) @ H.T
+        neg = A + W * np.diag(W.T @ B)[None, :]
+        pos = B + W * np.diag(W.T @ A)[None, :]
+        W = W * (neg / np.maximum(pos, EPS))
+        W = W / np.sqrt((W ** 2).sum(0, keepdims=True))
+        Vh = W @ H
+        H = H * ((W.T @ (M * V)) / np.maximum(W.T @ (M * Vh), EPS))
+        Vh = W @ H
+        costs.append(0.5 * np.sum(M * (V - Vh) ** 2))
+    return W, H, np.array(costs)
+
+
+def _oracle_kl(V, W, H, M, iters):
+    W = W / np.sqrt((W ** 2).sum(0, keepdims=True))
+    costs = []
+    for _ in range(iters):
+        Vh = W @ H
+        A = (M * V / Vh) @ H.T
+        B = M @ H.T
+        neg = A + W * np.diag(W.T @ B)[None, :]
+        pos = B + W * np.diag(W.T @ A)[None, :]
+        W = W * (neg / np.maximum(pos, EPS))
+        W = W / np.sqrt((W ** 2).sum(0, keepdims=True))
+        Vh = W @ H
+        H = H * ((W.T @ (M * V / Vh)) / np.maximum(W.T @ M, EPS))
+        Vh = W @ H
+        term = V * np.log(V / Vh) - V + Vh
+        costs.append(np.sum(M * term))
+    return W, H, np.array(costs)
+
+
+@pytest.mark.parametrize("div", ["euclidean", "kl"])
+def test_weighted_matches_oracle(div):
+    V, W0, H0, M = _problem()
+    oracle = _oracle_euclidean if div == "euclidean" else _oracle_kl
+    Wo, Ho, co = oracle(V, W0.copy(), H0.copy(), M, 8)
+    r = nt.nmf(V, 6, W_init=W0, H_init=H0, weights=M, divergence=div,
+               maxiter=8, tolerance=1e-300, dtype="float64")
+    np.testing.assert_allclose(r.W, Wo, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(r.H, Ho, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(r.cost, co, rtol=1e-8)
+
+
+@pytest.mark.parametrize("div", ["euclidean", "kl", "is", "ab"])
+def test_weighted_monotone(div):
+    V, W0, H0, M = _problem(seed=3)
+    kw = {"alpha": 0.7, "beta": 0.8} if div == "ab" else {}
+    r = nt.nmf(V, 6, W_init=W0, H_init=H0, weights=M, divergence=div,
+               maxiter=12, tolerance=1e-300, dtype="float64", **kw)
+    assert np.all(np.isfinite(r.cost))
+    assert np.all(np.diff(r.cost) <= 1e-9 * np.abs(r.cost[:-1]) + 1e-9)
+
+
+def test_uniform_weights_equal_unweighted():
+    V, W0, H0, _ = _problem(seed=5)
+    ones = np.ones_like(V)
+    a = nt.nmf(V, 6, W_init=W0, H_init=H0, maxiter=6, tolerance=1e-300,
+               dtype="float64", method="naive")
+    b = nt.nmf(V, 6, W_init=W0, H_init=H0, weights=ones, maxiter=6,
+               tolerance=1e-300, dtype="float64")
+    np.testing.assert_allclose(b.W, a.W, rtol=1e-12)
+    np.testing.assert_allclose(b.cost, a.cost, rtol=1e-12)
+
+
+def test_missing_data_recovery():
+    # Mask 30% of the entries of an exactly low-rank matrix; the weighted
+    # factorization must fit the OBSERVED entries and, by the low-rank
+    # structure, complete the missing ones far better than treating the
+    # corrupted entries as data.
+    rng = np.random.default_rng(7)
+    m, n, r = 80, 60, 4
+    V_true = (rng.gamma(2.0, 1.0, (m, r)) @ rng.gamma(0.5, 1.0, (r, n)))
+    mask = rng.uniform(size=(m, n)) < 0.7
+    V_corrupt = np.where(mask, V_true, 37.0)  # garbage where unobserved
+    rw = nt.nmf(V_corrupt.astype(np.float32), r,
+                weights=mask.astype(np.float32), maxiter=400, seed=2,
+                tolerance=1e-300)
+    ru = nt.nmf(V_corrupt.astype(np.float32), r, maxiter=400, seed=2,
+                tolerance=1e-300)
+    err_w = np.linalg.norm((rw.W @ rw.H - V_true)[~mask])
+    err_u = np.linalg.norm((ru.W @ ru.H - V_true)[~mask])
+    assert err_w < 0.2 * err_u
+
+
+def test_weighted_validation():
+    V, W0, H0, M = _problem()
+    with pytest.raises(ValueError, match="naive"):
+        nt.nmf(V, 6, weights=M, method="gram")
+    with pytest.raises(ValueError, match="shape"):
+        nt.nmf(V, 6, weights=M[:10])
+
+
+def test_weighted_composes_with_mesh():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device conftest env")
+    from nmf_toolbox_tpu.parallel import make_mesh
+    V, W0, H0, M = _problem(m=64, n=67, seed=11)  # non-divisible n
+    V, W0, H0, M = (x.astype(np.float32) for x in (V, W0, H0, M))
+    single = nt.nmf(V, 6, W_init=W0, H_init=H0, weights=M, maxiter=6,
+                    tolerance=1e-30)
+    meshed = nt.nmf(V, 6, W_init=W0, H_init=H0, weights=M, maxiter=6,
+                    tolerance=1e-30, mesh=make_mesh(8))
+    np.testing.assert_allclose(meshed.W, single.W, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(meshed.cost, single.cost, rtol=2e-4)
