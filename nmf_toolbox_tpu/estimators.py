@@ -93,9 +93,11 @@ class NMF:
                 "(no fixed-basis encoding path); use the functional API")
         V = np.asarray(X).T
         cfg = self._cfg()
-        # encoding passes the learned basis explicitly; a fit-time seeding
-        # choice (init='nndsvd*') must not conflict with it
+        # encoding passes the learned basis explicitly; fit-time-only
+        # options (init seeding, per-entry weights shaped like fit-X)
+        # must not be forwarded
         cfg.pop("init", None)
+        cfg.pop("weights", None)
         cfg.update(W_init=self.components_.T, W_fixed=True)
         fn = models.nmf if self.solver in ("mu", "hals") else self._fn()
         res = fn(V, self.n_components, *self.solver_args, **cfg)

@@ -134,3 +134,18 @@ def test_weighted_composes_with_mesh():
                     tolerance=1e-30, mesh=make_mesh(8))
     np.testing.assert_allclose(meshed.W, single.W, rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(meshed.cost, single.cost, rtol=2e-4)
+
+
+def test_facade_weights_fit_only():
+    from nmf_toolbox_tpu.estimators import NMF
+    V, W0, H0, M = _problem(seed=13)
+    X = V.astype(np.float32).T
+    # weights are given in solver layout (features x samples) via config;
+    # fit works, transform on differently-sized data must not forward them
+    est = NMF(5, solver="mu", max_iter=8, tol=1e-30,
+              weights=M.astype(np.float32))
+    Ht = est.fit_transform(X)
+    assert Ht.shape == (V.shape[1], 5)
+    X_new = X[:10]
+    Ht2 = est.transform(X_new)
+    assert Ht2.shape == (10, 5)
