@@ -86,7 +86,9 @@ def main(argv=None):
             ("--h-sparsity", args.h_sparsity), ("--alpha", args.alpha),
             ("--beta", args.beta), ("--resume", args.resume),
             ("--checkpoint-every", args.checkpoint_every),
-            ("--init", args.init),
+            ("--init", args.init if args.init not in (None, "random")
+             else None),
+            ("--inner-iters", args.inner_iters),
         ] if val is not None]
         if unsupported:
             print("error: --streaming (euclidean out-of-core) does not "

@@ -93,6 +93,12 @@ def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     framework's other solvers (0.5*||V - WH||^2 after each sweep).
     """
     cfg = merge_config(config, kwargs)
+    if cfg.get("weights") is not None:
+        # silently fitting the masked-out entries as data would be worse
+        # than an error (nt.nmf honors weights=; HALS has no weighted
+        # rank-1 solve here)
+        raise ValueError("weights= is not supported by nmf_hals; use "
+                         "nt.nmf(..., weights=...)")
     dtype = resolve_dtype(V, cfg.get("dtype"))
     V = jnp.asarray(V, dtype)
     m, n = V.shape

@@ -63,6 +63,14 @@ def _masked(phi, mask):
     return jnp.where(mask, phi, jnp.zeros((), phi.dtype))
 
 
+def _weighted(phi, weights):
+    """weights * phi with zero-weight entries hard-zeroed FIRST: a
+    missing entry (weight 0) may carry NaN/Inf in its field value (NaN
+    data, V/V_hat blowups) and 0 * NaN is NaN — the documented contract
+    is that zero-weight entries contribute nothing to the updates."""
+    return jnp.where(weights > 0, weights * phi, jnp.zeros((), phi.dtype))
+
+
 def fields(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0,
            mask=None, weights=None):
     """Return (Phi_neg, Phi_pos, power).
@@ -83,18 +91,18 @@ def fields(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0,
     d = canon(divergence)
     if d == "euclidean":
         if weights is not None:
-            return weights * V, weights * V_hat, None
+            return _weighted(V, weights), _weighted(V_hat, weights), None
         return V, V_hat, None  # linear in V: pads are exactly 0, no mask
     if d == "kl":
-        phi_neg = _masked(V / V_hat, mask)
         if weights is not None:
-            return weights * phi_neg, _masked(weights, mask), None
-        return phi_neg, None, None
+            return (_weighted(_masked(V / V_hat, mask), weights),
+                    _masked(weights, mask), None)
+        return _masked(V / V_hat, mask), None, None
     if d == "is":
         phi_neg = _masked(V / (V_hat * V_hat), mask)
         phi_pos = _masked(1.0 / V_hat, mask)
         if weights is not None:
-            return weights * phi_neg, weights * phi_pos, None
+            return _weighted(phi_neg, weights), _weighted(phi_pos, weights), None
         return phi_neg, phi_pos, None
     # AB family; alpha == 0 uses the dual equations (nmf.m:124-128,159-160).
     if alpha == 0.0:
@@ -107,7 +115,8 @@ def fields(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0,
         power = 1.0 / alpha
     phi_neg, phi_pos = _masked(phi_neg, mask), _masked(phi_pos, mask)
     if weights is not None:
-        phi_neg, phi_pos = weights * phi_neg, weights * phi_pos
+        phi_neg = _weighted(phi_neg, weights)
+        phi_pos = _weighted(phi_pos, weights)
     return phi_neg, phi_pos, power
 
 

@@ -115,6 +115,10 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
         step = min(chunk, total_iters - done)
         cfg = dict(config)
         cfg.update(inits)
+        if inits:
+            # factors restored from the checkpoint supersede any seeding
+            # choice; solvers reject init='nndsvd*' alongside W_init
+            cfg.pop("init", None)
         res = solver(V, *args, maxiter=step, **cfg)
         done += int(res.n_iters) if res.n_iters else step
         chunk_cost = np.asarray(res.cost)

@@ -158,6 +158,11 @@ def nndsvd(V, k: int, *, key=None, variant: str = "nndsvdar",
     if variant not in ("nndsvd", "nndsvda", "nndsvdar"):
         raise ValueError(f"unknown NNDSVD variant {variant!r}")
     V = jnp.asarray(V, dtype)
+    if k > min(V.shape):
+        # the randomized sketch is capped at min(m, n) columns; silently
+        # returning fewer than k components would corrupt callers
+        raise ValueError(
+            f"NNDSVD needs k <= min(V.shape) = {min(V.shape)}, got k = {k}")
     if key is None:
         key = jax.random.PRNGKey(0)
     ks, kw, kh = jax.random.split(key, 3)

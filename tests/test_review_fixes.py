@@ -1,0 +1,72 @@
+"""Regression tests for the round-2 code-review findings."""
+import json
+import numpy as np
+import pytest
+
+import nmf_toolbox_tpu as nt
+from tests.test_cli import run_cli
+
+
+def _lowrank(m, n, r, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.gamma(2.0, 1.0, (m, r)) @ rng.gamma(0.5, 1.0, (r, n))
+            + 0.01).astype(np.float32)
+
+
+def test_checkpointed_run_with_nndsvd_init(tmp_path):
+    # finding 1: run_checkpointed re-passed init= alongside the restored
+    # W_init/H_init from chunk 2 on, which the solver rejects
+    from nmf_toolbox_tpu.utils.checkpoint import run_checkpointed
+    V = _lowrank(50, 40, 4)
+    path = tmp_path / "ckpt.npz"
+    res = run_checkpointed(nt.nmf, V, 4, total_iters=12, chunk=5,
+                           path=path, init="nndsvdar", tolerance=1e-30)
+    assert res.n_iters >= 1 and len(res.cost) >= 10
+
+
+def test_nndsvd_k_exceeds_rank_raises():
+    # finding 2: k > min(m, n) silently truncated the components
+    from nmf_toolbox_tpu.utils import nndsvd
+    V = _lowrank(60, 40, 4)
+    with pytest.raises(ValueError, match="k <= min"):
+        nndsvd(V, 45)
+    with pytest.raises(ValueError, match="k <= min"):
+        nt.nmf_hals(V, 45, init="nndsvdar")
+
+
+def test_weighted_zero_entries_tolerate_nan_data():
+    # finding 3: 0 * NaN = NaN leaked through the weighted fields
+    rng = np.random.default_rng(3)
+    V = _lowrank(40, 30, 4, seed=1).astype(np.float64)
+    M = (rng.uniform(size=V.shape) < 0.8).astype(np.float64)
+    V_nan = np.where(M > 0, V, np.nan)  # NaN exactly at missing entries
+    for div in ("euclidean", "kl", "is", "ab"):
+        kw = {"alpha": 0.7, "beta": 0.8} if div == "ab" else {}
+        r = nt.nmf(V_nan, 4, weights=M, divergence=div, maxiter=5,
+                   tolerance=1e-300, dtype="float64", seed=4, **kw)
+        assert np.all(np.isfinite(r.W)), div
+        assert np.all(np.isfinite(r.H)), div
+        assert np.all(np.isfinite(r.cost)), div
+
+
+def test_hals_rejects_weights():
+    # finding 5: nmf_hals silently ignored weights=
+    V = _lowrank(30, 20, 3)
+    with pytest.raises(ValueError, match="weights"):
+        nt.nmf_hals(V, 3, weights=np.ones_like(V))
+
+
+def test_cli_streaming_init_and_inner_flags(matrix_file, tmp_path):
+    # findings 4 + 6: --inner-iters silently ignored with --streaming;
+    # --init random spuriously rejected with --streaming
+    out = str(tmp_path / "f.npz")
+    r = run_cli(["nmf", matrix_file, "--k", "4", "--streaming",
+                 "--inner-iters", "4", "--out", out])
+    assert r.returncode == 2 and "--inner-iters" in r.stderr
+    r = run_cli(["nmf", matrix_file, "--k", "4", "--streaming",
+                 "--init", "random", "--maxiter", "3", "--out", out])
+    assert r.returncode == 0, r.stderr
+
+
+# reuse the CLI test fixture
+from tests.test_cli import matrix_file  # noqa: E402,F401
