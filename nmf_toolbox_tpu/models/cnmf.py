@@ -65,7 +65,7 @@ def _build_solver(spec: _Spec):
     kl = spec.divergence == "kl"
 
     @jax.jit
-    def solve(V, W0, H0, wsp, hsp, tolerance):
+    def solve(V, W0, H0, wsp, hsp, tolerance, Mw=None):
         eps = jnp.asarray(spec.eps, V.dtype)
         dt = V.dtype
         v_sq = jnp.sum(V * V)
@@ -120,13 +120,20 @@ def _build_solver(spec: _Spec):
 
         def step(carry, i):
             W, H = carry  # W: (m, k, T), H: (k, n)
+            # With per-entry weights the KL ones-field shortcuts below do
+            # not apply (the positive field becomes the weight matrix and
+            # must be shifted like any other field — the paper-correct
+            # form; the reference's no-shift quirk at cnmf.m:220-224 is a
+            # property of the position-independent ones field only).
+            kl_fast = kl and Mw is None
             if w_any:
                 V_hat = conv_reconstruct(W, H, nv)
-                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b, mask=mask)
+                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b, mask=mask,
+                                                   weights=Mw)
                 # One batched matmul per field against all T shifted H's
                 # (cnmf.m:180-195).
                 A = conv_phi_ht(phi_neg, H, T, nv)  # (m, k, T)
-                if kl:
+                if kl_fast:
                     # Phi_pos == ones: ones(m,n) @ shift_right(H,t)' is a
                     # broadcast of the shifted rowsums sum(H[:, :n-t]) —
                     # no m-by-n matmul needed.
@@ -151,9 +158,10 @@ def _build_solver(spec: _Spec):
                 W = Wn if w_all_free else jnp.where(w_mask[None, :, None], W, Wn)
             if h_any:
                 V_hat = conv_reconstruct(W, H, nv)
-                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b, mask=mask)
+                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b, mask=mask,
+                                                   weights=Mw)
                 gneg = conv_wt_phi(W, phi_neg)      # (k, n)
-                if kl:
+                if kl_fast:
                     # KL special case: V_pos is NOT shifted (cnmf.m:220-224),
                     # and Phi_pos == ones: sum_t W_t' @ ones(m, n) is a
                     # broadcast of sum(W) over (m, t).
@@ -166,7 +174,8 @@ def _build_solver(spec: _Spec):
                 Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
                 H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
             V_hat = conv_reconstruct(W, H, nv)
-            c = dv.cost(spec.divergence, V, V_hat, a, b, mask=mask)
+            c = dv.cost(spec.divergence, V, V_hat, a, b, mask=mask,
+                        weights=Mw)
             c = c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
                      + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
             return (W, H), c, jnp.asarray(False)
@@ -240,16 +249,35 @@ def cnmf(V, num_basis_elems, context_len: int,
     wsp = per_column(w_sp, ks, dtype)
     hsp = per_column(h_sp, ks, dtype)
 
+    weights = cfg.get("weights")
+    if weights is not None:
+        weights = jnp.asarray(weights, dtype)
+        if weights.shape != (m, n):
+            raise ValueError(f"weights has shape {weights.shape}, "
+                             f"expected {(m, n)}")
+
     mesh = cfg.get("mesh")
     pad_m, pad_n, valid = plan_padding(mesh, m, n)
     if valid is not None:
         V = pad_axes(V, {0: pad_m, 1: pad_n})
         W0 = pad_axes(W0, {0: pad_m})
         H0 = pad_axes(H0, {1: pad_n})
+        if weights is not None:
+            weights = pad_axes(weights, {0: pad_m, 1: pad_n})
     V, W0, H0 = apply_placements(mesh, "cnmf", V=V, W=W0, H=H0)
+    if weights is not None:
+        weights = apply_placements(mesh, "cnmf", V=weights)  # shard like V
 
     method = cfg.get("method", "auto")
     euclid = div == "euclidean" and alpha == 1.0 and beta == 1.0
+    if weights is not None:
+        # weighted fields need the materialized reconstruction
+        if method == "auto":
+            method = "naive"
+        elif method != "naive":
+            raise ValueError("weights= requires method='naive' (the "
+                             "weighted fields are nonlinear in the "
+                             "reconstruction)")
     if method == "auto":
         method = "gram" if euclid else "naive"
     if method == "gram" and not euclid:
@@ -257,7 +285,12 @@ def cnmf(V, num_basis_elems, context_len: int,
 
     spec = _Spec(div, alpha, beta, T, maxiter, w_fx, h_fx, blocks, eps, method,
                  valid)
-    out = _build_solver(spec)(V, W0, H0, wsp, hsp, jnp.asarray(tolerance, dtype))
+    solve = _build_solver(spec)
+    tol = jnp.asarray(tolerance, dtype)
+    if weights is None:
+        out = solve(V, W0, H0, wsp, hsp, tol)
+    else:
+        out = solve(V, W0, H0, wsp, hsp, tol, weights)
     W, H = out.state
     if valid is not None:
         W, H = W[:m], H[:, :n]

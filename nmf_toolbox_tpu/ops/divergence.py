@@ -120,28 +120,38 @@ def fields(divergence: str, V, V_hat, alpha: float = 1.0, beta: float = 1.0,
     return phi_neg, phi_pos, power
 
 
-def ab_fields(V, V_hat, alpha: float, beta: float, mask=None):
+def ab_fields(V, V_hat, alpha: float, beta: float, mask=None, weights=None):
     """AB fields for the convolutive family where every divergence is mapped
-    to (alpha, beta) first (cnmf.m:137-153, 180-232).  ``mask`` as in
-    :func:`fields`."""
+    to (alpha, beta) first (cnmf.m:137-153, 180-232).  ``mask`` and
+    ``weights`` as in :func:`fields`."""
     if alpha == 0.0:
-        return (_masked(V ** (alpha - 1.0) * V_hat ** beta, mask),
-                _masked(V ** (alpha + beta - 1.0), mask),
-                1.0 / beta)
+        phi_neg = _masked(V ** (alpha - 1.0) * V_hat ** beta, mask)
+        phi_pos = _masked(V ** (alpha + beta - 1.0), mask)
+        if weights is not None:
+            phi_neg = _weighted(phi_neg, weights)
+            phi_pos = _weighted(phi_pos, weights)
+        return phi_neg, phi_pos, 1.0 / beta
     one = jnp.ones((), V.dtype)
     if alpha == 1.0 and beta == 1.0:
-        phi_neg = V  # linear: pads are exactly 0
+        phi_neg = V if weights is None else _weighted(V, weights)
     else:
         phi_neg = _masked(V ** alpha * V_hat ** (beta - 1.0), mask)
+        if weights is not None:
+            phi_neg = _weighted(phi_neg, weights)
     if alpha + beta == 1.0:
-        phi_pos = jnp.broadcast_to(one, V_hat.shape)
-        # the ones field is position-independent; consumers restrict it to
-        # the valid region themselves (the KL special cases)
-        phi_pos = _masked(phi_pos, mask)
+        if weights is not None:
+            phi_pos = _masked(weights, mask)  # the ones field becomes W
+        else:
+            phi_pos = jnp.broadcast_to(one, V_hat.shape)
+            # the ones field is position-independent; consumers restrict it
+            # to the valid region themselves (the KL special cases)
+            phi_pos = _masked(phi_pos, mask)
     elif alpha + beta == 2.0:
-        phi_pos = V_hat  # linear in the factors: pads are exactly 0
+        phi_pos = V_hat if weights is None else _weighted(V_hat, weights)
     else:
         phi_pos = _masked(V_hat ** (alpha + beta - 1.0), mask)
+        if weights is not None:
+            phi_pos = _weighted(phi_pos, weights)
     power = None if alpha == 1.0 else 1.0 / alpha
     return phi_neg, phi_pos, power
 

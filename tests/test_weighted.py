@@ -149,3 +149,78 @@ def test_facade_weights_fit_only():
     X_new = X[:10]
     Ht2 = est.transform(X_new)
     assert Ht2.shape == (10, 5)
+
+
+# ---------------------------------------------------------------------------
+# Convolutive family (weights= on nt.cnmf)
+# ---------------------------------------------------------------------------
+
+def _conv_problem(m=40, n=50, k=4, T=3, seed=0):
+    rng = np.random.default_rng(seed)
+    W = rng.gamma(2.0, 1.0, (m, k, T))
+    H = rng.gamma(0.5, 1.0, (k, n))
+    V = sum(W[:, :, t] @ np.pad(H, ((0, 0), (t, 0)))[:, :n]
+            for t in range(T)) + 0.01
+    M = (rng.uniform(size=(m, n)) < 0.8).astype(np.float64)
+    W0 = rng.uniform(0.1, 1.0, (m, k, T))
+    H0 = rng.uniform(0.1, 1.0, (k, n))
+    return V.astype(np.float64), W0, H0, M
+
+
+def test_cnmf_uniform_weights_equal_unweighted_naive():
+    V, W0, H0, _ = _conv_problem()
+    ones = np.ones(V.shape)
+    a = nt.cnmf(V, 4, 3, W_init=W0, H_init=H0, maxiter=6, tolerance=1e-300,
+                dtype="float64", method="naive")
+    b = nt.cnmf(V, 4, 3, W_init=W0, H_init=H0, weights=ones, maxiter=6,
+                tolerance=1e-300, dtype="float64")
+    np.testing.assert_allclose(b.W, a.W, rtol=1e-12)
+    np.testing.assert_allclose(b.cost, a.cost, rtol=1e-12)
+
+
+@pytest.mark.parametrize("div", ["euclidean", "kl", "is"])
+def test_cnmf_weighted_monotone_and_nan_tolerant(div):
+    V, W0, H0, M = _conv_problem(seed=4)
+    V_nan = np.where(M > 0, V, np.nan)
+    r = nt.cnmf(V_nan, 4, 3, W_init=W0, H_init=H0, weights=M,
+                divergence=div, maxiter=10, tolerance=1e-300,
+                dtype="float64")
+    assert np.all(np.isfinite(r.W)) and np.all(np.isfinite(r.cost))
+    assert np.all(np.diff(r.cost) <= 1e-9 * np.abs(r.cost[:-1]) + 1e-9)
+
+
+def test_cnmf_weighted_recovers_missing():
+    V, W0, H0, M = _conv_problem(m=50, n=80, seed=9)
+    V_corrupt = np.where(M > 0, V, 53.0)
+    rw = nt.cnmf(V_corrupt.astype(np.float32), 4, 3,
+                 weights=M.astype(np.float32), maxiter=300, seed=3,
+                 tolerance=1e-300)
+    ru = nt.cnmf(V_corrupt.astype(np.float32), 4, 3, maxiter=300, seed=3,
+                 tolerance=1e-300, method="naive")
+    from nmf_toolbox_tpu.ops.shift import reconstruct
+    Vw = np.asarray(reconstruct(rw.W, rw.H))
+    Vu = np.asarray(reconstruct(ru.W, ru.H))
+    miss = M == 0
+    err_w = np.linalg.norm((Vw - V)[miss])
+    err_u = np.linalg.norm((Vu - V)[miss])
+    assert err_w < 0.3 * err_u
+
+
+def test_cnmf_weighted_validation_and_mesh():
+    V, W0, H0, M = _conv_problem()
+    with pytest.raises(ValueError, match="naive"):
+        nt.cnmf(V, 4, 3, weights=M, method="gram")
+    with pytest.raises(ValueError, match="shape"):
+        nt.cnmf(V, 4, 3, weights=M[:5])
+    import jax
+    if len(jax.devices()) < 8:
+        return
+    from nmf_toolbox_tpu.parallel import make_mesh
+    V32, W032, H032, M32 = (np.asarray(x, np.float32)
+                            for x in (V, W0, H0, M))
+    single = nt.cnmf(V32, 4, 3, W_init=W032, H_init=H032, weights=M32,
+                     maxiter=5, tolerance=1e-30)
+    meshed = nt.cnmf(V32, 4, 3, W_init=W032, H_init=H032, weights=M32,
+                     maxiter=5, tolerance=1e-30, mesh=make_mesh(8))
+    np.testing.assert_allclose(meshed.W, single.W, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(meshed.cost, single.cost, rtol=2e-4)
