@@ -1,0 +1,40 @@
+"""Nonnegative matrix completion with per-entry weights.
+
+A fraction of the entries of a low-rank nonnegative matrix is
+unobserved.  `weights=` (a 0/1 mask here; any nonnegative confidence
+matrix works) makes every solver divergence minimize the weighted
+objective sum(weights * d(V, WH)) — the unobserved entries contribute
+nothing, and the low-rank structure completes them.
+
+Run:  python examples/matrix_completion.py
+"""
+import numpy as np
+
+import nmf_toolbox_tpu as nt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    m, n, r = 500, 400, 8
+    V_true = rng.gamma(2.0, 1.0, (m, r)) @ rng.gamma(0.5, 1.0, (r, n))
+    observed = rng.uniform(size=(m, n)) < 0.35  # only 35% observed
+
+    V_obs = np.where(observed, V_true, 0.0).astype(np.float32)
+    mask = observed.astype(np.float32)
+
+    res = nt.nmf(V_obs, r, weights=mask, maxiter=500, tolerance=1e-9,
+                 seed=1)
+    V_hat = res.W @ res.H
+
+    miss = ~observed
+    err_missing = (np.linalg.norm((V_hat - V_true)[miss])
+                   / np.linalg.norm(V_true[miss]))
+    err_observed = (np.linalg.norm((V_hat - V_true)[observed])
+                    / np.linalg.norm(V_true[observed]))
+    print(f"observed entries: {observed.mean():.0%}")
+    print(f"relative error on observed entries: {err_observed:.4f}")
+    print(f"relative error on MISSING entries:  {err_missing:.4f}")
+
+
+if __name__ == "__main__":
+    main()

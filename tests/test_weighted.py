@@ -224,3 +224,12 @@ def test_cnmf_weighted_validation_and_mesh():
                      maxiter=5, tolerance=1e-30, mesh=make_mesh(8))
     np.testing.assert_allclose(meshed.W, single.W, rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(meshed.cost, single.cost, rtol=2e-4)
+
+
+def test_weighted_multisource():
+    # weights are per-entry of V and orthogonal to the source blocks
+    V, W0, H0, M = _problem(seed=17)
+    r = nt.nmf(V, [4, 2], weights=M, W_sparsity=[0.0, 0.1], maxiter=8,
+               tolerance=1e-300, dtype="float64", seed=5)
+    assert isinstance(r.W, list) and r.W[0].shape == (60, 4)
+    assert np.all(np.diff(r.cost) <= 1e-9 * np.abs(r.cost[:-1]) + 1e-9)
