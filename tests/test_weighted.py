@@ -233,3 +233,57 @@ def test_weighted_multisource():
                tolerance=1e-300, dtype="float64", seed=5)
     assert isinstance(r.W, list) and r.W[0].shape == (60, 4)
     assert np.all(np.diff(r.cost) <= 1e-9 * np.abs(r.cost[:-1]) + 1e-9)
+
+
+def _oracle_is(V, W, H, M, iters):
+    W = W / np.sqrt((W ** 2).sum(0, keepdims=True))
+    costs = []
+    for _ in range(iters):
+        Vh = W @ H
+        A = (M * V / Vh ** 2) @ H.T
+        B = (M / Vh) @ H.T
+        neg = A + W * np.diag(W.T @ B)[None, :]
+        pos = B + W * np.diag(W.T @ A)[None, :]
+        W = W * (neg / np.maximum(pos, EPS))
+        W = W / np.sqrt((W ** 2).sum(0, keepdims=True))
+        Vh = W @ H
+        H = H * ((W.T @ (M * V / Vh ** 2)) / np.maximum(W.T @ (M / Vh), EPS))
+        Vh = W @ H
+        term = np.log(Vh / V) + V / Vh - 1.0
+        costs.append(np.sum(M * term))
+    return W, H, np.array(costs)
+
+
+def test_weighted_is_matches_oracle():
+    V, W0, H0, M = _problem(seed=19)
+    Wo, Ho, co = _oracle_is(V, W0.copy(), H0.copy(), M, 6)
+    r = nt.nmf(V, 6, W_init=W0, H_init=H0, weights=M, divergence="is",
+               maxiter=6, tolerance=1e-300, dtype="float64")
+    np.testing.assert_allclose(r.W, Wo, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(r.cost, co, rtol=1e-8)
+
+
+def test_weighted_with_sparsity_matches_oracle():
+    # the L1 penalty enters the POS denominator and the cost unweighted
+    # (it constrains the factors, not the data) — same as nmf.m:168,216
+    V, W0, H0, M = _problem(seed=23)
+    wsp, hsp = 0.05, 0.02
+    W, H = W0.copy() / np.sqrt((W0 ** 2).sum(0, keepdims=True)), H0.copy()
+    costs = []
+    for _ in range(5):
+        Vh = W @ H
+        A = (M * V) @ H.T
+        B = (M * Vh) @ H.T
+        neg = A + W * np.diag(W.T @ B)[None, :]
+        pos = B + W * np.diag(W.T @ A)[None, :]
+        W = W * (neg / np.maximum(pos + wsp, EPS))
+        W = W / np.sqrt((W ** 2).sum(0, keepdims=True))
+        Vh = W @ H
+        H = H * ((W.T @ (M * V)) / np.maximum(W.T @ (M * Vh) + hsp, EPS))
+        Vh = W @ H
+        costs.append(0.5 * np.sum(M * (V - Vh) ** 2)
+                     + wsp * np.abs(W).sum() + hsp * np.abs(H).sum())
+    r = nt.nmf(V, 6, W_init=W0, H_init=H0, weights=M, W_sparsity=wsp,
+               H_sparsity=hsp, maxiter=5, tolerance=1e-300, dtype="float64")
+    np.testing.assert_allclose(r.W, W, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(r.cost, np.array(costs), rtol=1e-8)
