@@ -53,7 +53,7 @@ def _build_solver(spec: _Spec):
     n_u, C = spec.n_unlabeled, spec.num_classes
 
     @jax.jit
-    def solve(V, W0, Z0, class_onehot, wsp, zsp, tolerance):
+    def solve(V, W0, Z0, class_onehot, wsp, zsp, tolerance, Mw=None):
         # class_onehot: (C, n_labeled) 0/1 matrix (the C block of A).
         dt = V.dtype
         eps = jnp.asarray(spec.eps, dt)
@@ -75,7 +75,9 @@ def _build_solver(spec: _Spec):
             H = apply_A(Z)
             V_hat = W @ H
             if not spec.w_fixed:
-                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta, mask=mask)
+                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha,
+                                                    beta, mask=mask,
+                                                    weights=Mw)
                 A_ = phi_neg @ H.T
                 if phi_pos is None:
                     B_ = jnp.broadcast_to(jnp.sum(H, axis=1)[None, :], A_.shape)
@@ -89,7 +91,9 @@ def _build_solver(spec: _Spec):
                 W = unit_l2_columns(W)
                 V_hat = W @ H
             if not spec.z_fixed:
-                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta, mask=mask)
+                phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha,
+                                                    beta, mask=mask,
+                                                    weights=Mw)
                 neg = apply_At(W.T @ phi_neg)
                 if phi_pos is None:
                     pos = apply_At(jnp.broadcast_to(
@@ -101,7 +105,7 @@ def _build_solver(spec: _Spec):
                 Z = Z * (neg / jnp.maximum(pos + zsp, eps))
                 H = apply_A(Z)
                 V_hat = W @ H
-            c = dv.cost(div, V, V_hat, alpha, beta, mask=mask)
+            c = dv.cost(div, V, V_hat, alpha, beta, mask=mask, weights=Mw)
             c = c + wsp * jnp.sum(jnp.abs(W)) + zsp * jnp.sum(jnp.abs(Z))
             return (W, Z), c, jnp.asarray(False)
 
@@ -172,6 +176,15 @@ def constrainednmf(V, labels, num_basis_elems: int,
         Z0 = uniform_init(kz, (k, n_u + num_classes), dtype, floor_eps=False)  # :174
     Z0 = jnp.asarray(Z0, dtype)
 
+    weights = cfg.get("weights")
+    if weights is not None:
+        # per-entry weights follow V through the unlabeled-first reorder
+        weights = jnp.asarray(weights, dtype)
+        if weights.shape != (m, n):
+            raise ValueError(f"weights has shape {weights.shape}, "
+                             f"expected {(m, n)}")
+        weights = weights[:, jnp.asarray(sorted_idx)]
+
     # Mesh padding: Z is replicated (small), so only V pads; the labeled
     # block of A gains zero columns so H = Z A matches the padded n.
     mesh = cfg.get("mesh")
@@ -181,14 +194,21 @@ def constrainednmf(V, labels, num_basis_elems: int,
         V_sorted = pad_axes(V_sorted, {0: pad_m, 1: pad_n})
         W0 = pad_axes(W0, {0: pad_m})
         onehot_in = pad_axes(onehot_in, {1: pad_n})
+        if weights is not None:
+            weights = pad_axes(weights, {0: pad_m, 1: pad_n})
     V_sorted, W0, Z0 = apply_placements(mesh, "constrainednmf",
                                         V=V_sorted, W=W0, Z=Z0)
+    if weights is not None:
+        weights = apply_placements(mesh, "constrainednmf", V=weights)
 
     spec = _Spec(div, alpha, beta, maxiter, bool(cfg.get("W_fixed", False)),
                  bool(cfg.get("Z_fixed", False)), n_u, num_classes, eps, valid)
-    out = _build_solver(spec)(V_sorted, W0, Z0, onehot_in,
-                              jnp.asarray(wsp, dtype), jnp.asarray(zsp, dtype),
-                              jnp.asarray(tolerance, dtype))
+    solve = _build_solver(spec)
+    solve_args = (V_sorted, W0, Z0, onehot_in,
+                  jnp.asarray(wsp, dtype), jnp.asarray(zsp, dtype),
+                  jnp.asarray(tolerance, dtype))
+    out = solve(*solve_args) if weights is None else \
+        solve(*solve_args, weights)
     W, Z = out.state
     if valid is not None:
         W = W[:m]

@@ -287,3 +287,28 @@ def test_weighted_with_sparsity_matches_oracle():
                H_sparsity=hsp, maxiter=5, tolerance=1e-300, dtype="float64")
     np.testing.assert_allclose(r.W, W, rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(r.cost, np.array(costs), rtol=1e-8)
+
+
+def test_constrainednmf_weighted():
+    # weights follow V through the unlabeled-first sample reorder; with
+    # all-uniform weights the trajectory matches unweighted exactly
+    rng = np.random.default_rng(29)
+    V, W0, H0, M = _problem(seed=29)
+    labels = np.full(V.shape[1], -1)
+    labels[::3] = rng.integers(0, 3, size=len(labels[::3]))
+    a = nt.constrainednmf(V, labels, 5, maxiter=6, tolerance=1e-300,
+                          dtype="float64", seed=3)
+    b = nt.constrainednmf(V, labels, 5, weights=np.ones(V.shape),
+                          maxiter=6, tolerance=1e-300, dtype="float64",
+                          seed=3)
+    np.testing.assert_allclose(b.W, a.W, rtol=1e-12)
+    np.testing.assert_allclose(b.cost, a.cost, rtol=1e-12)
+    # masked NaN entries stay contained, weighted cost is monotone
+    V_nan = np.where(M > 0, V, np.nan)
+    r = nt.constrainednmf(V_nan, labels, 5, weights=M, divergence="kl",
+                          maxiter=8, tolerance=1e-300, dtype="float64",
+                          seed=3)
+    assert np.all(np.isfinite(r.W)) and np.all(np.isfinite(r.cost))
+    assert np.all(np.diff(r.cost) <= 1e-9 * np.abs(r.cost[:-1]) + 1e-9)
+    with pytest.raises(ValueError, match="shape"):
+        nt.constrainednmf(V, labels, 5, weights=M[:5])
