@@ -15,6 +15,8 @@ anchor points (chnmf.m:85-106).  Here:
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -217,29 +219,44 @@ def _top_eigvecs_exact(Vc):
     return vals[order], vecs[:, order]
 
 
-def _top_eigvecs_randomized(V, num: int, seed: int = 0, iters: int = 4):
-    """Randomized subspace iteration for the top eigenpairs of cov(V').
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _randomized_spectrum(V, num: int, seed: int, iters: int):
+    """One compiled program: randomized subspace iteration for the top
+    eigenpairs of cov(V') PLUS the Hutchinson estimate of ||cov||_F^2.
 
-    Never materializes the m-by-m covariance: only products
-    cov @ Q = (Vc @ (Vc' @ Q)) / (n - 1) are formed.  TPU-first replacement
-    for eig(cov(V')) at chnmf.m:90-93 when m is large.
+    Never materializes the m-by-m covariance (only cov @ Q products);
+    Cholesky-QR instead of tall-skinny Householder QR (which costs tens
+    of seconds on TPU at (100k, 16) — same fix as _randomized_svd), and
+    a single jit so the centered V is materialized once instead of per
+    eager op (the eager version spent ~7 s re-deriving it for the probe).
     """
-    m, n = V.shape
+    n = V.shape[1]
     mean = jnp.mean(V, axis=1, keepdims=True)
-    key = jax.random.PRNGKey(seed)
-    Q = jax.random.normal(key, (m, num), V.dtype)
-
     Vc = V - mean
+    eps = jnp.asarray(np.finfo(np.float32).eps, V.dtype)
+    key = jax.random.PRNGKey(seed)
 
     def matvec_c(Q):
         return Vc @ (Vc.T @ Q) / (n - 1.0)
 
+    Q = jax.random.normal(key, (V.shape[0], num), V.dtype)
     for _ in range(iters):
-        Q, _ = jnp.linalg.qr(matvec_c(Q))
+        Q = _cholesky_qr(matvec_c(Q), eps)
     B = Q.T @ matvec_c(Q)
     vals, S = jnp.linalg.eigh(B)
     order = jnp.argsort(vals)[::-1]
-    return vals[order], (Q @ S)[:, order]
+    Z = jax.random.normal(jax.random.PRNGKey(seed + 1), (V.shape[0], 8),
+                          V.dtype)
+    CZ = matvec_c(Z)
+    total_sq = jnp.mean(jnp.sum(CZ * CZ, axis=0))
+    return vals[order], (Q @ S)[:, order], total_sq
+
+
+def _top_eigvecs_randomized(V, num: int, seed: int = 0, iters: int = 4):
+    """Top eigenpairs of cov(V') — TPU-first replacement for
+    eig(cov(V')) at chnmf.m:90-93 when m is large."""
+    vals, vecs, _ = _randomized_spectrum(V, int(num), int(seed), int(iters))
+    return vals, vecs
 
 
 def _convhull_2d(points: np.ndarray) -> np.ndarray:
@@ -282,38 +299,37 @@ def convex_hull_anchors(V, pct_eigval_energy: float = 0.95,
     each eigenvector pair, takes the 2-D convex hull, and collects the
     corresponding (deduplicated) columns of V.
 
-    One-time host-synced init; returns a NumPy (m, p) array whose column
-    count p is data-dependent.
+    One-time host-synced init; returns an (m, p) DEVICE array (column
+    count p is data-dependent).  Only small intermediates cross the
+    host boundary (the (n, keep) projections for the host-side hulls and
+    a row-head of S for ordering) — the (m, p) anchor matrix itself never
+    leaves the device, which matters when transfers are slow (tunneled
+    TPU: the 216 MB S at 100k x 10k used to dominate the init).
     """
     V = jnp.asarray(V)
     m, n = V.shape
     if m == 1:  # chnmf.m:87-89
-        return np.array([[float(jnp.min(V)), float(jnp.max(V))]])
+        return jnp.asarray([[float(jnp.min(V)), float(jnp.max(V))]],
+                           V.dtype)
     if n <= 2:  # chcnmf.m:101-102
-        return np.asarray(V)
+        return V
 
     num_request = int(min(max_eigvecs, m, n - 1 if n > 1 else 1))
     if m <= 1024:
         # Exact path: the energy rule of chnmf.m:94-95 runs over the FULL
         # spectrum, exactly like the reference.
-        vals, vecs = _top_eigvecs_exact(V)
-        total_sq = float(jnp.sum(jnp.asarray(vals) ** 2))
+        vals_d, vecs = _top_eigvecs_exact(V)
+        total_sq = float(jnp.sum(vals_d ** 2))
     else:
         # Randomized path: top eigenpairs only; estimate the full-spectrum
         # energy sum(lambda_i^2) = ||C||_F^2 with a Hutchinson probe
         # (||C z||^2 averaged over gaussian z) so the threshold rule sees
         # the same denominator as the reference without the m-by-m
         # covariance.
-        vals, vecs = _top_eigvecs_randomized(V, num_request, seed=seed)
-        mean = jnp.mean(V, axis=1, keepdims=True)
-        Vc = V - mean
-        n_ = V.shape[1]
-        key = jax.random.PRNGKey(seed + 1)
-        Z = jax.random.normal(key, (m, 8), V.dtype)
-        CZ = Vc @ (Vc.T @ Z) / (n_ - 1.0)
-        total_sq = float(jnp.mean(jnp.sum(CZ * CZ, axis=0)))
-    vals = np.asarray(vals)
-    vecs = np.asarray(vecs)
+        vals_d, vecs, tsq = _randomized_spectrum(V, int(num_request),
+                                                 int(seed), 4)
+        total_sq = float(tsq)
+    vals = np.asarray(vals_d)  # (num,) tiny transfer
 
     # num_eigvals_keep: first index where cumulative squared-eigenvalue
     # energy exceeds the threshold (chnmf.m:94-95), at least 2; on the
@@ -321,11 +337,13 @@ def convex_hull_anchors(V, pct_eigval_energy: float = 0.95,
     sq = vals ** 2
     cum = np.cumsum(sq) / max(total_sq, np.finfo(vals.dtype).tiny)
     above = np.nonzero(cum > pct_eigval_energy)[0]
-    keep = int(above[0] + 1) if above.size else vecs.shape[1]
+    keep = int(above[0] + 1) if above.size else vals.shape[0]
     keep = max(keep, 2)
-    keep = min(keep, vecs.shape[1])
+    keep = min(keep, vals.shape[0])
 
-    proj_all = np.asarray(V.T @ jnp.asarray(vecs[:, :keep]))  # (n, keep), on device
+    # (n, keep) projections — computed on device, small host transfer.
+    proj_all = np.asarray(jax.lax.dot_general(
+        V, vecs[:, :keep], (((0,), (0,)), ((), ()))))
     idx_set: set[int] = set()
     for e1 in range(keep - 1):
         for e2 in range(e1 + 1, keep):
@@ -336,8 +354,13 @@ def convex_hull_anchors(V, pct_eigval_energy: float = 0.95,
     # indices, and O(p log p) ints instead of sorting p rows of length
     # m), then restore the value-lexicographic column ORDER that the
     # reference's unique(S', 'rows') produces (chnmf.m:102) so default
-    # G_init pairing matches.
+    # G_init pairing matches.  The lexsort keys come from a row-HEAD of
+    # S (tiny transfer); exact ties within the head fall back to the
+    # full matrix so the order always matches the full lexsort.
     cols = np.fromiter(sorted(idx_set), dtype=np.int64)
-    S = np.asarray(V[:, jnp.asarray(cols)])
-    order = np.lexsort(S[::-1, :])  # primary key = first row
-    return S[:, order]
+    S_dev = V[:, jnp.asarray(cols)]
+    head = np.asarray(S_dev[: min(m, 64)])
+    if np.unique(head.T, axis=0).shape[0] < head.shape[1]:
+        head = np.asarray(S_dev)  # tied heads: order on full columns
+    order = np.lexsort(head[::-1, :])  # primary key = first row
+    return S_dev[:, jnp.asarray(order)]
