@@ -32,7 +32,8 @@ from ..ops.gram import conv_cross_grams_h, conv_cross_grams_w
 from ..ops.masking import region_mask
 from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
                          shift_left, stack_shifts_right)
-from ..parallel import apply_placements, pad_axes, plan_padding
+from ..parallel import (apply_placements, pad_axes, plan_padding,
+                        prepare_weights)
 
 
 class _Spec(NamedTuple):
@@ -194,6 +195,14 @@ def cnmf(V, num_basis_elems, context_len: int,
     (euclidean, kl, is are mapped onto AB (alpha, beta) — cnmf.m:137-147),
     W_init (m, k, T), H_init, W_sparsity/H_sparsity, W_fixed/H_fixed,
     maxiter, tolerance.  Returns Result as (W, H, cost).
+
+    Extra: ``weights`` ((m, n) nonnegative per-entry weights).  NOTE for
+    KL: the weighted solver always uses the paper-correct SHIFTED
+    positive field, whereas the unweighted KL path reproduces the
+    reference's no-shift boundary quirk (cnmf.m:220-224, valid only for
+    the position-independent ones field) — so ``weights=ones`` matches
+    the unweighted run exactly for euclidean/IS/AB but differs near the
+    right time boundary for KL.
     """
     cfg = merge_config(config, kwargs)
     dtype = resolve_dtype(V, cfg.get("dtype"))
@@ -250,11 +259,6 @@ def cnmf(V, num_basis_elems, context_len: int,
     hsp = per_column(h_sp, ks, dtype)
 
     weights = cfg.get("weights")
-    if weights is not None:
-        weights = jnp.asarray(weights, dtype)
-        if weights.shape != (m, n):
-            raise ValueError(f"weights has shape {weights.shape}, "
-                             f"expected {(m, n)}")
 
     mesh = cfg.get("mesh")
     pad_m, pad_n, valid = plan_padding(mesh, m, n)
@@ -262,11 +266,9 @@ def cnmf(V, num_basis_elems, context_len: int,
         V = pad_axes(V, {0: pad_m, 1: pad_n})
         W0 = pad_axes(W0, {0: pad_m})
         H0 = pad_axes(H0, {1: pad_n})
-        if weights is not None:
-            weights = pad_axes(weights, {0: pad_m, 1: pad_n})
     V, W0, H0 = apply_placements(mesh, "cnmf", V=V, W=W0, H=H0)
-    if weights is not None:
-        weights = apply_placements(mesh, "cnmf", V=weights)  # shard like V
+    weights = prepare_weights(weights, dtype, (m, n), mesh, "cnmf",
+                              pad_m, pad_n, valid)
 
     method = cfg.get("method", "auto")
     euclid = div == "euclidean" and alpha == 1.0 and beta == 1.0

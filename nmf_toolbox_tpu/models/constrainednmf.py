@@ -31,7 +31,8 @@ from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.masking import region_mask
 from ..ops.normalize import unit_l2_columns
-from ..parallel import apply_placements, pad_axes, plan_padding
+from ..parallel import (apply_placements, pad_axes, plan_padding,
+                        prepare_weights)
 
 
 class _Spec(NamedTuple):
@@ -180,10 +181,8 @@ def constrainednmf(V, labels, num_basis_elems: int,
     if weights is not None:
         # per-entry weights follow V through the unlabeled-first reorder
         weights = jnp.asarray(weights, dtype)
-        if weights.shape != (m, n):
-            raise ValueError(f"weights has shape {weights.shape}, "
-                             f"expected {(m, n)}")
-        weights = weights[:, jnp.asarray(sorted_idx)]
+        if weights.shape == (m, n):
+            weights = weights[:, jnp.asarray(sorted_idx)]
 
     # Mesh padding: Z is replicated (small), so only V pads; the labeled
     # block of A gains zero columns so H = Z A matches the padded n.
@@ -194,12 +193,10 @@ def constrainednmf(V, labels, num_basis_elems: int,
         V_sorted = pad_axes(V_sorted, {0: pad_m, 1: pad_n})
         W0 = pad_axes(W0, {0: pad_m})
         onehot_in = pad_axes(onehot_in, {1: pad_n})
-        if weights is not None:
-            weights = pad_axes(weights, {0: pad_m, 1: pad_n})
     V_sorted, W0, Z0 = apply_placements(mesh, "constrainednmf",
                                         V=V_sorted, W=W0, Z=Z0)
-    if weights is not None:
-        weights = apply_placements(mesh, "constrainednmf", V=weights)
+    weights = prepare_weights(weights, dtype, (m, n), mesh,
+                              "constrainednmf", pad_m, pad_n, valid)
 
     spec = _Spec(div, alpha, beta, maxiter, bool(cfg.get("W_fixed", False)),
                  bool(cfg.get("Z_fixed", False)), n_u, num_classes, eps, valid)

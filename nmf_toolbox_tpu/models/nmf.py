@@ -37,7 +37,8 @@ from ..ops import loop as looplib
 from ..ops.gram import euclidean_cost_gram, sq_norm
 from ..ops.masking import region_mask
 from ..ops.normalize import unit_l2_columns
-from ..parallel import apply_placements, pad_axes, plan_padding
+from ..parallel import (apply_placements, pad_axes, plan_padding,
+                        prepare_weights)
 
 
 class _Spec(NamedTuple):
@@ -281,10 +282,6 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
         elif method != "naive":
             raise ValueError("weights= requires method='naive' (the "
                              "weighted fields are nonlinear in W @ H)")
-        weights = jnp.asarray(weights, dtype)
-        if weights.shape != (m, n):
-            raise ValueError(f"weights has shape {weights.shape}, "
-                             f"expected {(m, n)}")
     if method == "auto":
         # 'fused' (Pallas) is numerically equivalent at f32 but measured
         # slower than XLA's own fusion of the naive path on v5e (15 vs
@@ -373,12 +370,9 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
         V = pad_axes(V, {0: pad_m, 1: pad_n})
         W0 = pad_axes(W0, {0: pad_m})
         H0 = pad_axes(H0, {1: pad_n})
-        if weights is not None:
-            # zero-weight padding: pad entries contribute nothing
-            weights = pad_axes(weights, {0: pad_m, 1: pad_n})
     V, W0, H0 = apply_placements(mesh, "nmf", V=V, W=W0, H=H0)
-    if weights is not None:
-        weights = apply_placements(mesh, "nmf", V=weights)  # shard like V
+    weights = prepare_weights(weights, dtype, (m, n), mesh, "nmf",
+                              pad_m, pad_n, valid)
 
     inner = cfg.get("inner_iters", 1)
     inner = 1 if inner is None else int(inner)

@@ -59,3 +59,25 @@ def plan_padding(mesh, m: int, n: int):
     mmul, nmul = mesh_multiples(mesh)
     pm, pn = pad_amount(m, mmul), pad_amount(n, nmul)
     return pm, pn, ((m, n) if (pm or pn) else None)
+
+
+def prepare_weights(weights, dtype, shape, mesh, solver: str,
+                    pad_m: int, pad_n: int, valid):
+    """Validate/cast/zero-pad/shard a per-entry weight matrix like V.
+
+    One shared path for every solver that accepts ``weights=`` (nmf,
+    cnmf, constrainednmf): the weight matrix must match V's (m, n), pads
+    with ZEROS under a mesh (pad entries contribute nothing to the
+    weighted objective), and takes V's placement.  Returns None for None.
+    """
+    if weights is None:
+        return None
+    import jax.numpy as jnp
+    from .mesh import apply_placements
+    weights = jnp.asarray(weights, dtype)
+    if weights.shape != tuple(shape):
+        raise ValueError(f"weights has shape {weights.shape}, "
+                         f"expected {tuple(shape)}")
+    if valid is not None:
+        weights = pad_axes(weights, {0: pad_m, 1: pad_n})
+    return apply_placements(mesh, solver, V=weights)

@@ -105,10 +105,20 @@ def _cholesky_qr(A, eps):
     the Gram is MXU work while jnp.linalg.qr on a (100k, 200) operand
     costs tens of seconds.  Squares the condition number — fine for the
     randomized-SVD power iterations, which re-orthogonalize repeatedly.
+
+    Robustness: columns are pre-normalized (scaling does not change the
+    span) so the Gram has a unit diagonal, and a k*eps ridge keeps the
+    Cholesky positive-definite even for exactly rank-deficient sketches
+    (e.g. duplicated-row inputs) — without this the factor goes NaN and
+    poisons everything downstream.
     """
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, A.dtype)
+    norms = jnp.sqrt(jnp.sum(A * A, axis=0))
+    A = A / jnp.maximum(norms, tiny)[None, :]
     G = jax.lax.dot_general(A, A, (((0,), (0,)), ((), ())),
                             preferred_element_type=A.dtype)
-    G = G + eps * jnp.trace(G) * jnp.eye(G.shape[0], dtype=A.dtype)
+    k = G.shape[0]
+    G = G + (k * eps) * jnp.eye(k, dtype=A.dtype)
     R = jnp.linalg.cholesky(G, upper=True)
     return jax.scipy.linalg.solve_triangular(R.T, A.T, lower=True).T
 
@@ -219,8 +229,8 @@ def _top_eigvecs_exact(Vc):
     return vals[order], vecs[:, order]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _randomized_spectrum(V, num: int, seed: int, iters: int):
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _randomized_spectrum(V, num: int, seed, iters: int):
     """One compiled program: randomized subspace iteration for the top
     eigenpairs of cov(V') PLUS the Hutchinson estimate of ||cov||_F^2.
 
@@ -252,11 +262,6 @@ def _randomized_spectrum(V, num: int, seed: int, iters: int):
     return vals[order], (Q @ S)[:, order], total_sq
 
 
-def _top_eigvecs_randomized(V, num: int, seed: int = 0, iters: int = 4):
-    """Top eigenpairs of cov(V') — TPU-first replacement for
-    eig(cov(V')) at chnmf.m:90-93 when m is large."""
-    vals, vecs, _ = _randomized_spectrum(V, int(num), int(seed), int(iters))
-    return vals, vecs
 
 
 def _convhull_2d(points: np.ndarray) -> np.ndarray:
@@ -267,6 +272,16 @@ def _convhull_2d(points: np.ndarray) -> np.ndarray:
     runs once per eigenvector pair over the full sample cloud, which is
     Python-loop-bound at large n.
     """
+    # Non-finite coordinates (upstream numerical failure) must never
+    # reach the native code: a monotone chain over NaN comparisons can
+    # write past its output buffer (observed as heap corruption).
+    finite = np.isfinite(points).all(axis=1)
+    if not finite.all():
+        keep_idx = np.nonzero(finite)[0]
+        if keep_idx.size == 0:
+            return np.empty((0,), dtype=np.int64)
+        sub = _convhull_2d(points[keep_idx])
+        return keep_idx[sub]
     from .. import native
     idx = native.convhull2d(points)
     if idx is not None:
@@ -291,7 +306,7 @@ def _convhull_2d(points: np.ndarray) -> np.ndarray:
 
 
 def convex_hull_anchors(V, pct_eigval_energy: float = 0.95,
-                        max_eigvecs: int = 16, seed: int = 0) -> np.ndarray:
+                        max_eigvecs: int = 16, seed: int = 0) -> jax.Array:
     """Extract hull anchor columns S of V (chnmf.m:85-106).
 
     Keeps the top-E principal directions covering ``pct_eigval_energy`` of

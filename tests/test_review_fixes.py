@@ -70,3 +70,28 @@ def test_cli_streaming_init_and_inner_flags(matrix_file, tmp_path):
 
 # reuse the CLI test fixture
 from tests.test_cli import matrix_file  # noqa: E402,F401
+
+
+def test_hull_and_nndsvd_rank_deficient_input():
+    # round-2 follow-up: exactly rank-deficient inputs (duplicated rows)
+    # made the Cholesky-QR subspace iterates go NaN, and NaN projections
+    # reaching the native 2-D hull corrupted the heap.  Both layers are
+    # now guarded; everything must stay finite.
+    import jax.numpy as jnp
+    from nmf_toolbox_tpu.utils.init import (_randomized_spectrum,
+                                            convex_hull_anchors, nndsvd,
+                                            _convhull_2d)
+    V = _lowrank(60, 40, 5)
+    Vb = np.vstack([V] * 20)  # m = 1200 > the exact-path cutoff
+    _, vecs, _ = _randomized_spectrum(jnp.asarray(Vb), 16, 0, 4)
+    assert bool(jnp.all(jnp.isfinite(vecs)))
+    S = convex_hull_anchors(Vb, seed=1)
+    assert np.all(np.isfinite(np.asarray(S)))
+    W, H = nndsvd(Vb, 8)
+    assert np.all(np.isfinite(np.asarray(W)))
+    # the hull guard itself: non-finite points are excluded, indices map
+    # back to the original positions
+    pts = np.array([[0.0, 0.0], [np.nan, 1.0], [1.0, 0.0], [1.0, 1.0],
+                    [0.5, np.inf], [0.0, 1.0]])
+    idx = _convhull_2d(pts)
+    assert set(idx) == {0, 2, 3, 5}

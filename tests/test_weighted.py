@@ -214,7 +214,7 @@ def test_cnmf_weighted_validation_and_mesh():
         nt.cnmf(V, 4, 3, weights=M[:5])
     import jax
     if len(jax.devices()) < 8:
-        return
+        pytest.skip("needs the 8-virtual-device conftest env")
     from nmf_toolbox_tpu.parallel import make_mesh
     V32, W032, H032, M32 = (np.asarray(x, np.float32)
                             for x in (V, W0, H0, M))
@@ -312,3 +312,22 @@ def test_constrainednmf_weighted():
     assert np.all(np.diff(r.cost) <= 1e-9 * np.abs(r.cost[:-1]) + 1e-9)
     with pytest.raises(ValueError, match="shape"):
         nt.constrainednmf(V, labels, 5, weights=M[:5])
+
+
+def test_cnmf_weighted_kl_documented_boundary_divergence():
+    # For KL the weighted path always uses the paper-correct SHIFTED
+    # positive field while the unweighted path keeps the reference's
+    # no-shift quirk (cnmf.m:220-224) — weights=ones therefore does NOT
+    # reproduce the unweighted KL trajectory (documented in the cnmf
+    # docstring / API.md).  Pin the fact so a future change that silently
+    # alters either branch is caught.
+    V, W0, H0, _ = _conv_problem(seed=31)
+    ones = np.ones(V.shape)
+    a = nt.cnmf(V, 4, 3, W_init=W0, H_init=H0, divergence="kl", maxiter=6,
+                tolerance=1e-300, dtype="float64")
+    b = nt.cnmf(V, 4, 3, W_init=W0, H_init=H0, divergence="kl",
+                weights=ones, maxiter=6, tolerance=1e-300, dtype="float64")
+    assert not np.allclose(b.W, a.W, rtol=1e-9)
+    # both are valid monotone KL descents
+    for r in (a, b):
+        assert np.all(np.diff(r.cost) <= 1e-9 * np.abs(r.cost[:-1]) + 1e-9)
