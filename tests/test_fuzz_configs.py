@@ -136,3 +136,38 @@ def test_fuzz_gram_family(trial):
                                       maxiter=miters, tolerance=1e-12)
         np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-7)
         np.testing.assert_allclose(r.G, Gg, atol=1e-7)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_weighted(trial):
+    """Weighted-objective fuzz: random divergence/sparsity/fixed/mask
+    density on nmf and cnmf — weighted costs must stay finite and
+    monotone non-increasing, factors finite, and zero-weight NaN data
+    contained (the oracle-exact weighted checks live in
+    tests/test_weighted.py; this sweeps the interaction space)."""
+    rng = np.random.default_rng(7000 + trial)
+    V, W0, H0, m, n, k = _rand_problem(rng)
+    density = float(rng.choice([0.5, 0.8, 1.0]))
+    M = (rng.uniform(size=(m, n)) < density).astype(np.float64)
+    if rng.random() < 0.5:
+        V = np.where(M > 0, V, np.nan)  # NaN exactly at missing entries
+    div = str(rng.choice(["euclidean", "kl", "is", "ab"]))
+    kw = dict(divergence=div, maxiter=int(rng.integers(3, 10)),
+              tolerance=1e-300, dtype=np.float64)
+    if div == "ab":
+        kw["alpha"] = float(rng.choice([0.5, 1.5]))
+        kw["beta"] = float(rng.choice([0.5, 1.0]))
+    if rng.random() < 0.5:
+        r = nt.nmf(V, k, W_init=W0, H_init=H0, weights=M,
+                   W_sparsity=float(rng.choice([0.0, 0.1])),
+                   W_fixed=bool(rng.random() < 0.2), **kw)
+    else:
+        T = int(rng.integers(2, 4))
+        W0c = rng.uniform(0.05, 1.0, (m, k, T))
+        r = nt.cnmf(V, k, T, W_init=W0c, H_init=H0, weights=M, **kw)
+    c = np.asarray(r.cost)
+    assert np.all(np.isfinite(c))
+    assert np.all(np.diff(c) <= 1e-8 * np.abs(c[:-1]) + 1e-8)
+    Ws = r.W if isinstance(r.W, list) else [r.W]
+    for Wx in Ws:
+        assert np.all(np.isfinite(Wx))
