@@ -118,6 +118,11 @@ def _hals_tol_child():
     float(direct_cost(V, *out.state))
 
     def run_to_tol(W, H, seeded: bool):
+        if seeded:
+            # warm the seeding compile OUTSIDE the clock (first-call
+            # compile at this shape is ~50 s through the relay; the
+            # timed run still pays the actual ~2 s seeding work)
+            jax.block_until_ready(nndsvd(V, k, key=jax.random.PRNGKey(9)))
         t0 = time.perf_counter()
         if seeded:
             W, H = nndsvd(V, k, key=ks)
@@ -319,8 +324,8 @@ def main():
             # --- Phase 3/4: children (own processes: one compiled
             # program per process keeps the relay worker stable) -------
             if m == 100_000:
-                result.update(_run_child("hals_tol", timeout=900))
-                result.update(_run_child("accel_tol", timeout=900))
+                result.update(_run_child("hals_tol", timeout=1200))
+                result.update(_run_child("accel_tol", timeout=1500))
             result.update(_run_child("objective_check", timeout=600))
 
             # Secondary configs are opt-in (benchmarks/run_all.py runs
