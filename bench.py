@@ -121,7 +121,8 @@ def _hals_tol_child():
         if seeded:
             # warm the seeding compile OUTSIDE the clock (first-call
             # compile at this shape is ~50 s through the relay; the
-            # timed run still pays the actual ~2 s seeding work)
+            # timed run still pays the seeding execution, measured
+            # 0.4-1.9 s across runs at this scale)
             jax.block_until_ready(nndsvd(V, k, key=jax.random.PRNGKey(9)))
         t0 = time.perf_counter()
         if seeded:
