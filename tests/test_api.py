@@ -74,3 +74,21 @@ def test_graft_entry_matches_solver_step():
     np.testing.assert_allclose(np.asarray(W1), res.W, atol=2e-5)
     np.testing.assert_allclose(np.asarray(H1), res.H, atol=2e-5)
     np.testing.assert_allclose(float(cost1), float(res.cost[0]), rtol=1e-4)
+
+
+def test_config_dict_carries_round2_keys():
+    # MATLAB-struct-style dict config must carry the round-2 extras
+    # (weights / inner_iters / init) exactly like kwargs
+    import numpy as np
+    import nmf_toolbox_tpu as nt
+    rng = np.random.default_rng(5)
+    V = (rng.gamma(2.0, 1.0, (40, 4)) @ rng.gamma(0.5, 1.0, (4, 30))
+         + 0.01).astype(np.float32)
+    M = (rng.uniform(size=V.shape) < 0.85).astype(np.float32)
+    cfg = {"weights": M, "maxiter": 6, "tolerance": 1e-30}
+    r1 = nt.nmf(V, 4, cfg, seed=2)
+    r2 = nt.nmf(V, 4, weights=M, maxiter=6, tolerance=1e-30, seed=2)
+    np.testing.assert_array_equal(r1.W, r2.W)
+    r3 = nt.nmf(V, 4, {"inner_iters": 3, "init": "nndsvdar",
+                       "maxiter": 5, "tolerance": 1e-30})
+    assert np.all(np.isfinite(r3.cost))

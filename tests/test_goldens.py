@@ -38,3 +38,13 @@ def test_golden_nmfsc_sparse():
     assert len(r.cost) == len(g["cost"])
     np.testing.assert_allclose(r.W, g["W"], atol=1e-9)
     np.testing.assert_allclose(np.asarray(r.cost), g["cost"], rtol=1e-9)
+
+
+def test_golden_nmf_weighted_kl():
+    g = np.load(GOLD / "nmf_weighted_kl.npz")
+    r = nt.nmf(g["V"], g["W0"].shape[1], W_init=g["W0"], H_init=g["H0"],
+               weights=g["M"], divergence="kl", maxiter=15, tolerance=1e-12,
+               dtype=np.float64)
+    np.testing.assert_allclose(r.W, g["W"], atol=1e-9)
+    np.testing.assert_allclose(r.H, g["H"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r.cost), g["cost"], rtol=1e-9)
