@@ -25,6 +25,8 @@ class NMF:
     divergence, max_iter, tol, random_state : usual meanings.
     solver_args : tuple of extra positional args (e.g. (context_len,)).
     **config : forwarded to the solver (W_sparsity, mesh, dtype, ...).
+        ``weights`` is taken in the SAME orientation as X —
+        (n_samples, n_features) — and transposed alongside it.
 
     Attributes: components_ (n_components, n_features), n_iter_,
     reconstruction_err_ (final cost), cost_trace_.
@@ -61,7 +63,13 @@ class NMF:
 
     def fit_transform(self, X, y=None):
         V = np.asarray(X).T  # sklearn rows-are-samples -> reference layout
-        res = self._fn()(V, self.n_components, *self.solver_args, **self._cfg())
+        cfg = self._cfg()
+        if cfg.get("weights") is not None:
+            # ADVICE r2: the facade converts X to solver layout; weights
+            # given in the same sklearn orientation (n_samples, n_features)
+            # must ride along, or a square X would silently misapply them.
+            cfg["weights"] = np.asarray(cfg["weights"]).T
+        res = self._fn()(V, self.n_components, *self.solver_args, **cfg)
         W = np.asarray(res.W)
         if W.ndim != 2:
             raise ValueError(

@@ -78,6 +78,18 @@ def prepare_weights(weights, dtype, shape, mesh, solver: str,
     if weights.shape != tuple(shape):
         raise ValueError(f"weights has shape {weights.shape}, "
                          f"expected {tuple(shape)}")
+    # ADVICE r2: negative weights would be hard-zeroed in most gradient
+    # fields (weights > 0 gate) but flow raw into the KL/AB ones-field
+    # denominators, flipping update signs — reject uniformly instead of
+    # letting the inconsistency break nonnegativity silently.  NaN weights
+    # are rejected by the same comparison (NaN < 0 is False, so use any
+    # finite-aware check).
+    bad = jnp.any(weights < 0) | jnp.any(jnp.isnan(weights))
+    if bool(bad):
+        raise ValueError(
+            "weights must be nonnegative and NaN-free; to down-weight or "
+            "drop entries use 0, and to mask NaN DATA pass the NaN in V "
+            "with weight 0 (see API.md 'weights')")
     if valid is not None:
         weights = pad_axes(weights, {0: pad_m, 1: pad_n})
     return apply_placements(mesh, solver, V=weights)

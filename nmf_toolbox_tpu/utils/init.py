@@ -104,6 +104,16 @@ def kmeans_indicator_h(key, V, k: int, dtype, offset: float = 0.2):
 # NNDSVD (Boutsidis & Gallopoulos 2008) — beyond-reference extra init
 # ---------------------------------------------------------------------------
 
+def _working_eps(dtype):
+    """Machine epsilon of the operand dtype (ADVICE r2: f64 NNDSVD runs
+    should use ~1e-16 ridges/floors, not the f32 ~1e-7).  Low-precision
+    dtypes (bf16/f16) fall back to float32 eps — their accumulations
+    happen in f32 on TPU and a 1e-2-scale ridge would wreck the Gram."""
+    eps = np.finfo(np.dtype(dtype)).eps if np.issubdtype(
+        np.dtype(dtype), np.floating) else np.finfo(np.float32).eps
+    return min(float(eps), float(np.finfo(np.float32).eps))
+
+
 def _cholesky_qr(A, eps):
     """Orthonormalize the columns of a tall-skinny A via Cholesky-QR.
 
@@ -142,7 +152,7 @@ def _randomized_svd(key, V, k: int, oversample: int = 10,
     """
     m, n = V.shape
     p = int(min(k + oversample, m, n))
-    eps = jnp.asarray(np.finfo(np.float32).eps, V.dtype)
+    eps = jnp.asarray(_working_eps(V.dtype), V.dtype)
     Om = jax.random.normal(key, (n, p), V.dtype)
     Q = _cholesky_qr(V @ Om, eps)
     for _ in range(power_iters):
@@ -249,7 +259,7 @@ def _randomized_spectrum(V, num: int, seed, iters: int):
     n = V.shape[1]
     mean = jnp.mean(V, axis=1, keepdims=True)
     Vc = V - mean
-    eps = jnp.asarray(np.finfo(np.float32).eps, V.dtype)
+    eps = jnp.asarray(_working_eps(V.dtype), V.dtype)
     key = jax.random.PRNGKey(seed)
 
     def matvec_c(Q):

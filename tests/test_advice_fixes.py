@@ -142,3 +142,64 @@ def test_cli_streaming_allows_euclidean(matrix_file, tmp_path):  # noqa: F811
                  "--maxiter", "3", "--divergence", "euclidean", "--out", out])
     assert r.returncode == 0, r.stderr[-500:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["k"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Round-2 advisor findings
+# ---------------------------------------------------------------------------
+
+def test_negative_and_nan_weights_rejected():
+    """ADVICE r2 #1: invalid weights must fail uniformly in every
+    divergence, not flip KL/AB denominators silently."""
+    import nmf_toolbox_tpu as nt
+
+    rng = np.random.default_rng(0)
+    V = rng.uniform(0.1, 1.0, (6, 8))
+    w_neg = np.ones((6, 8))
+    w_neg[2, 3] = -0.5
+    w_nan = np.ones((6, 8))
+    w_nan[1, 1] = np.nan
+    for div in ("euclidean", "kl"):
+        with pytest.raises(ValueError, match="nonnegative"):
+            nt.nmf(V, 3, weights=w_neg, divergence=div, maxiter=2, seed=0)
+        with pytest.raises(ValueError, match="NaN"):
+            nt.nmf(V, 3, weights=w_nan, divergence=div, maxiter=2, seed=0)
+    # zero weights remain legal (the masking idiom)
+    res = nt.nmf(V, 3, weights=(rng.uniform(size=(6, 8)) < 0.7).astype(float),
+                 maxiter=3, seed=0)
+    assert np.all(np.isfinite(np.asarray(res.cost)[:res.n_iters]))
+
+
+def test_estimator_weights_sklearn_orientation():
+    """ADVICE r2 #2: the facade converts X to solver layout; weights given
+    in sklearn orientation (n_samples, n_features) must ride along."""
+    import nmf_toolbox_tpu as nt
+    from nmf_toolbox_tpu.estimators import NMF
+
+    rng = np.random.default_rng(1)
+    X = rng.uniform(0.1, 1.0, (6, 4))          # 6 samples, 4 features
+    w = (rng.uniform(size=(6, 4)) < 0.8).astype(float)
+    est = NMF(n_components=2, max_iter=5, tol=1e-12, random_state=3,
+              weights=w)
+    Ht = est.fit_transform(X)                  # non-square: would raise pre-fix
+    ref = nt.nmf(X.T, 2, weights=w.T, maxiter=5, tolerance=1e-12, seed=3)
+    np.testing.assert_allclose(est.components_, np.asarray(ref.W).T, rtol=1e-12)
+    np.testing.assert_allclose(Ht, np.asarray(ref.H).T, rtol=1e-12)
+
+
+def test_randomized_svd_uses_operand_eps():
+    """ADVICE r2 #3: f64 seeding must use ~1e-16-scale ridges/floors, so an
+    exactly rank-k f64 matrix reconstructs far below the f32-eps plateau."""
+    import jax.numpy as jnp
+    from nmf_toolbox_tpu.utils.init import _randomized_svd, _working_eps
+
+    assert _working_eps(np.float64) == np.finfo(np.float64).eps
+    assert _working_eps(np.float32) == np.finfo(np.float32).eps
+    assert _working_eps(np.float16) == np.finfo(np.float32).eps  # fallback
+
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((60, 3)) @ rng.standard_normal((3, 40))
+    import jax
+    U, s, Vt = _randomized_svd(jax.random.PRNGKey(0), jnp.asarray(A), 3)
+    err = np.linalg.norm((U * s) @ Vt - A) / np.linalg.norm(A)
+    assert err < 1e-9, err

@@ -140,10 +140,11 @@ def test_facade_weights_fit_only():
     from nmf_toolbox_tpu.estimators import NMF
     V, W0, H0, M = _problem(seed=13)
     X = V.astype(np.float32).T
-    # weights are given in solver layout (features x samples) via config;
-    # fit works, transform on differently-sized data must not forward them
+    # weights are given in sklearn orientation (n_samples, n_features),
+    # same as X (ADVICE r2 #2); fit works, transform on differently-sized
+    # data must not forward them
     est = NMF(5, solver="mu", max_iter=8, tol=1e-30,
-              weights=M.astype(np.float32))
+              weights=M.astype(np.float32).T)
     Ht = est.fit_transform(X)
     assert Ht.shape == (V.shape[1], 5)
     X_new = X[:10]
