@@ -203,6 +203,10 @@ class Result:
     A: Any = None
     n_iters: int = 0
     converged: bool = False
+    # Projected-gradient solver state beyond the factors (line-search
+    # stepsizes, nmfsc.m:147,178): pass back via ``resume_state=`` for
+    # bit-exact chunked continuation.  None for memoryless MU solvers.
+    resume_state: Any = None
 
     def __iter__(self):
         return iter(getattr(self, f) for f in self.fields)

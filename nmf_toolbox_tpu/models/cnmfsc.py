@@ -63,7 +63,7 @@ def _build_solver(spec: _Spec):
     T = spec.context_len
 
     @jax.jit
-    def solve(V, W0_init, W_init, H0, tolerance):
+    def solve(V, W0_init, W_init, H0, tolerance, st_w0, st_h0):
         dt = V.dtype
         eps = jnp.asarray(spec.eps, dt)
         one = jnp.ones((), dt)
@@ -171,8 +171,7 @@ def _build_solver(spec: _Spec):
             return (W0, W, H, step_w, step_h, c), c, term
 
         c0 = conv_cost(W_init, H0)  # initial cost uses W (cnmfsc.m:152)
-        state0 = (W0_init, W_init, H0,
-                  jnp.ones((T,), dt), jnp.ones((), dt), c0)
+        state0 = (W0_init, W_init, H0, st_w0, st_h0, c0)
         return looplib.run(step, state0, spec.maxiter, tolerance,
                            offset=1, initial_cost=c0, cost_dtype=dt)
     return solve
@@ -214,12 +213,26 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
 
     l1_w = hoyer_l1_target(m, w_sp) if w_sp > 0 else 0.0
     l1_h = hoyer_l1_target(n, h_sp) if h_sp > 0 else 0.0
+    # Chunked continuation (utils/checkpoint.py): skip the initial
+    # projections (factors are already feasible; re-projection is only
+    # fp-approximately idempotent) and resume the per-frame stepsize
+    # vector + scalar H stepsize (cnmfsc.m:147).  At a committed
+    # iteration boundary W0 == W (cnmfsc.m:266), so W_init fills both
+    # double-buffer slots exactly.
+    rs = cfg.get("resume_state")
     # Initial projections write W, NOT the W0 buffer (cnmfsc.m:94-124).
     W_proj = W0
-    if w_sp > 0:
-        W_proj = project_columns(W0.reshape(m, k * T), l1_w, 1.0)[0].reshape(m, k, T)
-    if h_sp > 0:
-        H0 = project_columns(H0.T, l1_h, 1.0)[0].T
+    if rs is None:
+        if w_sp > 0:
+            W_proj = project_columns(W0.reshape(m, k * T), l1_w, 1.0)[0].reshape(m, k, T)
+        if h_sp > 0:
+            H0 = project_columns(H0.T, l1_h, 1.0)[0].T
+    st_w0 = (np.asarray(rs["step_w"], dtype) if rs
+             else np.ones((T,), dtype))
+    if st_w0.shape != (T,):
+        raise ValueError(f"resume_state step_w has shape {st_w0.shape}, "
+                         f"expected ({T},)")
+    st_h0 = float(rs["step_h"]) if rs else 1.0
 
     mesh = cfg.get("mesh")
     pad_m, pad_n, valid = plan_padding(mesh, m, n)
@@ -234,7 +247,9 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
     spec = _Spec(T, maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
                  eps, float(l1_w), float(l1_h), valid)
-    out = _build_solver(spec)(V, W0, W_proj, H0, jnp.asarray(tolerance, dtype))
+    out = _build_solver(spec)(V, W0, W_proj, H0, jnp.asarray(tolerance, dtype),
+                              jnp.asarray(st_w0, dtype),
+                              jnp.asarray(st_h0, dtype))
     _, W, H = out.state[0], out.state[1], out.state[2]
     if valid is not None:
         W, H = W[:m], H[:, :n]
@@ -242,4 +257,6 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
                   W=np.asarray(W), H=np.asarray(H),
                   cost=looplib.trim_cost(out, maxiter, offset=1),
                   n_iters=int(out.n_iters),
-                  converged=bool(out.stopped) or bool(out.terminated))
+                  converged=bool(out.stopped) or bool(out.terminated),
+                  resume_state={"step_w": np.asarray(out.state[3]),
+                                "step_h": float(out.state[4])})

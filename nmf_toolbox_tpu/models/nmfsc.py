@@ -51,7 +51,7 @@ class _Spec(NamedTuple):
 @functools.lru_cache(maxsize=None)
 def _build_solver(spec: _Spec):
     @jax.jit
-    def solve(V, W0, H0, tolerance):
+    def solve(V, W0, H0, tolerance, st_w0, st_h0):
         dt = V.dtype
         eps = jnp.asarray(spec.eps, dt)
         v_sq = jnp.sum(V * V)
@@ -128,8 +128,7 @@ def _build_solver(spec: _Spec):
             return (W, H, step_w, step_h, c), c, term
 
         c0 = initial_cost(W0, H0)
-        st = jnp.ones((), dt)
-        return looplib.run(step, (W0, H0, st, st, c0), spec.maxiter,
+        return looplib.run(step, (W0, H0, st_w0, st_h0, c0), spec.maxiter,
                            tolerance, offset=1, initial_cost=c0,
                            cost_dtype=dt)
     return solve
@@ -172,10 +171,19 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
 
     l1_w = hoyer_l1_target(m, w_sp) if w_sp > 0 else 0.0
     l1_h = hoyer_l1_target(n, h_sp) if h_sp > 0 else 0.0
-    if w_sp > 0:  # initial projection (nmfsc.m:93-96)
-        W0 = project_columns(W0, l1_w, 1.0)[0]
-    if h_sp > 0:  # nmfsc.m:106-109
-        H0 = project_columns(H0.T, l1_h, 1.0)[0].T
+    # Chunked continuation (utils/checkpoint.py): factors from a previous
+    # run are already feasible — re-projecting them is only
+    # fp-approximately idempotent and would perturb the trajectory — and
+    # the line-search stepsizes resume where they left off
+    # (nmfsc.m:147,178 stepsize growth/halving state).
+    rs = cfg.get("resume_state")
+    st_w0 = float(rs["step_w"]) if rs else 1.0
+    st_h0 = float(rs["step_h"]) if rs else 1.0
+    if rs is None:
+        if w_sp > 0:  # initial projection (nmfsc.m:93-96)
+            W0 = project_columns(W0, l1_w, 1.0)[0]
+        if h_sp > 0:  # nmfsc.m:106-109
+            H0 = project_columns(H0.T, l1_h, 1.0)[0].T
 
     mesh = cfg.get("mesh")
     pad_m, pad_n, valid = plan_padding(mesh, m, n)
@@ -188,7 +196,9 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     spec = _Spec(maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
                  eps, float(l1_w), float(l1_h), valid)
-    out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
+    out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype),
+                              jnp.asarray(st_w0, dtype),
+                              jnp.asarray(st_h0, dtype))
     W, H = out.state[0], out.state[1]
     if valid is not None:
         W, H = W[:m], H[:, :n]
@@ -196,4 +206,6 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
                   W=np.asarray(W), H=np.asarray(H),
                   cost=looplib.trim_cost(out, maxiter, offset=1),
                   n_iters=int(out.n_iters),
-                  converged=bool(out.stopped) or bool(out.terminated))
+                  converged=bool(out.stopped) or bool(out.terminated),
+                  resume_state={"step_w": float(out.state[2]),
+                                "step_h": float(out.state[3])})

@@ -83,9 +83,11 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
     chnmf, chcnmf, cmfwisa, constrainednmf, nmf_hals) the restart state
     equals the continuation state, so the resumed factors are IDENTICAL
     to an uninterrupted run (tested).  The line-search solvers
-    (nmfsc/cnmfsc) carry stepsizes across iterations, which reset at a
-    chunk boundary — resumed runs are valid restarts but not
-    trajectory-identical.
+    (nmfsc/cnmfsc) additionally carry stepsize state (nmfsc.m:147,178;
+    cnmfsc.m:147 per-frame vector); it is threaded through
+    ``Result.resume_state`` / the solvers' ``resume_state=`` config key
+    and persisted in the checkpoint, so chunked runs are BIT-IDENTICAL
+    to single-dispatch for these too (tested).
 
     The tolerance rule is additionally evaluated on the host across
     chunk boundaries (each chunk's device loop only compares within the
@@ -103,12 +105,17 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
     done = 0
     inits: dict = {}
     costs = []
+    resume_state = None
     if resume and os.path.exists(os.fspath(path)):
         raw = load_factors(path, as_inits=False)
         inits = {f"{k}_init": v for k, v in raw.items() if k in _FACTOR_KEYS}
         done = int(raw.get("extra__iters_done", 0))
         if "extra__cost_so_far" in raw:
             costs = [np.asarray(raw["extra__cost_so_far"])]
+        rs = {k[len("extra__resume_"):]: raw[k] for k in raw
+              if k.startswith("extra__resume_")}
+        if rs:
+            resume_state = rs
     res = None
     converged = False
     while done < total_iters and not converged:
@@ -119,6 +126,8 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
             # factors restored from the checkpoint supersede any seeding
             # choice; solvers reject init='nndsvd*' alongside W_init
             cfg.pop("init", None)
+        if resume_state is not None:
+            cfg["resume_state"] = resume_state
         res = solver(V, *args, maxiter=step, **cfg)
         done += int(res.n_iters) if res.n_iters else step
         chunk_cost = np.asarray(res.cost)
@@ -140,10 +149,13 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
         costs.append(chunk_cost)
         inits = {f"{k}_init": getattr(res, k) for k in _FACTOR_KEYS
                  if getattr(res, k, None) is not None}
+        resume_state = getattr(res, "resume_state", None)
         converged = converged or bool(res.converged)
-        save_factors(path, res, extra={
-            "iters_done": done,
-            "cost_so_far": np.concatenate(costs)})
+        extra = {"iters_done": done, "cost_so_far": np.concatenate(costs)}
+        if resume_state is not None:
+            extra.update({f"resume_{k}": np.asarray(v)
+                          for k, v in resume_state.items()})
+        save_factors(path, res, extra=extra)
     if res is None:
         # Already complete at entry: reconstruct a Result from the
         # checkpoint instead of crashing the caller.
