@@ -144,6 +144,12 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     (length maxiter+1 semantics, nmfsc.m:137-139).
     """
     cfg = merge_config(config, kwargs)
+    if cfg.pop("dispatch", None) == "phased":
+        # Host-driven phase-split dispatch with bounded device programs
+        # (survives the remote-relay fault at large shapes; bit-identical
+        # trajectory) — see models/nmfsc_phased.py.
+        from .nmfsc_phased import nmfsc_phased
+        return nmfsc_phased(V, num_basis_elems, cfg)
     dtype = resolve_dtype(V, cfg.get("dtype"))
     V = np.asarray(V)
     if V.min() < 0:

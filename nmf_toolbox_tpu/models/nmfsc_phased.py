@@ -1,0 +1,346 @@
+"""Phase-split nmfsc dispatch: host outer loop, bounded device programs.
+
+The default nmfsc solver (models/nmfsc.py) runs the entire iteration in
+one compiled program: an outer ``lax.while_loop`` nesting two
+backtracking line searches (each an unbounded ``while_loop``) nesting the
+Hoyer projection (another ``while_loop``).  On this rig's remote TPU
+relay that triply-nested program FAULTS the worker at the BASELINE #2
+shape (5000x2000 r50) in its first dispatch (benchmarks/RESULTS_v5e.md
+"relay crash"), at any chunk size — restructuring at the maxiter level
+cannot dodge it.
+
+This module is the restructured dispatch (VERDICT r2 item 1): the outer
+iteration runs on the HOST, and every device program has statically
+bounded control flow —
+
+* ``lax.fori_loop`` with acceptance masks replaces both unbounded
+  while_loops (line-search trials AND projection passes);
+* the m x n data V is touched only by the two Gram programs and the cost
+  program; line-search trial rounds operate purely on Gram-form
+  quantities (k x n / m x k / k x k) and can be re-dispatched from the
+  host until a trial is accepted or the stepsize underflows, carrying
+  only (factor, stepsize, begobj) across the boundary — semantically
+  identical to the unbounded search because masked extra trials and
+  masked extra projection passes are exact no-ops.
+
+Trajectories are BIT-IDENTICAL to the fused single-program path (pinned
+by tests/test_nmfsc_phased.py) — it is the same math in the same order,
+just partitioned differently.  Cost: ~5 dispatches per outer iteration
+(~60 ms relay round-trip each on this rig), which is why this stays an
+opt-in ``dispatch='phased'`` rather than the default.
+
+Reference semantics: nmfsc.m:141-245 (line searches nmfsc.m:152-179 /
+196-233, underflow return nmfsc.m:170-174, MU fallbacks nmfsc.m:182-187,
+cost nmfsc.m:237-243); projection projfunc.m:28-55.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import STEP_UNDERFLOW, Result, common_scalars, merge_config, \
+    resolve_dtype
+from ..ops.normalize import row_l2_transfer
+from ..ops.projection import hoyer_l1_target
+
+
+class _PhSpec(NamedTuple):
+    w_sparse: bool
+    h_sparse: bool
+    w_fixed: bool
+    h_fixed: bool
+    eps: float
+    l1_w: float
+    l1_h: float
+    trials: int       # line-search trials per device round
+    proj_passes: int  # Hoyer projection passes per trial (bounded fori)
+
+
+def _project_columns_bounded(S, k1, k2, passes: int):
+    """Hoyer projection with a static ``fori_loop`` trip count.
+
+    Same per-pass math as ops/projection.project_columns (projfunc.m:
+    28-55); converged columns are frozen by the done-mask, so any passes
+    beyond a column's convergence are exact no-ops and the result is
+    bit-identical to the while_loop version whenever ``passes`` covers
+    the true pass count (each pass zeroes >= 1 more coefficient, so
+    N+1 always suffices; in practice <= ~10).
+    """
+    S = jnp.asarray(S)
+    N, B = S.shape
+    dt = S.dtype
+    k1 = jnp.broadcast_to(jnp.asarray(k1, dt), (B,))
+    k2 = jnp.broadcast_to(jnp.asarray(k2, dt), (B,))
+    v0 = S + (k1 - jnp.sum(S, axis=0)) / N
+    zero0 = jnp.zeros((N, B), dtype=bool)
+    done0 = jnp.zeros((B,), dtype=bool)
+
+    def body(_, carry):
+        v, zero, done = carry
+        nz = jnp.sum(zero, axis=0)
+        midpoint = jnp.where(zero, jnp.zeros((), dt), (k1 / (N - nz))[None, :])
+        w = v - midpoint
+        a = jnp.sum(w * w, axis=0)
+        b = 2.0 * jnp.sum(w * v, axis=0)
+        c = jnp.sum(v * v, axis=0) - k2
+        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        alphap = (-b + jnp.sqrt(disc)) / (2.0 * a)
+        v_proj = alphap[None, :] * w + v
+        ok = jnp.all(v_proj >= 0, axis=0)
+        zero_new = zero | (v_proj <= 0)
+        nz2 = jnp.sum(zero_new, axis=0)
+        v_cl = jnp.where(zero_new, jnp.zeros((), dt), v_proj)
+        v_re = v_cl + ((k1 - jnp.sum(v_cl, axis=0)) / (N - nz2))[None, :]
+        v_re = jnp.where(zero_new, jnp.zeros((), dt), v_re)
+        v_next = jnp.where(done[None, :], v,
+                           jnp.where(ok[None, :], v_proj, v_re))
+        zero_next = jnp.where((done | ok)[None, :], zero, zero_new)
+        return v_next, zero_next, done | ok
+
+    v, _, done = jax.lax.fori_loop(0, int(min(passes, N + 1)), body,
+                                   (v0, zero0, done0))
+    return v, done
+
+
+def _bounded_search(obj_fn, X, dX, step0, project, begobj, trials: int):
+    """K bounded trials of the backtracking search (nmfsc.m:152-179).
+
+    Mirrors ops/linesearch.backtracking_search trial-for-trial: halve
+    until the objective does not increase, underflow below 1e-200, grow
+    1.2x on acceptance.  Returns (X_out, step_out, accepted, underflow,
+    obj, proj_ok); when neither accepted nor underflow after ``trials``
+    trials the caller re-dispatches with the returned (halved) step —
+    the remaining trials are a pure continuation because every trial
+    starts from the same X.
+    """
+    dt = X.dtype
+
+    def body(_, carry):
+        step, Xb, obj, accepted, underflow, proj_ok = carry
+        active = (~accepted) & (~underflow)
+        Xnew, done = project(X - step * dX)
+        newobj = obj_fn(Xnew)
+        acc_t = newobj <= begobj
+        step_next = jnp.where(acc_t, step, step / 2.0)
+        under_t = (~acc_t) & (step_next < STEP_UNDERFLOW)
+        return (jnp.where(active, step_next, step),
+                jnp.where(active & acc_t, Xnew, Xb),
+                jnp.where(active, newobj, obj),
+                accepted | (active & acc_t),
+                underflow | (active & under_t),
+                proj_ok & jnp.where(active, jnp.all(done), True))
+
+    step, Xn, obj, accepted, underflow, proj_ok = jax.lax.fori_loop(
+        0, trials, body,
+        (jnp.asarray(step0, dt), X, jnp.zeros((), dt),
+         jnp.asarray(False), jnp.asarray(False), jnp.asarray(True)))
+    X_out = jnp.where(accepted, Xn, X)
+    step_out = jnp.where(accepted, 1.2 * step, step)
+    return X_out, step_out, accepted, underflow, obj, proj_ok
+
+
+@functools.lru_cache(maxsize=None)
+def _build_phases(spec: _PhSpec):
+    eps = spec.eps
+
+    def _proj_rows(l1):
+        def p(H):
+            v, done = _project_columns_bounded(H.T, l1, 1.0, spec.proj_passes)
+            return v.T, done
+        return p
+
+    def _proj_cols(l1):
+        def p(W):
+            return _project_columns_bounded(W, l1, 1.0, spec.proj_passes)
+        return p
+
+    @jax.jit
+    def v_sq_fn(V):
+        return jnp.sum(V * V)
+
+    @jax.jit
+    def h_grams(V, W):
+        return W.T @ V, W.T @ W
+
+    @jax.jit
+    def h_round(v_sq, WtV, WtW, H, step_h, begobj):
+        dH = WtW @ H - WtV
+
+        def obj(Hn):
+            return 0.5 * (v_sq - 2.0 * jnp.sum(WtV * Hn)
+                          + jnp.sum((WtW @ Hn) * Hn))
+        return _bounded_search(obj, H, dH, step_h,
+                               _proj_rows(spec.l1_h), begobj, spec.trials)
+
+    @jax.jit
+    def h_mu(V, W, H):
+        WtV = W.T @ V
+        WtW = W.T @ W
+        H = H * (WtV / jnp.maximum(WtW @ H, jnp.asarray(eps, H.dtype)))
+        H, W = row_l2_transfer(H, W)
+        return W, H
+
+    @jax.jit
+    def w_grams(V, W, H, v_sq):
+        VHt = V @ H.T
+        HHt = H @ H.T
+        begobj = 0.5 * (v_sq - 2.0 * jnp.sum(VHt * W)
+                        + jnp.sum((W.T @ W) * HHt))  # nmfsc.m:197
+        return VHt, HHt, begobj
+
+    @jax.jit
+    def w_round(v_sq, VHt, HHt, W, step_w, begobj):
+        dW = W @ HHt - VHt
+
+        def obj(Wn):
+            return 0.5 * (v_sq - 2.0 * jnp.sum(VHt * Wn)
+                          + jnp.sum((Wn.T @ Wn) * HHt))
+        return _bounded_search(obj, W, dW, step_w,
+                               _proj_cols(spec.l1_w), begobj, spec.trials)
+
+    @jax.jit
+    def w_mu(V, W, H):
+        HHt = H @ H.T
+        VHt = V @ H.T
+        return W * (VHt / jnp.maximum(W @ HHt, jnp.asarray(eps, W.dtype)))
+
+    @jax.jit
+    def cost_fn(V, W, H, v_sq):
+        WtV = W.T @ V
+        WtW = W.T @ W
+        return jnp.maximum(
+            0.5 * (v_sq - 2.0 * jnp.sum(WtV * H)
+                   + jnp.sum((WtW @ H) * H)), 0.0)
+
+    return dict(v_sq=v_sq_fn, h_grams=h_grams, h_round=h_round, h_mu=h_mu,
+                w_grams=w_grams, w_round=w_round, w_mu=w_mu, cost=cost_fn)
+
+
+def _search_to_accept(round_fn, args, X, step, begobj, max_rounds=None):
+    """Host loop re-dispatching bounded trial rounds until acceptance or
+    underflow (the unbounded while of nmfsc.m:152-175, split at the
+    dispatch boundary).  The round budget always covers halving from the
+    current step all the way to the 1e-200 underflow (~700 halvings from
+    step 1), so a genuinely stuck search terminates exactly like the
+    unbounded one instead of erroring."""
+    if max_rounds is None:
+        import math
+        halvings = (math.log2(max(float(step), STEP_UNDERFLOW))
+                    - math.log2(STEP_UNDERFLOW))
+        max_rounds = int(halvings) + 8  # >= even if every round is 1 trial
+    for _ in range(max_rounds):
+        X_out, step, accepted, underflow, obj, proj_ok = round_fn(
+            *args, X, step, begobj)
+        if not bool(proj_ok):
+            raise RuntimeError(
+                "bounded Hoyer projection did not converge within "
+                "proj_passes passes; raise nmfsc(..., proj_passes=)")
+        if bool(accepted) or bool(underflow):
+            return X_out, step, bool(underflow), obj
+    raise RuntimeError(
+        "line search exceeded max_rounds * trials trials without "
+        "acceptance or underflow (stepsize %r)" % float(step))
+
+
+def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
+                 **kwargs):
+    """nmfsc with host-driven phase-split dispatch (see module docstring).
+
+    Same parameter surface and semantics as models/nmfsc.nmfsc minus
+    ``mesh`` (single-device only), plus ``trials`` (line-search trials
+    per device round, default 24) and ``proj_passes`` (bounded Hoyer
+    projection passes, default 48).
+    """
+    cfg = merge_config(config, kwargs)
+    if cfg.get("mesh") is not None:
+        raise ValueError("dispatch='phased' is single-device; drop mesh=")
+    dtype = resolve_dtype(V, cfg.get("dtype"))
+    V = np.asarray(V)
+    if V.min() < 0:
+        raise ValueError("Negative values in data!")  # nmfsc.m:57-59
+    V = jnp.asarray(V / V.max(), dtype)  # nmfsc.m:62
+    m, n = V.shape
+    k = int(num_basis_elems)
+
+    maxiter, tolerance, eps, key = common_scalars(cfg)
+    w_sp = min(float(cfg.get("W_sparsity", 0.0) or 0.0), 1.0)
+    h_sp = min(float(cfg.get("H_sparsity", 0.0) or 0.0), 1.0)
+    kw, kh = jax.random.split(key)
+
+    W = cfg.get("W_init")
+    if W is None:
+        W = jax.random.uniform(kw, (m, k), dtype)  # nmfsc.m:73-75
+    W = jnp.asarray(W, dtype)
+    H = cfg.get("H_init")
+    if H is None:
+        H = jax.random.uniform(kh, (k, n), dtype)
+        H = H / jnp.sqrt(jnp.sum(H * H, axis=1, keepdims=True))
+    H = jnp.asarray(H, dtype)
+
+    l1_w = hoyer_l1_target(m, w_sp) if w_sp > 0 else 0.0
+    l1_h = hoyer_l1_target(n, h_sp) if h_sp > 0 else 0.0
+    rs = cfg.get("resume_state")
+    step_w = jnp.asarray(float(rs["step_w"]) if rs else 1.0, dtype)
+    step_h = jnp.asarray(float(rs["step_h"]) if rs else 1.0, dtype)
+    spec = _PhSpec(w_sp > 0, h_sp > 0,
+                   bool(cfg.get("W_fixed", False)),
+                   bool(cfg.get("H_fixed", False)),
+                   eps, float(l1_w), float(l1_h),
+                   int(cfg.get("trials", 24)),
+                   int(cfg.get("proj_passes", 48)))
+    ph = _build_phases(spec)
+    if rs is None:
+        if w_sp > 0:  # initial projection (nmfsc.m:93-96)
+            W = _project_columns_bounded(W, l1_w, 1.0, spec.proj_passes)[0]
+        if h_sp > 0:  # nmfsc.m:106-109
+            H = _project_columns_bounded(H.T, l1_h, 1.0,
+                                         spec.proj_passes)[0].T
+
+    v_sq = ph["v_sq"](V)
+    # Cost bookkeeping stays in the solver dtype (numpy scalars) so the
+    # host-side stop rule rounds exactly like the fused on-device one.
+    trace = [np.asarray(ph["cost"](V, W, H, v_sq))]  # initial cost (nmfsc.m:137-139)
+    prev_cost = jnp.asarray(trace[0])
+    n_iters = 0
+    terminated = stopped = False
+    for i in range(maxiter):
+        n_iters = i + 1
+        # ---- H phase (nmfsc.m:143-189) ----
+        if not spec.h_fixed:
+            if spec.h_sparse:
+                WtV, WtW = ph["h_grams"](V, W)
+                H, step_h, under, _ = _search_to_accept(
+                    ph["h_round"], (v_sq, WtV, WtW), H, step_h, prev_cost)
+                terminated |= under
+            else:
+                W, H = ph["h_mu"](V, W, H)
+        # ---- W phase (nmfsc.m:192-233); the reference returns from the
+        # H underflow before reaching it (nmfsc.m:170-174) ----
+        if not terminated and not spec.w_fixed:
+            if spec.w_sparse:
+                VHt, HHt, begobj = ph["w_grams"](V, W, H, v_sq)
+                W, step_w, under, _ = _search_to_accept(
+                    ph["w_round"], (v_sq, VHt, HHt), W, step_w, begobj)
+                terminated |= under
+            else:
+                W = ph["w_mu"](V, W, H)
+        if terminated:
+            break  # cost of the terminated iteration is dropped
+        c = np.asarray(ph["cost"](V, W, H, v_sq))  # nmfsc.m:237-238
+        trace.append(c)
+        tol = np.asarray(tolerance, c.dtype)
+        if i >= 1 and c < trace[-2] and trace[-2] - c < tol:
+            stopped = True
+            break
+        prev_cost = jnp.asarray(c)
+
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=np.asarray(H),
+                  cost=np.stack(trace),
+                  n_iters=n_iters, converged=stopped or terminated,
+                  resume_state={"step_w": float(step_w),
+                                "step_h": float(step_h)})
