@@ -247,9 +247,13 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
     spec = _Spec(T, maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
                  eps, float(l1_w), float(l1_h), valid)
-    out = _build_solver(spec)(V, W0, W_proj, H0, jnp.asarray(tolerance, dtype),
-                              jnp.asarray(st_w0, dtype),
-                              jnp.asarray(st_h0, dtype))
+    # 'highest' matmul precision for the line-search objectives (no-op on
+    # CPU) — same f32-on-TPU stall hazard as nmfsc (models/nmfsc_phased.py).
+    with jax.default_matmul_precision("highest"):
+        out = _build_solver(spec)(V, W0, W_proj, H0,
+                                  jnp.asarray(tolerance, dtype),
+                                  jnp.asarray(st_w0, dtype),
+                                  jnp.asarray(st_h0, dtype))
     _, W, H = out.state[0], out.state[1], out.state[2]
     if valid is not None:
         W, H = W[:m], H[:, :n]

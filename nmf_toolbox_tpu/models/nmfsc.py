@@ -202,9 +202,15 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     spec = _Spec(maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
                  eps, float(l1_w), float(l1_h), valid)
-    out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype),
-                              jnp.asarray(st_w0, dtype),
-                              jnp.asarray(st_h0, dtype))
+    # 'highest' matmul precision (no-op on CPU): the TPU's default
+    # one-pass-bf16 f32 matmul leaves ~1e2 absolute noise in the
+    # cancellation-heavy Gram-form objectives at production shapes,
+    # which can stall the line-search acceptance test — see
+    # models/nmfsc_phased.py for the measurement.
+    with jax.default_matmul_precision("highest"):
+        out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype),
+                                  jnp.asarray(st_w0, dtype),
+                                  jnp.asarray(st_h0, dtype))
     W, H = out.state[0], out.state[1]
     if valid is not None:
         W, H = W[:m], H[:, :n]

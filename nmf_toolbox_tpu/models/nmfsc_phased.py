@@ -42,8 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import STEP_UNDERFLOW, Result, common_scalars, merge_config, \
-    resolve_dtype
+from ..core import Result, common_scalars, merge_config, resolve_dtype
 from ..ops.normalize import row_l2_transfer
 from ..ops.projection import hoyer_l1_target
 
@@ -118,6 +117,8 @@ def _bounded_search(obj_fn, X, dX, step0, project, begobj, trials: int):
     starts from the same X.
     """
     dt = X.dtype
+    from ..ops.linesearch import underflow_threshold
+    under_thr = underflow_threshold(dt)
 
     def body(_, carry):
         step, Xb, obj, accepted, underflow, proj_ok = carry
@@ -126,7 +127,7 @@ def _bounded_search(obj_fn, X, dX, step0, project, begobj, trials: int):
         newobj = obj_fn(Xnew)
         acc_t = newobj <= begobj
         step_next = jnp.where(acc_t, step, step / 2.0)
-        under_t = (~acc_t) & (step_next < STEP_UNDERFLOW)
+        under_t = (~acc_t) & (step_next < under_thr)
         return (jnp.where(active, step_next, step),
                 jnp.where(active & acc_t, Xnew, Xb),
                 jnp.where(active, newobj, obj),
@@ -158,83 +159,105 @@ def _build_phases(spec: _PhSpec):
             return _project_columns_bounded(W, l1, 1.0, spec.proj_passes)
         return p
 
+    # All phase programs run their matmuls at 'highest' precision: the
+    # Gram-form objective cancels v_sq (~4e6 at BASELINE #2) down to the
+    # cost (~4e5), and the TPU's default one-pass-bf16 f32 matmul leaves
+    # ~1e2 absolute noise in it — larger than late-iteration line-search
+    # decreases, which stalls the acceptance test (measured on v5e:
+    # default 377282 vs highest 377412.375 vs direct 377412.06).  The
+    # flag is a no-op on CPU, preserving the bit-exact parity pins.
+    HIGHEST = "highest"
+
     @jax.jit
     def v_sq_fn(V):
         return jnp.sum(V * V)
 
     @jax.jit
     def h_grams(V, W):
-        return W.T @ V, W.T @ W
+        with jax.default_matmul_precision(HIGHEST):
+            return W.T @ V, W.T @ W
 
     @jax.jit
-    def h_round(v_sq, WtV, WtW, H, step_h, begobj):
-        dH = WtW @ H - WtV
+    def h_round(v_sq, WtV, WtW, H, step_h):
+        with jax.default_matmul_precision(HIGHEST):
+            dH = WtW @ H - WtV
 
-        def obj(Hn):
-            return 0.5 * (v_sq - 2.0 * jnp.sum(WtV * Hn)
-                          + jnp.sum((WtW @ Hn) * Hn))
-        return _bounded_search(obj, H, dH, step_h,
-                               _proj_rows(spec.l1_h), begobj, spec.trials)
+            def obj(Hn):
+                return 0.5 * (v_sq - 2.0 * jnp.sum(WtV * Hn)
+                              + jnp.sum((WtW @ Hn) * Hn))
+            # begobj (= the previous cost, nmfsc.m:148) is re-derived by
+            # the SAME expression the trial objectives use, so
+            # per-program rounding bias cancels out of the acceptance
+            # test; W is unchanged since that cost was computed, making
+            # this value-identical to the carried prev_cost.
+            return _bounded_search(obj, H, dH, step_h,
+                                   _proj_rows(spec.l1_h), obj(H),
+                                   spec.trials)
 
     @jax.jit
     def h_mu(V, W, H):
-        WtV = W.T @ V
-        WtW = W.T @ W
-        H = H * (WtV / jnp.maximum(WtW @ H, jnp.asarray(eps, H.dtype)))
-        H, W = row_l2_transfer(H, W)
-        return W, H
+        with jax.default_matmul_precision(HIGHEST):
+            WtV = W.T @ V
+            WtW = W.T @ W
+            H = H * (WtV / jnp.maximum(WtW @ H, jnp.asarray(eps, H.dtype)))
+            H, W = row_l2_transfer(H, W)
+            return W, H
 
     @jax.jit
-    def w_grams(V, W, H, v_sq):
-        VHt = V @ H.T
-        HHt = H @ H.T
-        begobj = 0.5 * (v_sq - 2.0 * jnp.sum(VHt * W)
-                        + jnp.sum((W.T @ W) * HHt))  # nmfsc.m:197
-        return VHt, HHt, begobj
+    def w_grams(V, H):
+        with jax.default_matmul_precision(HIGHEST):
+            return V @ H.T, H @ H.T
 
     @jax.jit
-    def w_round(v_sq, VHt, HHt, W, step_w, begobj):
-        dW = W @ HHt - VHt
+    def w_round(v_sq, VHt, HHt, W, step_w):
+        with jax.default_matmul_precision(HIGHEST):
+            dW = W @ HHt - VHt
 
-        def obj(Wn):
-            return 0.5 * (v_sq - 2.0 * jnp.sum(VHt * Wn)
-                          + jnp.sum((Wn.T @ Wn) * HHt))
-        return _bounded_search(obj, W, dW, step_w,
-                               _proj_cols(spec.l1_w), begobj, spec.trials)
+            def obj(Wn):
+                return 0.5 * (v_sq - 2.0 * jnp.sum(VHt * Wn)
+                              + jnp.sum((Wn.T @ Wn) * HHt))
+            # begobj = fresh objective at the current W (nmfsc.m:197),
+            # evaluated in-program for bias-free acceptance.
+            return _bounded_search(obj, W, dW, step_w,
+                                   _proj_cols(spec.l1_w), obj(W),
+                                   spec.trials)
 
     @jax.jit
     def w_mu(V, W, H):
-        HHt = H @ H.T
-        VHt = V @ H.T
-        return W * (VHt / jnp.maximum(W @ HHt, jnp.asarray(eps, W.dtype)))
+        with jax.default_matmul_precision(HIGHEST):
+            HHt = H @ H.T
+            VHt = V @ H.T
+            return W * (VHt / jnp.maximum(W @ HHt, jnp.asarray(eps, W.dtype)))
 
     @jax.jit
     def cost_fn(V, W, H, v_sq):
-        WtV = W.T @ V
-        WtW = W.T @ W
-        return jnp.maximum(
-            0.5 * (v_sq - 2.0 * jnp.sum(WtV * H)
-                   + jnp.sum((WtW @ H) * H)), 0.0)
+        with jax.default_matmul_precision(HIGHEST):
+            WtV = W.T @ V
+            WtW = W.T @ W
+            return jnp.maximum(
+                0.5 * (v_sq - 2.0 * jnp.sum(WtV * H)
+                       + jnp.sum((WtW @ H) * H)), 0.0)
 
     return dict(v_sq=v_sq_fn, h_grams=h_grams, h_round=h_round, h_mu=h_mu,
                 w_grams=w_grams, w_round=w_round, w_mu=w_mu, cost=cost_fn)
 
 
-def _search_to_accept(round_fn, args, X, step, begobj, max_rounds=None):
+def _search_to_accept(round_fn, args, X, step, max_rounds=None):
     """Host loop re-dispatching bounded trial rounds until acceptance or
     underflow (the unbounded while of nmfsc.m:152-175, split at the
     dispatch boundary).  The round budget always covers halving from the
-    current step all the way to the 1e-200 underflow (~700 halvings from
-    step 1), so a genuinely stuck search terminates exactly like the
-    unbounded one instead of erroring."""
+    current step all the way to the underflow threshold (~700 halvings
+    from step 1 in f64), so a genuinely stuck search terminates exactly
+    like the unbounded one instead of erroring."""
     if max_rounds is None:
         import math
-        halvings = (math.log2(max(float(step), STEP_UNDERFLOW))
-                    - math.log2(STEP_UNDERFLOW))
+        from ..ops.linesearch import underflow_threshold
+        thr = underflow_threshold(X.dtype)
+        halvings = math.log2(max(float(step), thr)) - math.log2(thr)
         max_rounds = int(halvings) + 8  # >= even if every round is 1 trial
     for _ in range(max_rounds):
         X_out, step, accepted, underflow, obj, proj_ok = round_fn(
-            *args, X, step, begobj)
+            *args, X, step)
         if not bool(proj_ok):
             raise RuntimeError(
                 "bounded Hoyer projection did not converge within "
@@ -304,7 +327,6 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
     # Cost bookkeeping stays in the solver dtype (numpy scalars) so the
     # host-side stop rule rounds exactly like the fused on-device one.
     trace = [np.asarray(ph["cost"](V, W, H, v_sq))]  # initial cost (nmfsc.m:137-139)
-    prev_cost = jnp.asarray(trace[0])
     n_iters = 0
     terminated = stopped = False
     for i in range(maxiter):
@@ -314,7 +336,7 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
             if spec.h_sparse:
                 WtV, WtW = ph["h_grams"](V, W)
                 H, step_h, under, _ = _search_to_accept(
-                    ph["h_round"], (v_sq, WtV, WtW), H, step_h, prev_cost)
+                    ph["h_round"], (v_sq, WtV, WtW), H, step_h)
                 terminated |= under
             else:
                 W, H = ph["h_mu"](V, W, H)
@@ -322,9 +344,9 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
         # H underflow before reaching it (nmfsc.m:170-174) ----
         if not terminated and not spec.w_fixed:
             if spec.w_sparse:
-                VHt, HHt, begobj = ph["w_grams"](V, W, H, v_sq)
+                VHt, HHt = ph["w_grams"](V, H)
                 W, step_w, under, _ = _search_to_accept(
-                    ph["w_round"], (v_sq, VHt, HHt), W, step_w, begobj)
+                    ph["w_round"], (v_sq, VHt, HHt), W, step_w)
                 terminated |= under
             else:
                 W = ph["w_mu"](V, W, H)
@@ -336,7 +358,6 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
         if i >= 1 and c < trace[-2] and trace[-2] - c < tol:
             stopped = True
             break
-        prev_cost = jnp.asarray(c)
 
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H),

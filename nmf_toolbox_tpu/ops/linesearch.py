@@ -8,15 +8,32 @@ un-accepted factor).
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..core import STEP_UNDERFLOW
 
 
+def underflow_threshold(dtype) -> float:
+    """Stepsize below which the search declares convergence.
+
+    MATLAB's 1e-200 (nmfsc.m:170) assumes double precision; in float32
+    1e-200 rounds to 0.0 and `step < 0.0` can never fire, so a search
+    whose trials never accept (possible once fp noise in the objective
+    exceeds the true decrease) halves the step to 0 and loops FOREVER —
+    an infinite on-device while_loop, which is the failure mode that
+    faulted the TPU relay worker at the 5000x2000 r50 BASELINE #2 shape
+    (round 2).  Clamp to the dtype's smallest normal instead; f64
+    semantics (reference parity) are unchanged since tiny(f64) < 1e-200.
+    """
+    return max(STEP_UNDERFLOW, float(np.finfo(np.dtype(dtype)).tiny))
+
+
 def backtracking_search(obj_fn, X, dX, step0, project, begobj):
     """Returns (X_out, step_out, underflow, accepted_obj)."""
     dt = X.dtype
+    under_thr = underflow_threshold(dt)
 
     def cond(carry):
         _, _, _, accepted, underflow = carry
@@ -28,7 +45,7 @@ def backtracking_search(obj_fn, X, dX, step0, project, begobj):
         newobj = obj_fn(Xnew)
         accepted = newobj <= begobj
         step_next = jnp.where(accepted, step, step / 2.0)
-        underflow = (~accepted) & (step_next < STEP_UNDERFLOW)
+        underflow = (~accepted) & (step_next < under_thr)
         return step_next, jnp.where(accepted, Xnew, Xb), newobj, accepted, underflow
 
     step, Xn, obj, accepted, underflow = jax.lax.while_loop(
