@@ -174,23 +174,33 @@ def main():
                     lambda f: W0 * f, iters)
                 total = iters
             else:
-                # Full size: chunked dispatch (10 iters per device call),
-                # device-resident state between chunks.
+                # Full size: chunked dispatch (bounded device calls),
+                # device-resident state between chunks, stepsize-exact
+                # carry (round 3: the round-2 worker fault was an
+                # infinite f32 while_loop on line-search stall, fixed in
+                # ops/linesearch.underflow_threshold — chunks now
+                # complete; see benchmarks/NMFSC_PHASED_v5e.json for the
+                # phased-dispatch alternative, which is faster here).
+                import jax
                 from nmf_toolbox_tpu.models.nmfsc import (
                     _build_solver as _nmfsc_build, _Spec as _NmfscSpec)
                 from nmf_toolbox_tpu.ops.projection import hoyer_l1_target
                 from nmf_toolbox_tpu.core import EPS
-                chunk = 5  # 10-iteration dispatches still fault the relay
+                chunk = 5
                 spec = _NmfscSpec(chunk, False, True, False, False, EPS,
                                   0.0, float(hoyer_l1_target(n, 0.6)))
                 solve = _nmfsc_build(spec)
                 Vn = V / jnp.max(V)  # wrapper semantics (nmfsc.m:62)
                 tol = jnp.float32(1e-30)
+                one = jnp.float32(1.0)
 
                 def solve_chunk(state):
-                    return solve(Vn, state[0], state[1], tol).state
+                    with jax.default_matmul_precision("highest"):
+                        return solve(Vn, state[0], state[1], tol,
+                                     state[2], state[3]).state
 
-                ips, total = _timed_chunked(solve_chunk, (W0, H0n), chunk, 2)
+                ips, total = _timed_chunked(solve_chunk,
+                                            (W0, H0n, one, one), chunk, 2)
             record(f"nmfsc Hoyer(0.6) {m}x{n} r{k}", ips,
                    {"iters_executed": total})
 
