@@ -40,7 +40,7 @@ from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
                          shift_left, shift_right, stack_shifts_right)
 from ..ops.gram import conv_cross_grams_w as _cross_grams_w
 from ..ops.gram import conv_cross_grams_h as _cross_grams_h
-from ..ops.linesearch import backtracking_search as _line_search_obj
+from ..ops.linesearch import make_search
 from ..parallel import apply_placements, pad_axes, plan_padding
 
 
@@ -56,6 +56,7 @@ class _Spec(NamedTuple):
     l1_w: float
     l1_h: float
     valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
+    ls_width: int = 0    # 0 = sequential halving; >0 = parallel backtracking
 
 
 @functools.lru_cache(maxsize=None)
@@ -73,6 +74,7 @@ def _build_solver(spec: _Spec):
         # stacked-shift/reconstruction below; Hoyer projections run with
         # the TRUE vector lengths (ops/projection.py).
         mv, nv = spec.valid if spec.valid is not None else (None, None)
+        _line_search_obj = make_search(spec.ls_width)
 
         def proj_rows(H):
             return project_columns(H.T, spec.l1_h, one, valid=nv)[0].T
@@ -246,7 +248,8 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
 
     spec = _Spec(T, maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
-                 eps, float(l1_w), float(l1_h), valid)
+                 eps, float(l1_w), float(l1_h), valid,
+                 int(cfg.get("linesearch_width", 0) or 0))
     # 'highest' matmul precision for the line-search objectives (no-op on
     # CPU) — same f32-on-TPU stall hazard as nmfsc (models/nmfsc_phased.py).
     with jax.default_matmul_precision("highest"):

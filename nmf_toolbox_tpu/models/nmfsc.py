@@ -32,7 +32,7 @@ from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.normalize import row_l2_transfer
-from ..ops.linesearch import backtracking_search
+from ..ops.linesearch import make_search
 from ..parallel import apply_placements, pad_axes, plan_padding
 
 
@@ -46,6 +46,7 @@ class _Spec(NamedTuple):
     l1_w: float
     l1_h: float
     valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
+    ls_width: int = 0    # 0 = sequential halving; >0 = parallel backtracking
 
 
 @functools.lru_cache(maxsize=None)
@@ -73,6 +74,7 @@ def _build_solver(spec: _Spec):
         # Hoyer projections of mesh-padded vectors run with the TRUE
         # vector length (pad rows enter pre-zeroed — ops/projection.py).
         mv, nv = spec.valid if spec.valid is not None else (None, None)
+        search = make_search(spec.ls_width)
 
         def proj_rows(H):
             return project_columns(H.T, spec.l1_h, one, valid=nv)[0].T
@@ -97,7 +99,7 @@ def _build_solver(spec: _Spec):
                 WtW = W.T @ W
                 if spec.h_sparse:
                     dH = WtW @ H - WtV  # positive_grad - negative_grad
-                    H, step_h, under_h, _ = backtracking_search(
+                    H, step_h, under_h, _ = search(
                         obj_h(WtV, WtW), H, dH, step_h, proj_rows, prev_cost)
                     term = term | under_h
                 else:
@@ -113,7 +115,7 @@ def _build_solver(spec: _Spec):
                     f_w = obj_w(VHt, HHt)
                     begobj = f_w(W)  # nmfsc.m:197 (fresh objective)
                     dW = W @ HHt - VHt
-                    W1, step_w1, under_w, _ = backtracking_search(
+                    W1, step_w1, under_w, _ = search(
                         f_w, W, dW, step_w, proj_cols, begobj)
                     # discard the W phase entirely if the H search already
                     # terminated (the reference returned before reaching it)
@@ -201,7 +203,8 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
 
     spec = _Spec(maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
-                 eps, float(l1_w), float(l1_h), valid)
+                 eps, float(l1_w), float(l1_h), valid,
+                 int(cfg.get("linesearch_width", 0) or 0))
     # 'highest' matmul precision (no-op on CPU): the TPU's default
     # one-pass-bf16 f32 matmul leaves ~1e2 absolute noise in the
     # cancellation-heavy Gram-form objectives at production shapes,

@@ -54,3 +54,69 @@ def backtracking_search(obj_fn, X, dX, step0, project, begobj):
     X_out = jnp.where(accepted, Xn, X)
     step_out = jnp.where(accepted, 1.2 * step, step)
     return X_out, step_out, underflow, obj
+
+
+def parallel_backtracking_search(obj_fn, X, dX, step0, project, begobj,
+                                 width: int):
+    """Batched backtracking: evaluate ``width`` successive halvings of the
+    step in ONE vmapped projection + objective evaluation per round.
+
+    Semantically identical to ``backtracking_search`` — the accepted
+    candidate is the FIRST step in halving order whose objective does not
+    increase, and an underflow that sequential halving would hit before
+    reaching a later acceptable candidate still wins — but each round
+    costs one batched evaluation instead of up to ``width`` sequential
+    (projection, objective, halve) round-trips.  On TPU the batch turns
+    tiny sequential Gram-form evaluations into one wider program
+    (VERDICT r2 item 7 "parallel backtracking").
+    """
+    dt = X.dtype
+    under_thr = underflow_threshold(dt)
+    halv = (0.5 ** jnp.arange(width)).astype(dt)          # (J,)
+    bshape = (-1,) + (1,) * X.ndim
+
+    def round_body(carry):
+        step, _, _, _, _ = carry      # step = first candidate this round
+        steps = step * halv
+        Xc = X[None] - steps.reshape(bshape) * dX[None]
+        Xp = jax.vmap(project)(Xc)
+        objs = jax.vmap(obj_fn)(Xp)
+        acc = objs <= begobj
+        any_acc = jnp.any(acc)
+        j_acc = jnp.argmax(acc)       # first acceptable candidate
+        under = (steps / 2.0) < under_thr
+        any_und = jnp.any(under)
+        j_und = jnp.argmax(under)     # first candidate whose halve underflows
+        # sequential order: trial j_acc is evaluated (and accepted) before
+        # its own halve-check, so acceptance wins ties; an underflow
+        # strictly before the first acceptance preempts it.
+        accepted = any_acc & ((~any_und) | (j_acc <= j_und))
+        underflow = any_und & (~accepted)
+        j = jnp.where(accepted, j_acc,
+                      jnp.where(underflow, j_und, width - 1))
+        X_out = jnp.where(accepted, Xp[j], X)
+        step_out = jnp.where(
+            accepted, 1.2 * steps[j],
+            jnp.where(underflow, steps[j] / 2.0, steps[width - 1] / 2.0))
+        return step_out, X_out, objs[j], accepted, underflow
+
+    def cond(carry):
+        _, _, _, accepted, underflow = carry
+        return (~accepted) & (~underflow)
+
+    step, Xn, obj, accepted, underflow = jax.lax.while_loop(
+        cond, round_body, (jnp.asarray(step0, dt), X, jnp.zeros((), dt),
+                           jnp.asarray(False), jnp.asarray(False)))
+    return Xn, step, underflow, obj
+
+
+def make_search(width: int):
+    """Search-function factory: 0 = reference sequential halving,
+    >0 = parallel backtracking with that batch width."""
+    if width <= 0:
+        return backtracking_search
+
+    def search(obj_fn, X, dX, step0, project, begobj):
+        return parallel_backtracking_search(obj_fn, X, dX, step0, project,
+                                            begobj, width)
+    return search
