@@ -25,9 +25,15 @@ bounded control flow —
 
 Trajectories are BIT-IDENTICAL to the fused single-program path (pinned
 by tests/test_nmfsc_phased.py) — it is the same math in the same order,
-just partitioned differently.  Cost: ~5 dispatches per outer iteration
-(~60 ms relay round-trip each on this rig), which is why this stays an
-opt-in ``dispatch='phased'`` rather than the default.
+just partitioned differently.  The default fast path fuses the whole
+iteration (both phases, one batched trial round each, cost) into ONE
+dispatch with the flags+cost packed in a single small array, so the
+host pays exactly one readback per iteration; a search needing more
+than ``trials`` halvings falls back to per-phase programs with
+unbounded continuation rounds (``fuse_iteration=False`` forces the
+per-phase path everywhere).  This stays an opt-in ``dispatch='phased'``
+because the host round-trip per iteration still loses to the fused
+while_loop solver on low-latency backends (CPU).
 
 Reference semantics: nmfsc.m:141-245 (line searches nmfsc.m:152-179 /
 196-233, underflow return nmfsc.m:170-174, MU fallbacks nmfsc.m:182-187,
@@ -57,6 +63,7 @@ class _PhSpec(NamedTuple):
     l1_h: float
     trials: int       # line-search trials per device round
     proj_passes: int  # Hoyer projection passes per trial (bounded fori)
+    batched: bool = False  # vmapped trial rounds (ulp-level deviation)
 
 
 def _project_columns_bounded(S, k1, k2, passes: int):
@@ -106,15 +113,15 @@ def _project_columns_bounded(S, k1, k2, passes: int):
 
 
 def _bounded_search(obj_fn, X, dX, step0, project, begobj, trials: int):
-    """K bounded trials of the backtracking search (nmfsc.m:152-179).
+    """K bounded trials of the backtracking search (nmfsc.m:152-179),
+    executed sequentially inside a ``fori_loop`` with acceptance masks.
 
-    Mirrors ops/linesearch.backtracking_search trial-for-trial: halve
-    until the objective does not increase, underflow below 1e-200, grow
-    1.2x on acceptance.  Returns (X_out, step_out, accepted, underflow,
-    obj, proj_ok); when neither accepted nor underflow after ``trials``
-    trials the caller re-dispatches with the returned (halved) step —
-    the remaining trials are a pure continuation because every trial
-    starts from the same X.
+    Mirrors ops/linesearch.backtracking_search trial-for-trial, so the
+    result is BIT-identical to the fused solver's search.  Returns
+    (X_out, step_out, accepted, underflow, obj, proj_ok); neither
+    accepted nor underflow after ``trials`` trials means the caller
+    continues from the returned (halved) step — a pure continuation,
+    since every trial starts from the same X.
     """
     dt = X.dtype
     from ..ops.linesearch import underflow_threshold
@@ -144,9 +151,58 @@ def _bounded_search(obj_fn, X, dX, step0, project, begobj, trials: int):
     return X_out, step_out, accepted, underflow, obj, proj_ok
 
 
+def _batched_round(obj_fn, X, dX, step0, project, begobj, width: int):
+    """One batched round of ``width`` step-halving candidates: all trial
+    projections and objectives evaluate in a single vmapped pass, then
+    the FIRST acceptable candidate in halving order wins, with an
+    underflow strictly before it preempting (the sequential selection
+    rule — same as ops/linesearch.parallel_backtracking_search).
+
+    CAVEAT: XLA compiles the batched (J, ...) matmuls/reductions with
+    different tiling than their single-candidate forms, so candidate
+    values can differ from the sequential engine in the LAST ULPS
+    (~1e-15 relative observed on CPU f64) — selection decisions are the
+    same except at exactly-knife-edge acceptances.  Therefore this
+    engine is opt-in (``batched_trials=True``); the default
+    ``_bounded_search`` is bit-identical to the fused solver.
+
+    Returns (X_out, step_out, accepted, underflow, obj, proj_ok);
+    neither accepted nor underflow means the caller continues from the
+    returned (steps[-1]/2) step — a pure continuation, since every
+    trial starts from the same X.
+    """
+    dt = X.dtype
+    from ..ops.linesearch import underflow_threshold
+    under_thr = underflow_threshold(dt)
+    halv = (0.5 ** jnp.arange(width)).astype(dt)
+    steps = jnp.asarray(step0, dt) * halv
+    Xc = X[None] - steps.reshape((-1,) + (1,) * X.ndim) * dX[None]
+    Xp, done = jax.vmap(project)(Xc)
+    objs = jax.vmap(obj_fn)(Xp)
+    acc = objs <= begobj
+    any_acc = jnp.any(acc)
+    j_acc = jnp.argmax(acc)
+    under = (steps / 2.0) < under_thr
+    any_und = jnp.any(under)
+    j_und = jnp.argmax(under)
+    accepted = any_acc & ((~any_und) | (j_acc <= j_und))
+    underflow = any_und & (~accepted)
+    j = jnp.where(accepted, j_acc, jnp.where(underflow, j_und, width - 1))
+    X_out = jnp.where(accepted, Xp[j], X)
+    step_out = jnp.where(
+        accepted, 1.2 * steps[j],
+        jnp.where(underflow, steps[j] / 2.0, steps[width - 1] / 2.0))
+    # sequential execution would only have evaluated candidates 0..j, so
+    # only their projection convergence can matter
+    ran = jnp.arange(width) <= j
+    proj_ok = jnp.all(jnp.where(ran[:, None], done, True))
+    return X_out, step_out, accepted, underflow, objs[j], proj_ok
+
+
 @functools.lru_cache(maxsize=None)
 def _build_phases(spec: _PhSpec):
     eps = spec.eps
+    _round = _batched_round if spec.batched else _bounded_search
 
     def _proj_rows(l1):
         def p(H):
@@ -190,9 +246,8 @@ def _build_phases(spec: _PhSpec):
             # per-program rounding bias cancels out of the acceptance
             # test; W is unchanged since that cost was computed, making
             # this value-identical to the carried prev_cost.
-            return _bounded_search(obj, H, dH, step_h,
-                                   _proj_rows(spec.l1_h), obj(H),
-                                   spec.trials)
+            return _round(obj, H, dH, step_h, _proj_rows(spec.l1_h),
+                          obj(H), spec.trials)
 
     @jax.jit
     def h_mu(V, W, H):
@@ -218,9 +273,8 @@ def _build_phases(spec: _PhSpec):
                               + jnp.sum((Wn.T @ Wn) * HHt))
             # begobj = fresh objective at the current W (nmfsc.m:197),
             # evaluated in-program for bias-free acceptance.
-            return _bounded_search(obj, W, dW, step_w,
-                                   _proj_cols(spec.l1_w), obj(W),
-                                   spec.trials)
+            return _round(obj, W, dW, step_w, _proj_cols(spec.l1_w),
+                          obj(W), spec.trials)
 
     @jax.jit
     def w_mu(V, W, H):
@@ -238,8 +292,84 @@ def _build_phases(spec: _PhSpec):
                 0.5 * (v_sq - 2.0 * jnp.sum(WtV * H)
                        + jnp.sum((WtW @ H) * H)), 0.0)
 
+    @jax.jit
+    def iter_step(V, W, H, step_w, step_h, v_sq):
+        """One FULL outer iteration in a single dispatch: H phase, W
+        phase, and cost, with the flags and cost packed into one small
+        array so the host pays exactly one readback per iteration
+        (~7 relay round-trips/iter -> 1).  Each line search gets ONE
+        batched round of spec.trials candidates; if that neither
+        accepts nor underflows (needs >trials halvings — rare, near
+        termination) the h_more/w_more flag sends the host down the
+        per-phase slow path, which redoes the whole iteration from the
+        unchanged carry with as many continuation rounds as needed.
+        Math and candidate selection are identical to the per-phase
+        programs, so the trajectory stays bit-identical.
+        """
+        dt = V.dtype
+        f = jnp.asarray(False)
+        h_acc = h_und = h_more = w_acc = w_und = w_more = f
+        pok = jnp.asarray(True)
+        with jax.default_matmul_precision(HIGHEST):
+            if not spec.h_fixed:
+                WtV = W.T @ V
+                WtW = W.T @ W
+                if spec.h_sparse:
+                    dH = WtW @ H - WtV
+
+                    def obj_h(Hn):
+                        return 0.5 * (v_sq - 2.0 * jnp.sum(WtV * Hn)
+                                      + jnp.sum((WtW @ Hn) * Hn))
+                    H1, sh1, h_acc, h_und, _, pok1 = _round(
+                        obj_h, H, dH, step_h, _proj_rows(spec.l1_h),
+                        obj_h(H), spec.trials)
+                    h_more = (~h_acc) & (~h_und)
+                    pok = pok & pok1
+                    H = jnp.where(h_acc, H1, H)
+                    # underflow also commits the (halved) step, matching
+                    # the sequential search's mid-iteration state
+                    step_h = jnp.where(h_acc | h_und, sh1, step_h)
+                else:
+                    H = H * (WtV / jnp.maximum(WtW @ H,
+                                               jnp.asarray(eps, dt)))
+                    H, W = row_l2_transfer(H, W)
+            term = h_und
+            if not spec.w_fixed:
+                VHt = V @ H.T
+                HHt = H @ H.T
+                if spec.w_sparse:
+                    dW = W @ HHt - VHt
+
+                    def obj_w(Wn):
+                        return 0.5 * (v_sq - 2.0 * jnp.sum(VHt * Wn)
+                                      + jnp.sum((Wn.T @ Wn) * HHt))
+                    W1, sw1, w_acc, w_und, _, pok2 = _round(
+                        obj_w, W, dW, step_w, _proj_cols(spec.l1_w),
+                        obj_w(W), spec.trials)
+                    w_more = (~term) & (~w_acc) & (~w_und)
+                    w_und = (~term) & w_und
+                    use = (~term) & w_acc
+                    pok = pok & pok2
+                    W = jnp.where(use, W1, W)
+                    step_w = jnp.where(use | w_und, sw1, step_w)
+                else:
+                    Wn = W * (VHt / jnp.maximum(W @ HHt,
+                                                jnp.asarray(eps, dt)))
+                    W = jnp.where(term, W, Wn)
+            WtVc = W.T @ V
+            WtWc = W.T @ W
+            cost = jnp.maximum(
+                0.5 * (v_sq - 2.0 * jnp.sum(WtVc * H)
+                       + jnp.sum((WtWc @ H) * H)), 0.0)
+        flags = jnp.stack([
+            h_acc.astype(dt), h_und.astype(dt), h_more.astype(dt),
+            w_acc.astype(dt), w_und.astype(dt), w_more.astype(dt),
+            pok.astype(dt), cost])
+        return W, H, step_w, step_h, flags
+
     return dict(v_sq=v_sq_fn, h_grams=h_grams, h_round=h_round, h_mu=h_mu,
-                w_grams=w_grams, w_round=w_round, w_mu=w_mu, cost=cost_fn)
+                w_grams=w_grams, w_round=w_round, w_mu=w_mu, cost=cost_fn,
+                iter=iter_step)
 
 
 def _search_to_accept(round_fn, args, X, step, max_rounds=None):
@@ -274,9 +404,10 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
     """nmfsc with host-driven phase-split dispatch (see module docstring).
 
     Same parameter surface and semantics as models/nmfsc.nmfsc minus
-    ``mesh`` (single-device only), plus ``trials`` (line-search trials
-    per device round, default 24) and ``proj_passes`` (bounded Hoyer
-    projection passes, default 48).
+    ``mesh`` (single-device only), plus ``trials`` (line-search trial
+    candidates per batched round, default 24), ``proj_passes`` (bounded
+    Hoyer projection passes, default 48), and ``fuse_iteration``
+    (default True: one dispatch + one readback per outer iteration).
     """
     cfg = merge_config(config, kwargs)
     if cfg.get("mesh") is not None:
@@ -314,7 +445,8 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
                    bool(cfg.get("H_fixed", False)),
                    eps, float(l1_w), float(l1_h),
                    int(cfg.get("trials", 24)),
-                   int(cfg.get("proj_passes", 48)))
+                   int(cfg.get("proj_passes", 48)),
+                   bool(cfg.get("batched_trials", False)))
     ph = _build_phases(spec)
     if rs is None:
         if w_sp > 0:  # initial projection (nmfsc.m:93-96)
@@ -329,35 +461,102 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
     trace = [np.asarray(ph["cost"](V, W, H, v_sq))]  # initial cost (nmfsc.m:137-139)
     n_iters = 0
     terminated = stopped = False
-    for i in range(maxiter):
-        n_iters = i + 1
+    use_fused = bool(cfg.get("fuse_iteration", True))
+    # Speculative block dispatch: enqueue `spec_ahead` fused iterations
+    # back-to-back (dispatch is async; device state never leaves the
+    # device) and read ALL their flag vectors in ONE stacked readback —
+    # the per-iteration relay round-trip amortizes to ~1/spec_ahead.
+    # Stop-rule hits, underflows, and slow-path fallbacks are processed
+    # in order from the fetched flags; any speculated work past such an
+    # event is simply discarded (its inputs were device-resident copies,
+    # so nothing observable happened).  Trajectory is unaffected.
+    spec_ahead = max(1, int(cfg.get("spec_ahead", 4))) if use_fused else 1
+
+    def slow_iteration(W, H, step_w, step_h):
+        """One outer iteration via per-phase programs with unbounded
+        continuation rounds (also the fallback when a search needs more
+        than `trials` halvings).  Returns updated state + cost/None."""
+        term = False
         # ---- H phase (nmfsc.m:143-189) ----
         if not spec.h_fixed:
             if spec.h_sparse:
                 WtV, WtW = ph["h_grams"](V, W)
                 H, step_h, under, _ = _search_to_accept(
                     ph["h_round"], (v_sq, WtV, WtW), H, step_h)
-                terminated |= under
+                term |= under
             else:
                 W, H = ph["h_mu"](V, W, H)
-        # ---- W phase (nmfsc.m:192-233); the reference returns from the
-        # H underflow before reaching it (nmfsc.m:170-174) ----
-        if not terminated and not spec.w_fixed:
+        # ---- W phase (nmfsc.m:192-233); the reference returns from
+        # the H underflow before reaching it (nmfsc.m:170-174) ----
+        if not term and not spec.w_fixed:
             if spec.w_sparse:
                 VHt, HHt = ph["w_grams"](V, H)
                 W, step_w, under, _ = _search_to_accept(
                     ph["w_round"], (v_sq, VHt, HHt), W, step_w)
-                terminated |= under
+                term |= under
             else:
                 W = ph["w_mu"](V, W, H)
-        if terminated:
-            break  # cost of the terminated iteration is dropped
-        c = np.asarray(ph["cost"](V, W, H, v_sq))  # nmfsc.m:237-238
-        trace.append(c)
-        tol = np.asarray(tolerance, c.dtype)
-        if i >= 1 and c < trace[-2] and trace[-2] - c < tol:
-            stopped = True
-            break
+        c = None if term else np.asarray(ph["cost"](V, W, H, v_sq))
+        return (W, H, step_w, step_h), term, c
+
+    state = (W, H, step_w, step_h)
+    i = 0
+    while i < maxiter and not (terminated or stopped):
+        if not use_fused:
+            n_iters = i + 1
+            state, terminated, c = slow_iteration(*state)
+            if terminated:
+                break  # cost of the terminated iteration is dropped
+            trace.append(c)
+            tol = np.asarray(tolerance, c.dtype)
+            if i >= 1 and c < trace[-2] and trace[-2] - c < tol:
+                stopped = True
+            i += 1
+            continue
+        blk = min(spec_ahead, maxiter - i)
+        pre, post, outs = [], [], []
+        s = state
+        for _ in range(blk):
+            pre.append(s)
+            Wn, Hn, swn, shn, fl = ph["iter"](V, *s, v_sq)
+            s = (Wn, Hn, swn, shn)
+            post.append(s)
+            outs.append(fl)
+        flags_all = np.asarray(jnp.stack(outs))  # the ONE sync point
+        for b in range(blk):
+            fl = flags_all[b]
+            h_acc, h_und, h_more, w_acc, w_und, w_more, pok = (
+                bool(fl[j]) for j in range(7))
+            if not pok:
+                raise RuntimeError(
+                    "bounded Hoyer projection did not converge within "
+                    "proj_passes passes; raise nmfsc(..., proj_passes=)")
+            n_iters = i + 1
+            if h_more or w_more:
+                # a search needs >trials halvings: redo THIS iteration
+                # from its entry state via the slow path, then restart
+                # speculation (the rest of the block is stale)
+                state, terminated, c = slow_iteration(*pre[b])
+                i += 1
+                if terminated:
+                    break
+                trace.append(c)
+                tol = np.asarray(tolerance, c.dtype)
+                if i >= 2 and c < trace[-2] and trace[-2] - c < tol:
+                    stopped = True
+                break
+            state = post[b]
+            i += 1
+            if h_und or w_und:
+                terminated = True  # cost of this iteration is dropped
+                break
+            c = fl[7]
+            trace.append(c)
+            tol = np.asarray(tolerance, c.dtype)
+            if i >= 2 and c < trace[-2] and trace[-2] - c < tol:
+                stopped = True
+                break
+    W, H, step_w, step_h = state
 
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H),

@@ -85,6 +85,37 @@ def test_phased_rejects_mesh():
                  H_sparsity=0.5, mesh=make_mesh(1))
 
 
+def test_phased_slow_path_variants():
+    """trials=2 forces frequent in-program non-resolution (host fallback
+    redo); fuse_iteration=False forces the per-phase path everywhere.
+    All variants must stay bit-identical to the fused solver."""
+    V, W0, H0 = _problem(seed=11)
+    kw = dict(W_sparsity=0.6, H_sparsity=0.6, maxiter=12, tolerance=1e-30,
+              dtype=np.float64)
+    a = nt.nmfsc(V, 4, W_init=W0, H_init=H0, **kw)
+    for extra in (dict(trials=2), dict(fuse_iteration=False),
+                  dict(trials=3, fuse_iteration=False)):
+        b = nt.nmfsc(V, 4, W_init=W0, H_init=H0, dispatch="phased",
+                     **extra, **kw)
+        np.testing.assert_array_equal(b.W, a.W)
+        np.testing.assert_array_equal(b.H, a.H)
+        np.testing.assert_array_equal(np.asarray(b.cost), np.asarray(a.cost))
+
+
+def test_phased_batched_trials_close():
+    """batched_trials=True deviates only at ulp level (different XLA
+    tiling of the batched candidate evaluation)."""
+    V, W0, H0 = _problem(seed=13)
+    kw = dict(W_sparsity=0.5, H_sparsity=0.6, maxiter=12, tolerance=1e-30,
+              dtype=np.float64)
+    a = nt.nmfsc(V, 4, W_init=W0, H_init=H0, dispatch="phased", **kw)
+    b = nt.nmfsc(V, 4, W_init=W0, H_init=H0, dispatch="phased",
+                 batched_trials=True, **kw)
+    np.testing.assert_allclose(b.W, a.W, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(b.cost), np.asarray(a.cost),
+                               rtol=1e-10)
+
+
 def test_phased_f32_trace_dtype():
     V, W0, H0 = _problem()
     b = nt.nmfsc(V, 4, W_init=W0, H_init=H0, maxiter=4, H_sparsity=0.5,
