@@ -15,6 +15,10 @@ Usage: python benchmarks/hull_marginal.py {convexnmf|seminmf|chnmf|chcnmf}
 (one solver per process: the relay can crash after several fresh
 compiles in one process — RESULTS_v5e.md.)
 """
+# repo root on sys.path: these scripts run as 'python benchmarks/x.py'
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import json
 import sys
 import time

@@ -19,6 +19,10 @@ Components at (m, n, k) = (100k, 10k, 200), V f32 (and bf16 variants):
 Usage: python benchmarks/microbench_gram.py [job]   (one job per process
 is kindest to the relay; default "all")
 """
+# repo root on sys.path: these scripts run as 'python benchmarks/x.py'
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import json
 import os
 import sys

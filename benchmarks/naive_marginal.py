@@ -7,6 +7,10 @@ Chained-dispatch methodology; factors stay on device.
 
 Usage: python benchmarks/naive_marginal.py {kl|cnmf|weighted}
 """
+# repo root on sys.path: these scripts run as 'python benchmarks/x.py'
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import json
 import sys
 import time

@@ -21,6 +21,10 @@ Usage: python benchmarks/profile_flagship.py [job ...]
 jobs: f32 bf16 vt_f32 vt_bf16 donate hlo   (default: f32 bf16)
 One or two jobs per process is kindest to the relay.
 """
+# repo root on sys.path: these scripts run as 'python benchmarks/x.py'
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import functools
 import json
 import sys

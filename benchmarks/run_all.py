@@ -16,6 +16,11 @@ fresh solver compiles in one process (benchmarks/RESULTS_v5e.md).
 """
 from __future__ import annotations
 
+# repo root on sys.path: these scripts run as 'python benchmarks/x.py'
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import sys
