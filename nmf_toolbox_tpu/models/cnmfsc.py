@@ -33,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import common_scalars, Result, merge_config, resolve_dtype
+from ..core import common_scalars, ingest_rescaled, Result, merge_config, \
+    resolve_dtype
 from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
@@ -190,10 +191,7 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
     """
     cfg = merge_config(config, kwargs)
     dtype = resolve_dtype(V, cfg.get("dtype"))
-    V = np.asarray(V)
-    if V.min() < 0:
-        raise ValueError("Negative values in data!")  # cnmfsc.m:68-70
-    V = jnp.asarray(V / V.max(), dtype)  # cnmfsc.m:73
+    V = ingest_rescaled(V, dtype)  # cnmfsc.m:68-73, device-resident
     m, n = V.shape
     k = int(num_basis_elems)
     T = int(context_len)

@@ -28,7 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import common_scalars, Result, merge_config, resolve_dtype
+from ..core import common_scalars, ingest_rescaled, Result, merge_config, \
+    resolve_dtype
 from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.normalize import row_l2_transfer
@@ -153,10 +154,7 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
         from .nmfsc_phased import nmfsc_phased
         return nmfsc_phased(V, num_basis_elems, cfg)
     dtype = resolve_dtype(V, cfg.get("dtype"))
-    V = np.asarray(V)
-    if V.min() < 0:
-        raise ValueError("Negative values in data!")  # nmfsc.m:57-59
-    V = jnp.asarray(V / V.max(), dtype)  # nmfsc.m:62
+    V = ingest_rescaled(V, dtype)  # nmfsc.m:57-62, device-resident
     m, n = V.shape
     k = int(num_basis_elems)
 

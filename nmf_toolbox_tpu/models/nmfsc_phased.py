@@ -48,7 +48,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import Result, common_scalars, merge_config, resolve_dtype
+from ..core import Result, common_scalars, ingest_rescaled, \
+    merge_config, resolve_dtype
 from ..ops.normalize import row_l2_transfer
 from ..ops.projection import hoyer_l1_target
 
@@ -413,10 +414,7 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
     if cfg.get("mesh") is not None:
         raise ValueError("dispatch='phased' is single-device; drop mesh=")
     dtype = resolve_dtype(V, cfg.get("dtype"))
-    V = np.asarray(V)
-    if V.min() < 0:
-        raise ValueError("Negative values in data!")  # nmfsc.m:57-59
-    V = jnp.asarray(V / V.max(), dtype)  # nmfsc.m:62
+    V = ingest_rescaled(V, dtype)  # nmfsc.m:57-62, device-resident
     m, n = V.shape
     k = int(num_basis_elems)
 
