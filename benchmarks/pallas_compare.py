@@ -15,11 +15,12 @@ memory-bound, so the floor is the speed-of-light reference.
 Usage: python benchmarks/pallas_compare.py [--variant xla|fused|dma]
        (run one variant per process on relay-attached rigs)
 """
+from __future__ import annotations
+
 # repo root on sys.path: these scripts run as 'python benchmarks/x.py'
 import pathlib as _pl
 import sys as _sys
 _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
-from __future__ import annotations
 
 import argparse
 import json

@@ -6,6 +6,10 @@ the mixture coherently.
 Run: python examples/complex_separation.py
 """
 import numpy as np
+# repo root on sys.path so `python examples/x.py` works uninstalled
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import nmf_toolbox_tpu as nt
 
 

@@ -13,6 +13,10 @@ import time
 
 import numpy as np
 
+# repo root on sys.path so `python examples/x.py` works uninstalled
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import nmf_toolbox_tpu as nt
 
 

@@ -10,10 +10,13 @@ nmfsc/cnmfsc solvers whose stepsizes ride through Result.resume_state.
 Run: python examples/fault_tolerant_run.py  (CPU-friendly, ~seconds)
 """
 import os
+import pathlib
+import sys
 import tempfile
 
 import numpy as np
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import nmf_toolbox_tpu as nt
 from nmf_toolbox_tpu.utils.checkpoint import run_checkpointed
 

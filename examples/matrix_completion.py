@@ -10,6 +10,10 @@ Run:  python examples/matrix_completion.py
 """
 import numpy as np
 
+# repo root on sys.path so `python examples/x.py` works uninstalled
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import nmf_toolbox_tpu as nt
 
 

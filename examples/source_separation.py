@@ -9,6 +9,10 @@ workflow, nmf.m:51-60).
 Run: python examples/source_separation.py  (CPU-friendly, ~seconds)
 """
 import numpy as np
+# repo root on sys.path so `python examples/x.py` works uninstalled
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import nmf_toolbox_tpu as nt
 
 

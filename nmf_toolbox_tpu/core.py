@@ -69,6 +69,12 @@ def ingest_rescaled(V, dtype, errmsg: str = "Negative values in data!"):
     previous ``np.asarray(V)`` path cost two full-matrix transfers per
     call on a tunneled device — ~5 s at 40 MB / 15 MB/s on the axon
     relay); for repeated solves, pass ``jnp.asarray(V)`` once and reuse.
+
+    The checks run in the COMPUTE dtype: a negative f64 entry below the
+    f32 subnormal range rounds to -0.0 under dtype=float32 and passes
+    (it is exactly zero in compute precision), and the rescale divides
+    after the cast (ulp-level difference vs divide-then-cast for
+    mixed-precision inputs).  Same-precision inputs are unaffected.
     """
     Vd = jnp.asarray(V, dtype)
     ext = np.asarray(jnp.stack([jnp.min(Vd), jnp.max(Vd)]))  # one readback

@@ -219,7 +219,8 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
     # vector + scalar H stepsize (cnmfsc.m:147).  At a committed
     # iteration boundary W0 == W (cnmfsc.m:266), so W_init fills both
     # double-buffer slots exactly.
-    rs = cfg.get("resume_state")
+    # empty dict == no resume (a fresh run), checked consistently
+    rs = cfg.get("resume_state") or None
     # Initial projections write W, NOT the W0 buffer (cnmfsc.m:94-124).
     W_proj = W0
     if rs is None:
@@ -227,12 +228,12 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
             W_proj = project_columns(W0.reshape(m, k * T), l1_w, 1.0)[0].reshape(m, k, T)
         if h_sp > 0:
             H0 = project_columns(H0.T, l1_h, 1.0)[0].T
-    st_w0 = (np.asarray(rs["step_w"], dtype) if rs
+    st_w0 = (np.asarray(rs["step_w"], dtype) if rs is not None
              else np.ones((T,), dtype))
     if st_w0.shape != (T,):
         raise ValueError(f"resume_state step_w has shape {st_w0.shape}, "
                          f"expected ({T},)")
-    st_h0 = float(rs["step_h"]) if rs else 1.0
+    st_h0 = float(rs["step_h"]) if rs is not None else 1.0
 
     mesh = cfg.get("mesh")
     pad_m, pad_n, valid = plan_padding(mesh, m, n)

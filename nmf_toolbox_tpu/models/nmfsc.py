@@ -147,12 +147,16 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     (length maxiter+1 semantics, nmfsc.m:137-139).
     """
     cfg = merge_config(config, kwargs)
-    if cfg.pop("dispatch", None) == "phased":
+    dispatch = cfg.pop("dispatch", None)
+    if dispatch == "phased":
         # Host-driven phase-split dispatch with bounded device programs
         # (survives the remote-relay fault at large shapes; bit-identical
         # trajectory) — see models/nmfsc_phased.py.
         from .nmfsc_phased import nmfsc_phased
         return nmfsc_phased(V, num_basis_elems, cfg)
+    if dispatch not in (None, "fused"):
+        raise ValueError(f"unknown dispatch {dispatch!r}; "
+                         "use 'fused' (default) or 'phased'")
     dtype = resolve_dtype(V, cfg.get("dtype"))
     V = ingest_rescaled(V, dtype)  # nmfsc.m:57-62, device-resident
     m, n = V.shape
@@ -182,9 +186,10 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     # fp-approximately idempotent and would perturb the trajectory — and
     # the line-search stepsizes resume where they left off
     # (nmfsc.m:147,178 stepsize growth/halving state).
-    rs = cfg.get("resume_state")
-    st_w0 = float(rs["step_w"]) if rs else 1.0
-    st_h0 = float(rs["step_h"]) if rs else 1.0
+    # empty dict == no resume (a fresh run), checked consistently
+    rs = cfg.get("resume_state") or None
+    st_w0 = float(rs["step_w"]) if rs is not None else 1.0
+    st_h0 = float(rs["step_h"]) if rs is not None else 1.0
     if rs is None:
         if w_sp > 0:  # initial projection (nmfsc.m:93-96)
             W0 = project_columns(W0, l1_w, 1.0)[0]

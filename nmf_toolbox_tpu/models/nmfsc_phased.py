@@ -310,7 +310,7 @@ def _build_phases(spec: _PhSpec):
         dt = V.dtype
         f = jnp.asarray(False)
         h_acc = h_und = h_more = w_acc = w_und = w_more = f
-        pok = jnp.asarray(True)
+        pok1 = pok2 = jnp.asarray(True)
         with jax.default_matmul_precision(HIGHEST):
             if not spec.h_fixed:
                 WtV = W.T @ V
@@ -325,7 +325,6 @@ def _build_phases(spec: _PhSpec):
                         obj_h, H, dH, step_h, _proj_rows(spec.l1_h),
                         obj_h(H), spec.trials)
                     h_more = (~h_acc) & (~h_und)
-                    pok = pok & pok1
                     H = jnp.where(h_acc, H1, H)
                     # underflow also commits the (halved) step, matching
                     # the sequential search's mid-iteration state
@@ -350,7 +349,6 @@ def _build_phases(spec: _PhSpec):
                     w_more = (~term) & (~w_acc) & (~w_und)
                     w_und = (~term) & w_und
                     use = (~term) & w_acc
-                    pok = pok & pok2
                     W = jnp.where(use, W1, W)
                     step_w = jnp.where(use | w_und, sw1, step_w)
                 else:
@@ -362,6 +360,13 @@ def _build_phases(spec: _PhSpec):
             cost = jnp.maximum(
                 0.5 * (v_sq - 2.0 * jnp.sum(WtVc * H)
                        + jnp.sum((WtWc @ H) * H)), 0.0)
+        # Projection-convergence flags only count for RESULTS the host
+        # will actually use: a host redo (h_more/w_more) re-runs both
+        # phases through the slow path (which re-checks), and an H
+        # underflow (clean reference termination, nmfsc.m:170-174)
+        # discards the speculative W phase entirely.
+        redo = h_more | w_more
+        pok = redo | (pok1 & (h_und | pok2))
         flags = jnp.stack([
             h_acc.astype(dt), h_und.astype(dt), h_more.astype(dt),
             w_acc.astype(dt), w_und.astype(dt), w_more.astype(dt),
@@ -435,23 +440,39 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
 
     l1_w = hoyer_l1_target(m, w_sp) if w_sp > 0 else 0.0
     l1_h = hoyer_l1_target(n, h_sp) if h_sp > 0 else 0.0
-    rs = cfg.get("resume_state")
-    step_w = jnp.asarray(float(rs["step_w"]) if rs else 1.0, dtype)
-    step_h = jnp.asarray(float(rs["step_h"]) if rs else 1.0, dtype)
+    # empty dict == no resume (a fresh run), checked consistently below
+    rs = cfg.get("resume_state") or None
+    step_w = jnp.asarray(float(rs["step_w"]) if rs is not None else 1.0,
+                         dtype)
+    step_h = jnp.asarray(float(rs["step_h"]) if rs is not None else 1.0,
+                         dtype)
+    # linesearch_width (the fused solvers' parallel-backtracking knob)
+    # maps onto this dispatch's batched trial rounds so the documented
+    # TPU recommendation composes instead of being silently dropped.
+    lw = int(cfg.get("linesearch_width", 0) or 0)
     spec = _PhSpec(w_sp > 0, h_sp > 0,
                    bool(cfg.get("W_fixed", False)),
                    bool(cfg.get("H_fixed", False)),
                    eps, float(l1_w), float(l1_h),
-                   int(cfg.get("trials", 24)),
+                   int(cfg.get("trials", lw if lw > 0 else 24)),
                    int(cfg.get("proj_passes", 48)),
-                   bool(cfg.get("batched_trials", False)))
+                   bool(cfg.get("batched_trials", lw > 0)))
     ph = _build_phases(spec)
+
+    def _initial_projection(X, l1):
+        Xp, done = _project_columns_bounded(X, l1, 1.0, spec.proj_passes)
+        if not bool(jnp.all(done)):
+            raise RuntimeError(
+                "bounded Hoyer projection did not converge within "
+                "proj_passes passes on the initial factors; raise "
+                "nmfsc(..., proj_passes=)")
+        return Xp
+
     if rs is None:
         if w_sp > 0:  # initial projection (nmfsc.m:93-96)
-            W = _project_columns_bounded(W, l1_w, 1.0, spec.proj_passes)[0]
+            W = _initial_projection(W, l1_w)
         if h_sp > 0:  # nmfsc.m:106-109
-            H = _project_columns_bounded(H.T, l1_h, 1.0,
-                                         spec.proj_passes)[0].T
+            H = _initial_projection(H.T, l1_h).T
 
     v_sq = ph["v_sq"](V)
     # Cost bookkeeping stays in the solver dtype (numpy scalars) so the

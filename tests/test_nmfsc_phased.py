@@ -116,6 +116,46 @@ def test_phased_batched_trials_close():
                                rtol=1e-10)
 
 
+def test_bad_dispatch_rejected():
+    V, W0, H0 = _problem()
+    with pytest.raises(ValueError, match="unknown dispatch"):
+        nt.nmfsc(V, 4, W_init=W0, H_init=H0, maxiter=2, dispatch="Phased")
+    # explicit default spelling is accepted
+    r = nt.nmfsc(V, 4, W_init=W0, H_init=H0, H_sparsity=0.5, maxiter=2,
+                 dispatch="fused", dtype=np.float64)
+    assert r.n_iters == 2
+
+
+def test_phased_linesearch_width_composes():
+    """linesearch_width maps onto the phased batched trial rounds
+    instead of being silently dropped (review finding)."""
+    V, W0, H0 = _problem(seed=17)
+    kw = dict(W_sparsity=0.5, H_sparsity=0.6, maxiter=10, tolerance=1e-30,
+              dtype=np.float64, dispatch="phased")
+    a = nt.nmfsc(V, 4, W_init=W0, H_init=H0, batched_trials=True,
+                 trials=8, **kw)
+    b = nt.nmfsc(V, 4, W_init=W0, H_init=H0, linesearch_width=8, **kw)
+    np.testing.assert_array_equal(b.W, a.W)
+    np.testing.assert_array_equal(np.asarray(b.cost), np.asarray(a.cost))
+
+
+def test_empty_resume_state_is_fresh_run():
+    """resume_state={} must behave exactly like a fresh run (initial
+    projections + unit stepsizes), not a half-resume (review finding)."""
+    V, W0, H0 = _problem(seed=19)
+    kw = dict(W_sparsity=0.5, H_sparsity=0.6, maxiter=6, tolerance=1e-30,
+              dtype=np.float64)
+    a = nt.nmfsc(V, 4, W_init=W0, H_init=H0, **kw)
+    b = nt.nmfsc(V, 4, W_init=W0, H_init=H0, resume_state={}, **kw)
+    np.testing.assert_array_equal(b.W, a.W)
+    np.testing.assert_array_equal(np.asarray(b.cost), np.asarray(a.cost))
+    rng = np.random.default_rng(3)
+    W0c = rng.uniform(size=(30, 4, 3))
+    c1 = nt.cnmfsc(V, 4, 3, W_init=W0c, H_init=H0, **kw)
+    c2 = nt.cnmfsc(V, 4, 3, W_init=W0c, H_init=H0, resume_state={}, **kw)
+    np.testing.assert_array_equal(c2.W, c1.W)
+
+
 def test_phased_f32_trace_dtype():
     V, W0, H0 = _problem()
     b = nt.nmfsc(V, 4, W_init=W0, H_init=H0, maxiter=4, H_sparsity=0.5,
