@@ -51,3 +51,30 @@ def test_hals_stops_at_exact_fit():
     r = nt.nmf_hals(V, 3, W_init=W.astype(np.float32),
                     H_init=H.astype(np.float32), maxiter=500, tolerance=1e-12)
     assert r.converged and len(r.cost) < 500
+
+
+def test_hals_extrapolated_converges_better():
+    """extrapolate=True (Ang & Gillis 2019): same per-iteration cost,
+    measurably lower objective at equal iterations on a low-rank fit."""
+    rng = np.random.default_rng(4)
+    m, n, k = 300, 250, 10
+    A = rng.gamma(2.0, 1.0, (m, k)) * (0.7 ** np.arange(k))[None, :]
+    V = (A @ rng.gamma(0.5, 1.0, (k, n)) + 1e-3).astype(np.float32)
+    plain = nt.nmf_hals(V, k, maxiter=60, tolerance=1e-30, seed=1)
+    extra = nt.nmf_hals(V, k, maxiter=60, tolerance=1e-30, seed=1,
+                        extrapolate=True)
+    def err(r):
+        return np.linalg.norm(V - np.asarray(r.W) @ np.asarray(r.H))
+    assert np.all(np.isfinite(np.asarray(extra.cost)))
+    assert np.all(np.asarray(extra.W) >= 0) and np.all(np.asarray(extra.H) >= 0)
+    # at worst marginally behind, typically clearly ahead
+    assert err(extra) <= err(plain) * 1.02, (err(extra), err(plain))
+
+
+def test_hals_extrapolated_tolerance_stop():
+    rng = np.random.default_rng(5)
+    V = rng.uniform(0.1, 1.0, (60, 50)).astype(np.float32)
+    r = nt.nmf_hals(V, 5, maxiter=500, tolerance=1e-2, seed=2,
+                    extrapolate=True)
+    assert r.converged and r.n_iters < 500
+    assert len(r.cost) == r.n_iters
