@@ -28,16 +28,23 @@ def main():
 
     res = nt.nmf(V_obs, r, weights=mask, maxiter=500, tolerance=1e-9,
                  seed=1)
-    V_hat = res.W @ res.H
+    # weighted HALS (rank-1 sweeps on the observed entries): same cost
+    # per sweep, severalfold fewer sweeps — the recommended fast path
+    res_hals = nt.nmf_hals(V_obs, r, weights=mask, maxiter=120,
+                           tolerance=1e-9, seed=1)
 
     miss = ~observed
-    err_missing = (np.linalg.norm((V_hat - V_true)[miss])
-                   / np.linalg.norm(V_true[miss]))
-    err_observed = (np.linalg.norm((V_hat - V_true)[observed])
-                    / np.linalg.norm(V_true[observed]))
     print(f"observed entries: {observed.mean():.0%}")
-    print(f"relative error on observed entries: {err_observed:.4f}")
-    print(f"relative error on MISSING entries:  {err_missing:.4f}")
+    for name, rr in (("weighted MU (500 iters)", res),
+                     ("weighted HALS (120 iters)", res_hals)):
+        V_hat = np.asarray(rr.W) @ np.asarray(rr.H)
+        err_missing = (np.linalg.norm((V_hat - V_true)[miss])
+                       / np.linalg.norm(V_true[miss]))
+        err_observed = (np.linalg.norm((V_hat - V_true)[observed])
+                        / np.linalg.norm(V_true[observed]))
+        print(f"{name}: rel err observed {err_observed:.4f}, "
+              f"MISSING {err_missing:.4f}")
+        assert err_missing < 0.25
 
 
 if __name__ == "__main__":

@@ -35,6 +35,77 @@ class _Spec(NamedTuple):
     eps: float
     inner: int = 1  # accelerated-HALS inner sweep repetitions
     extrapolate: bool = False  # Ang & Gillis 2019 momentum scheme
+    weighted: bool = False     # per-entry weighted objective
+
+
+@functools.lru_cache(maxsize=None)
+def _build_weighted_solver(spec: _Spec):
+    """Weighted HALS: exact rank-1 coordinate solves of the per-entry
+    weighted Euclidean objective 0.5*sum(M * (V - W H)^2).
+
+    The weighted rank-1 subproblem has the closed form (for column j
+    of W, with the UNMASKED residual R = V - W H maintained in the
+    carry — rank-1 updates to it are exact, and masking it would square
+    non-binary weights):
+
+        d_i = sum_l M_il h_jl^2           (per-ROW denominators — the
+                                           weights break the separable
+                                           diag(HH') structure)
+        w_i = max((((M*R) h_j)_i + w_ij d_i) / d_i, eps)
+        R  -= outer(w_new - w_old, h_j)
+
+    Each column costs two O(mn) elementwise passes + two matvecs, so a
+    full sweep is O(mnk) — the same order as ONE weighted-MU iteration
+    (whose masked matmuls are also mnk) while converging in several
+    times fewer sweeps (see tests/test_hals.py).  Entries with weight 0
+    never touch the objective, so NaN there cannot propagate (V is
+    hard-zeroed at zero weights before the loop, as in the MU path).
+    """
+    k = spec.k
+
+    @jax.jit
+    def solve(V, M, W0, H0, tolerance):
+        dt = V.dtype
+        eps = jnp.asarray(spec.eps, dt)
+        V = jnp.where(M > 0, V, 0.0)  # NaN-at-zero-weight safety
+
+        # R = V - W H is carried UNMASKED (rank-1 updates to it are
+        # exact); the weights enter only the numerators/denominators and
+        # the cost, which is correct for arbitrary nonneg weights (a
+        # masked residual would square M for non-binary weights).
+        def step(carry, i):
+            W, H, R = carry
+            Hsq = H * H
+
+            def w_col(j, WR):
+                W, R = WR
+                hj = H[j, :]
+                d = jnp.maximum(M @ Hsq[j, :], eps)
+                w_new = jnp.maximum(
+                    ((M * R) @ hj + W[:, j] * d) / d, eps)
+                R = R - jnp.outer(w_new - W[:, j], hj)
+                return W.at[:, j].set(w_new), R
+
+            W, R = jax.lax.fori_loop(0, k, w_col, (W, R))
+            Wsq = W * W
+
+            def h_row(j, HR):
+                H, R = HR
+                wj = W[:, j]
+                d = jnp.maximum(Wsq[:, j] @ M, eps)
+                h_new = jnp.maximum(
+                    (wj @ (M * R) + H[j, :] * d) / d, eps)
+                R = R - jnp.outer(wj, h_new - H[j, :])
+                return H.at[j, :].set(h_new), R
+
+            H, R = jax.lax.fori_loop(0, k, h_row, (H, R))
+            c = 0.5 * jnp.sum(M * R * R)
+            return (W, H, R), c, jnp.asarray(False)
+
+        R0 = V - W0 @ H0
+        return looplib.run(step, (W0, H0, R0), spec.maxiter, tolerance,
+                           cost_dtype=dt, inclusive=True)
+    return solve
 
 
 @functools.lru_cache(maxsize=None)
@@ -163,12 +234,6 @@ def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     returned factors W/H are the feasible iterates.
     """
     cfg = merge_config(config, kwargs)
-    if cfg.get("weights") is not None:
-        # silently fitting the masked-out entries as data would be worse
-        # than an error (nt.nmf honors weights=; HALS has no weighted
-        # rank-1 solve here)
-        raise ValueError("weights= is not supported by nmf_hals; use "
-                         "nt.nmf(..., weights=...)")
     dtype = resolve_dtype(V, cfg.get("dtype"))
     V = jnp.asarray(V, dtype)
     m, n = V.shape
@@ -188,7 +253,12 @@ def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
                              "W_init/H_init")
         from ..utils.init import nndsvd
         cdt = jnp.promote_types(dtype, jnp.float32)
-        W0, H0 = nndsvd(V.astype(cdt), k, key=key, variant=init)
+        Vs = V
+        if cfg.get("weights") is not None:
+            # NaN may legitimately sit at zero-weight entries; seed from
+            # the zero-filled matrix (the solver itself hard-zeroes them)
+            Vs = jnp.where(jnp.isnan(V), 0.0, V)
+        W0, H0 = nndsvd(Vs.astype(cdt), k, key=key, variant=init)
     if W0 is None:
         W0 = unit_l2_columns(uniform_init(kw, (m, k), dtype))
     if H0 is None:
@@ -202,6 +272,27 @@ def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     inner = 1 if inner is None else int(inner)
     if inner < 1:
         raise ValueError("inner_iters must be >= 1")
+    weights = cfg.get("weights")
+    if weights is not None:
+        # weighted rank-1 coordinate solves (see _build_weighted_solver)
+        if bool(cfg.get("extrapolate", False)):
+            raise ValueError("extrapolate=True is not supported together "
+                             "with weights=")
+        if inner != 1:
+            raise ValueError("inner_iters > 1 is not supported with "
+                             "weights= (the masked residual changes "
+                             "every sweep)")
+        from ..parallel import prepare_weights
+        M = prepare_weights(weights, dtype, (m, n), cfg.get("mesh"),
+                            "nmf", 0, 0, None)
+        spec = _Spec(maxiter, k, eps, 1, False, True)
+        out = _build_weighted_solver(spec)(V, M, W0, H0,
+                                           jnp.asarray(tolerance, dtype))
+        W, H = out.state[0], out.state[1]
+        return Result(fields=("W", "H", "cost"),
+                      W=np.asarray(W), H=np.asarray(H),
+                      cost=looplib.trim_cost(out, maxiter),
+                      n_iters=int(out.n_iters), converged=bool(out.stopped))
     spec = _Spec(maxiter, k, eps, inner,
                  bool(cfg.get("extrapolate", False)))
     out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))

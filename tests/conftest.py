@@ -24,3 +24,18 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/nmf_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+# The XLA:CPU backend segfaults inside backend_compile_and_load after
+# ~600 compilations in one process (reproduced at different tests purely
+# by position once the suite grew past that).  Dropping compiled
+# executables between modules keeps the per-process compiler state
+# bounded; the persistent on-disk cache (above) makes the recompiles
+# cheap loads.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_compile_state():
+    yield
+    jax.clear_caches()

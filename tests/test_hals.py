@@ -78,3 +78,50 @@ def test_hals_extrapolated_tolerance_stop():
                     extrapolate=True)
     assert r.converged and r.n_iters < 500
     assert len(r.cost) == r.n_iters
+
+
+def test_hals_weighted_matches_masked_objective():
+    """Weighted HALS fits only the observed entries: on a mask-completed
+    low-rank problem it recovers the hidden entries accurately and
+    converges in far fewer iterations than weighted MU."""
+    rng = np.random.default_rng(7)
+    m, n, r = 120, 100, 5
+    truth = rng.gamma(2.0, 1.0, (m, r)) @ rng.gamma(0.5, 1.0, (r, n)) + 0.01
+    M = (rng.uniform(size=(m, n)) < 0.5).astype(np.float64)
+    V_obs = truth * M  # hidden entries zeroed (any junk works: weight 0)
+    res = nt.nmf_hals(V_obs, r, weights=M, maxiter=150, tolerance=1e-12,
+                      seed=1, dtype=np.float64)
+    rec = np.asarray(res.W) @ np.asarray(res.H)
+    hidden = M == 0
+    err = np.linalg.norm((rec - truth)[hidden]) / np.linalg.norm(truth[hidden])
+    assert err < 0.05, err
+    # weighted MU from the same init budget is far behind at equal iters
+    mu = nt.nmf(V_obs, r, weights=M, maxiter=150, tolerance=1e-12, seed=1,
+                dtype=np.float64)
+    rec_mu = np.asarray(mu.W) @ np.asarray(mu.H)
+    err_mu = np.linalg.norm((rec_mu - truth)[hidden]) / np.linalg.norm(truth[hidden])
+    assert err < err_mu, (err, err_mu)
+
+
+def test_hals_weighted_cost_monotone_and_nan_safe():
+    rng = np.random.default_rng(8)
+    V = rng.uniform(0.1, 1.0, (40, 30))
+    M = (rng.uniform(size=(40, 30)) < 0.7).astype(np.float64)
+    V_nan = V.copy()
+    V_nan[M == 0] = np.nan
+    r = nt.nmf_hals(V_nan, 4, weights=M, maxiter=40, tolerance=1e-30,
+                    seed=2, dtype=np.float64)
+    c = np.asarray(r.cost)[:r.n_iters]
+    assert np.all(np.isfinite(c))
+    assert np.all(np.diff(c) <= 1e-9 * np.abs(c[:-1]) + 1e-12)  # monotone
+    assert np.all(np.isfinite(r.W)) and np.all(np.isfinite(r.H))
+
+
+def test_hals_weighted_nndsvd_seed_with_nan():
+    rng = np.random.default_rng(9)
+    V = rng.uniform(0.1, 1.0, (40, 30))
+    M = (rng.uniform(size=(40, 30)) < 0.7).astype(np.float64)
+    V_nan = np.where(M > 0, V, np.nan)
+    r = nt.nmf_hals(V_nan, 4, weights=M, init="nndsvdar", maxiter=10,
+                    seed=3, dtype=np.float64)
+    assert np.all(np.isfinite(np.asarray(r.cost)[:r.n_iters]))

@@ -49,11 +49,17 @@ def test_weighted_zero_entries_tolerate_nan_data():
         assert np.all(np.isfinite(r.cost)), div
 
 
-def test_hals_rejects_weights():
-    # finding 5: nmf_hals silently ignored weights=
+def test_hals_weights_supported_but_guarded():
+    # finding 5 history: nmf_hals once silently ignored weights=, then
+    # rejected them; round 3 implements weighted rank-1 sweeps.  The
+    # unsupported COMBINATIONS must still be loud.
     V = _lowrank(30, 20, 3)
-    with pytest.raises(ValueError, match="weights"):
-        nt.nmf_hals(V, 3, weights=np.ones_like(V))
+    r = nt.nmf_hals(V, 3, weights=np.ones_like(V), maxiter=3, seed=0)
+    assert np.all(np.isfinite(np.asarray(r.cost)[:r.n_iters]))
+    with pytest.raises(ValueError, match="extrapolate"):
+        nt.nmf_hals(V, 3, weights=np.ones_like(V), extrapolate=True)
+    with pytest.raises(ValueError, match="inner_iters"):
+        nt.nmf_hals(V, 3, weights=np.ones_like(V), inner_iters=3)
 
 
 def test_cli_streaming_init_and_inner_flags(matrix_file, tmp_path):
