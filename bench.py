@@ -361,8 +361,13 @@ def main():
             if m == 100_000:
                 result.update(_run_child("hals_tol", timeout=1200))
                 result.update(_run_child("accel_tol", timeout=1500))
-                result.update(_run_child("nmfsc_b2", timeout=1200))
             result.update(_run_child("objective_check", timeout=600))
+            if m == 100_000:
+                # LAST: relay warmup alone can eat 500+ s, and a child
+                # killed at its timeout mid-dispatch can destabilize the
+                # worker for subsequent children (verify SKILL.md) — a
+                # missing nmfsc_b2 key degrades gracefully.
+                result.update(_run_child("nmfsc_b2", timeout=2400))
 
             # Secondary configs are opt-in (benchmarks/run_all.py runs
             # them as separate processes).
