@@ -59,6 +59,10 @@ def build_parser():
                         "and stream column blocks (nmf solver only)")
     p.add_argument("--block-size", type=int, default=4096,
                    help="columns per streamed block (with --streaming)")
+    p.add_argument("--weights", default=None, metavar="M.npy",
+                   help="per-entry weight matrix, same shape as the input "
+                        "(0 = missing/ignored entry); nmf, cnmf, "
+                        "constrainednmf, nmf_hals")
     p.add_argument("--out", required=True, help="output .npz checkpoint")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -126,6 +130,16 @@ def main(argv=None):
                   file=sys.stderr)
             return 2
         cfg["inner_iters"] = args.inner_iters
+    if args.weights is not None:
+        if args.solver not in ("nmf", "cnmf", "constrainednmf", "nmf_hals"):
+            print("error: --weights is only supported for "
+                  "nmf/cnmf/constrainednmf/nmf_hals", file=sys.stderr)
+            return 2
+        if args.streaming:
+            print("error: --weights is not supported with --streaming",
+                  file=sys.stderr)
+            return 2
+        cfg["weights"] = load_matrix(args.weights)
     if args.init and args.init != "random":
         if args.solver not in ("nmf", "nmf_hals"):
             print("error: --init nndsvd* is only supported for nmf/nmf_hals",

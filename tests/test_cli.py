@@ -135,3 +135,26 @@ def test_cli_init_flag(matrix_file, tmp_path):
     r = run_cli(["nmf_hals", matrix_file, "--k", "4", "--divergence", "kl",
                  "--maxiter", "5", "--out", out])
     assert r.returncode == 2 and "does not support" in r.stderr
+
+
+def test_cli_weights(matrix_file, tmp_path):
+    """--weights M.npy: weighted objective from the command line."""
+    V = np.load(matrix_file)
+    rng = np.random.default_rng(0)
+    M = (rng.uniform(size=V.shape) < 0.8).astype(np.float32)
+    mfile = str(tmp_path / "M.npy")
+    np.save(mfile, M)
+    out = str(tmp_path / "w.npz")
+    r = run_cli(["nmf", matrix_file, "--k", "3", "--weights", mfile,
+                 "--maxiter", "5", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    # weighted HALS path too
+    out2 = str(tmp_path / "w2.npz")
+    r = run_cli(["nmf_hals", matrix_file, "--k", "3", "--weights", mfile,
+                 "--maxiter", "5", "--out", out2])
+    assert r.returncode == 0, r.stderr[-500:]
+    # unsupported solver is loud
+    r = run_cli(["lnmf", matrix_file, "--k", "3", "--weights", mfile,
+                 "--maxiter", "2", "--out", str(tmp_path / "x.npz")])
+    assert r.returncode == 2
+    assert "--weights" in r.stderr
