@@ -139,6 +139,11 @@ def main(argv=None):
             print("error: --weights is not supported with --streaming",
                   file=sys.stderr)
             return 2
+        if args.inner_iters is not None and args.inner_iters != 1 \
+                and args.solver == "nmf_hals":
+            print("error: --inner-iters is not supported together with "
+                  "--weights for nmf_hals", file=sys.stderr)
+            return 2
         cfg["weights"] = load_matrix(args.weights)
     if args.init and args.init != "random":
         if args.solver not in ("nmf", "nmf_hals"):

@@ -75,26 +75,27 @@ def _build_weighted_solver(spec: _Spec):
         # masked residual would square M for non-binary weights).
         def step(carry, i):
             W, H, R = carry
-            Hsq = H * H
+            # denominators are loop-invariant within each half-sweep (the
+            # OTHER factor is fixed): one batched MXU matmul instead of k
+            # serialized matvecs inside the fori_loop
+            Dw = jnp.maximum(M @ (H * H).T, eps)        # (m, k)
 
             def w_col(j, WR):
                 W, R = WR
                 hj = H[j, :]
-                d = jnp.maximum(M @ Hsq[j, :], eps)
                 w_new = jnp.maximum(
-                    ((M * R) @ hj + W[:, j] * d) / d, eps)
+                    ((M * R) @ hj + W[:, j] * Dw[:, j]) / Dw[:, j], eps)
                 R = R - jnp.outer(w_new - W[:, j], hj)
                 return W.at[:, j].set(w_new), R
 
             W, R = jax.lax.fori_loop(0, k, w_col, (W, R))
-            Wsq = W * W
+            Dh = jnp.maximum((W * W).T @ M, eps)        # (k, n)
 
             def h_row(j, HR):
                 H, R = HR
                 wj = W[:, j]
-                d = jnp.maximum(Wsq[:, j] @ M, eps)
                 h_new = jnp.maximum(
-                    (wj @ (M * R) + H[j, :] * d) / d, eps)
+                    (wj @ (M * R) + H[j, :] * Dh[j, :]) / Dh[j, :], eps)
                 R = R - jnp.outer(wj, h_new - H[j, :])
                 return H.at[j, :].set(h_new), R
 
@@ -113,7 +114,8 @@ def _build_solver(spec: _Spec):
     k = spec.k
 
     @jax.jit
-    def solve(V, W0, H0, tolerance):
+    def solve(V, W0, H0, tolerance, Wy0=None, Hy0=None, beta0=None,
+              beta_bar0=None, prev_err0=None):
         dt = V.dtype
         eps = jnp.asarray(spec.eps, dt)
         v_sq = sq_norm(V)
@@ -209,10 +211,9 @@ def _build_solver(spec: _Spec):
             return (Wn, Hn, Wy_n, Hy_n, beta_n, beta_bar_n, err), err, \
                 jnp.asarray(False)
 
-        half = jnp.asarray(0.5, dt)
-        one = jnp.asarray(1.0, dt)
-        big = jnp.asarray(np.finfo(np.dtype(dt)).max, dt)
-        state0 = (W0, H0, W0, H0, half, one, big)
+        # momentum state is resumable (Result.resume_state): a chunked
+        # run continuing from these is identical to an uninterrupted one
+        state0 = (W0, H0, Wy0, Hy0, beta0, beta_bar0, prev_err0)
         return looplib.run(step_ex, state0, spec.maxiter, tolerance,
                            cost_dtype=dt, inclusive=True)
     return solve
@@ -251,13 +252,9 @@ def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
         if W0 is not None or H0 is not None:
             raise ValueError("init='nndsvd*' cannot be combined with "
                              "W_init/H_init")
-        from ..utils.init import nndsvd
+        from ..utils.init import nndsvd, seedable
         cdt = jnp.promote_types(dtype, jnp.float32)
-        Vs = V
-        if cfg.get("weights") is not None:
-            # NaN may legitimately sit at zero-weight entries; seed from
-            # the zero-filled matrix (the solver itself hard-zeroes them)
-            Vs = jnp.where(jnp.isnan(V), 0.0, V)
+        Vs = seedable(V) if cfg.get("weights") is not None else V
         W0, H0 = nndsvd(Vs.astype(cdt), k, key=key, variant=init)
     if W0 is None:
         W0 = unit_l2_columns(uniform_init(kw, (m, k), dtype))
@@ -273,9 +270,12 @@ def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     if inner < 1:
         raise ValueError("inner_iters must be >= 1")
     weights = cfg.get("weights")
+    extrapolate = bool(cfg.get("extrapolate", False))
+    tol = jnp.asarray(tolerance, dtype)
+    resume_state = None
     if weights is not None:
         # weighted rank-1 coordinate solves (see _build_weighted_solver)
-        if bool(cfg.get("extrapolate", False)):
+        if extrapolate:
             raise ValueError("extrapolate=True is not supported together "
                              "with weights=")
         if inner != 1:
@@ -286,18 +286,31 @@ def nmf_hals(V, num_basis_elems: int, config: dict | None = None, **kwargs):
         M = prepare_weights(weights, dtype, (m, n), cfg.get("mesh"),
                             "nmf", 0, 0, None)
         spec = _Spec(maxiter, k, eps, 1, False, True)
-        out = _build_weighted_solver(spec)(V, M, W0, H0,
-                                           jnp.asarray(tolerance, dtype))
-        W, H = out.state[0], out.state[1]
-        return Result(fields=("W", "H", "cost"),
-                      W=np.asarray(W), H=np.asarray(H),
-                      cost=looplib.trim_cost(out, maxiter),
-                      n_iters=int(out.n_iters), converged=bool(out.stopped))
-    spec = _Spec(maxiter, k, eps, inner,
-                 bool(cfg.get("extrapolate", False)))
-    out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
-    W, H = out.state[0], out.state[1]  # extrapolated carry has aux state
+        out = _build_weighted_solver(spec)(V, M, W0, H0, tol)
+    elif extrapolate:
+        spec = _Spec(maxiter, k, eps, inner, True)
+        # momentum state rides through resume_state so chunked runs
+        # (utils/checkpoint.run_checkpointed) continue exactly
+        rs = cfg.get("resume_state") or None
+        if rs is not None:
+            mom = (jnp.asarray(rs["Wy"], dtype), jnp.asarray(rs["Hy"], dtype),
+                   jnp.asarray(float(rs["beta"]), dtype),
+                   jnp.asarray(float(rs["beta_bar"]), dtype),
+                   jnp.asarray(float(rs["prev_err"]), dtype))
+        else:
+            mom = (W0, H0, jnp.asarray(0.5, dtype), jnp.asarray(1.0, dtype),
+                   jnp.asarray(np.finfo(np.dtype(dtype)).max, dtype))
+        out = _build_solver(spec)(V, W0, H0, tol, *mom)
+        st = out.state
+        resume_state = {"Wy": np.asarray(st[2]), "Hy": np.asarray(st[3]),
+                        "beta": float(st[4]), "beta_bar": float(st[5]),
+                        "prev_err": float(st[6])}
+    else:
+        spec = _Spec(maxiter, k, eps, inner)
+        out = _build_solver(spec)(V, W0, H0, tol)
+    W, H = out.state[0], out.state[1]
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H),
                   cost=looplib.trim_cost(out, maxiter),
-                  n_iters=int(out.n_iters), converged=bool(out.stopped))
+                  n_iters=int(out.n_iters), converged=bool(out.stopped),
+                  resume_state=resume_state)

@@ -322,9 +322,10 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
                              "W_init/H_init")
         if S != 1:
             raise ValueError("init='nndsvd*' supports a single source")
-        from ..utils.init import nndsvd
+        from ..utils.init import nndsvd, seedable
         cdt = jnp.promote_types(dtype, jnp.float32)
-        Wn, Hn = nndsvd(V.astype(cdt), ks[0], key=key, variant=init)
+        Vs = seedable(V) if cfg.get("weights") is not None else V
+        Wn, Hn = nndsvd(Vs.astype(cdt), ks[0], key=key, variant=init)
         # The solver normalizes W columns to unit L2 (nmf.m:132-134);
         # transfer the norms into H first so W @ H is preserved.
         norms = jnp.sqrt(jnp.maximum(jnp.sum(Wn * Wn, axis=0), eps))

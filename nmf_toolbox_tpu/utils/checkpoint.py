@@ -80,14 +80,15 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
     resumes where it left off (SURVEY.md section 5 failure-recovery plan).
 
     For the memoryless MU solvers (nmf, lnmf, cnmf, seminmf, convexnmf,
-    chnmf, chcnmf, cmfwisa, constrainednmf, nmf_hals) the restart state
-    equals the continuation state, so the resumed factors are IDENTICAL
-    to an uninterrupted run (tested).  The line-search solvers
-    (nmfsc/cnmfsc) additionally carry stepsize state (nmfsc.m:147,178;
-    cnmfsc.m:147 per-frame vector); it is threaded through
-    ``Result.resume_state`` / the solvers' ``resume_state=`` config key
-    and persisted in the checkpoint, so chunked runs are BIT-IDENTICAL
-    to single-dispatch for these too (tested).
+    chnmf, chcnmf, cmfwisa, constrainednmf, plain nmf_hals) the restart
+    state equals the continuation state, so the resumed factors are
+    IDENTICAL to an uninterrupted run (tested).  Solvers with state
+    beyond the factors — nmfsc/cnmfsc line-search stepsizes
+    (nmfsc.m:147,178; cnmfsc.m:147 per-frame vector) and extrapolated
+    HALS momentum (Wy/Hy/beta) — thread it through
+    ``Result.resume_state`` / the solvers' ``resume_state=`` config key,
+    persisted in the checkpoint, so chunked runs are BIT-IDENTICAL to
+    single-dispatch for these too (tested).
 
     The tolerance rule is additionally evaluated on the host across
     chunk boundaries (each chunk's device loop only compares within the

@@ -104,6 +104,15 @@ def kmeans_indicator_h(key, V, k: int, dtype, offset: float = 0.2):
 # NNDSVD (Boutsidis & Gallopoulos 2008) — beyond-reference extra init
 # ---------------------------------------------------------------------------
 
+def seedable(V):
+    """Zero-fill NaN before seeding (NNDSVD/kmeans): NaN may legitimately
+    sit at zero-weight entries of a weighted problem (API.md 'weights'),
+    and the seeding algorithms would otherwise silently return all-NaN
+    factors."""
+    import jax.numpy as jnp
+    return jnp.where(jnp.isnan(V), 0.0, V)
+
+
 def _working_eps(dtype):
     """Machine epsilon of the operand dtype (ADVICE r2: f64 NNDSVD runs
     should use ~1e-16 ridges/floors, not the f32 ~1e-7).  Low-precision

@@ -125,3 +125,31 @@ def test_hals_weighted_nndsvd_seed_with_nan():
     r = nt.nmf_hals(V_nan, 4, weights=M, init="nndsvdar", maxiter=10,
                     seed=3, dtype=np.float64)
     assert np.all(np.isfinite(np.asarray(r.cost)[:r.n_iters]))
+
+
+def test_hals_extrapolated_chunked_resume_bit_exact(tmp_path):
+    """Extrapolated HALS momentum (Wy/Hy/beta) rides through
+    resume_state, so chunked runs match single-dispatch exactly."""
+    from nmf_toolbox_tpu.utils.checkpoint import run_checkpointed
+    rng = np.random.default_rng(11)
+    V = rng.uniform(0.1, 1.0, (50, 40))
+    kw = dict(extrapolate=True, tolerance=1e-30, seed=3, dtype=np.float64)
+    ref = nt.nmf_hals(V, 4, maxiter=30, **kw)
+    res = run_checkpointed(nt.nmf_hals, V, 4, total_iters=30, chunk=7,
+                           path=tmp_path / "eh.npz", **kw)
+    np.testing.assert_array_equal(res.W, ref.W)
+    np.testing.assert_array_equal(res.H, ref.H)
+    np.testing.assert_array_equal(np.asarray(res.cost), np.asarray(ref.cost))
+
+
+def test_nmf_weighted_nndsvd_seed_with_nan():
+    """Review finding: nmf (not just nmf_hals) must seed cleanly from
+    NaN-at-zero-weight data."""
+    rng = np.random.default_rng(12)
+    V = rng.uniform(0.1, 1.0, (40, 30))
+    M = (rng.uniform(size=(40, 30)) < 0.7).astype(np.float64)
+    V_nan = np.where(M > 0, V, np.nan)
+    r = nt.nmf(V_nan, 4, weights=M, init="nndsvdar", maxiter=8,
+               seed=3, dtype=np.float64)
+    assert np.all(np.isfinite(np.asarray(r.cost)[:r.n_iters]))
+    assert np.all(np.isfinite(r.W)) and np.all(np.isfinite(r.H))
