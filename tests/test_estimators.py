@@ -78,3 +78,16 @@ def test_sklearn_params_protocol():
     assert p["n_components"] == 3 and p["H_sparsity"] == 0.1
     est.set_params(max_iter=7, H_sparsity=0.2)
     assert est.max_iter == 7 and est.config["H_sparsity"] == 0.2
+
+
+def test_facade_hals_weights():
+    """solver='hals' + weights= composes through the facade (weighted
+    rank-1 sweeps), with weights in sklearn orientation like X."""
+    rng = np.random.default_rng(21)
+    X = rng.uniform(0.1, 1.0, (25, 18))
+    w = (rng.uniform(size=(25, 18)) < 0.8).astype(np.float64)
+    est = NMF(n_components=3, solver="hals", max_iter=10, tol=1e-12,
+              random_state=2, weights=w)
+    Ht = est.fit_transform(X)
+    assert Ht.shape == (25, 3)
+    assert np.isfinite(est.reconstruction_err_)
