@@ -41,7 +41,7 @@ from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
                          shift_left, shift_right, stack_shifts_right)
 from ..ops.gram import conv_cross_grams_w as _cross_grams_w
 from ..ops.gram import conv_cross_grams_h as _cross_grams_h
-from ..ops.linesearch import make_search
+from ..ops.linesearch import make_search, resolve_width
 from ..parallel import apply_placements, pad_axes, plan_padding
 
 
@@ -248,7 +248,7 @@ def cnmfsc(V, num_basis_elems: int, context_len: int,
     spec = _Spec(T, maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
                  eps, float(l1_w), float(l1_h), valid,
-                 int(cfg.get("linesearch_width", 0) or 0))
+                 resolve_width(cfg.get("linesearch_width"), mesh))
     # 'highest' matmul precision for the line-search objectives (no-op on
     # CPU) — same f32-on-TPU stall hazard as nmfsc (models/nmfsc_phased.py).
     with jax.default_matmul_precision("highest"):

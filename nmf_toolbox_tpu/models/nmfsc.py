@@ -33,7 +33,7 @@ from ..core import common_scalars, ingest_rescaled, Result, merge_config, \
 from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.normalize import row_l2_transfer
-from ..ops.linesearch import make_search
+from ..ops.linesearch import make_search, resolve_width
 from ..parallel import apply_placements, pad_axes, plan_padding
 
 
@@ -207,7 +207,7 @@ def nmfsc(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     spec = _Spec(maxiter, w_sp > 0, h_sp > 0,
                  bool(cfg.get("W_fixed", False)), bool(cfg.get("H_fixed", False)),
                  eps, float(l1_w), float(l1_h), valid,
-                 int(cfg.get("linesearch_width", 0) or 0))
+                 resolve_width(cfg.get("linesearch_width"), mesh))
     # 'highest' matmul precision (no-op on CPU): the TPU's default
     # one-pass-bf16 f32 matmul leaves ~1e2 absolute noise in the
     # cancellation-heavy Gram-form objectives at production shapes,

@@ -449,7 +449,9 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
     # linesearch_width (the fused solvers' parallel-backtracking knob)
     # maps onto this dispatch's batched trial rounds so the documented
     # TPU recommendation composes instead of being silently dropped.
-    lw = int(cfg.get("linesearch_width", 0) or 0)
+    # None/'auto' resolves by backend (8 on TPU, sequential elsewhere).
+    from ..ops.linesearch import resolve_width
+    lw = resolve_width(cfg.get("linesearch_width"))
     spec = _PhSpec(w_sp > 0, h_sp > 0,
                    bool(cfg.get("W_fixed", False)),
                    bool(cfg.get("H_fixed", False)),

@@ -110,6 +110,37 @@ def parallel_backtracking_search(obj_fn, X, dX, step0, project, begobj,
     return Xn, step, underflow, obj
 
 
+def resolve_width(value, mesh=None) -> int:
+    """Resolve the ``linesearch_width`` config knob to a concrete width.
+
+    ``None`` / ``"auto"`` (the default when the knob is not set) selects
+    parallel backtracking with width 8 when the solve will run on TPU —
+    where the batched trial round is a measured ~6x line-search win
+    (benchmarks/CNMFSC_MARGINAL_v5e.json) — and the reference sequential
+    halving elsewhere (the batch evaluates every candidate even when the
+    first accepts, which can lose on CPU).  An integer forces that width
+    (0 = sequential halving).
+
+    Equivalence: the batched search takes the same accept/halve/underflow
+    decisions as sequential halving (cost trace and stepsize state
+    bit-identical; exact on CPU).  On TPU the accepted factors can differ
+    at fp reduction-order scale (~4e-5 rel in f32 over 25 iterations,
+    measured) because the vmapped trial evaluation accumulates matmuls in
+    a different order; pass ``linesearch_width=0`` for the exactly
+    sequential evaluation order.
+
+    ``mesh``: when the solve is sharded, the mesh's devices decide the
+    platform; otherwise ``jax.default_backend()`` does.
+    """
+    if value is None or (isinstance(value, str) and value == "auto"):
+        if mesh is not None:
+            platform = next(iter(mesh.devices.flat)).platform
+        else:
+            platform = jax.default_backend()
+        return 8 if platform == "tpu" else 0
+    return int(value)
+
+
 def make_search(width: int):
     """Search-function factory: 0 = reference sequential halving,
     >0 = parallel backtracking with that batch width."""

@@ -58,6 +58,34 @@ def test_batched_underflow_termination_matches():
     np.testing.assert_array_equal(np.asarray(b.cost), np.asarray(a.cost))
 
 
+def test_resolve_width_auto():
+    """None/'auto' resolves by platform (8 on TPU, sequential elsewhere);
+    integers pass through; a mesh's devices decide over the default
+    backend."""
+    import jax
+    from nmf_toolbox_tpu.ops.linesearch import resolve_width
+    from nmf_toolbox_tpu.parallel import make_mesh
+
+    assert resolve_width(0) == 0
+    assert resolve_width(6) == 6
+    assert resolve_width("3") == 3
+    # this suite pins JAX_PLATFORMS=cpu (conftest), so auto = sequential
+    assert resolve_width(None) == 0
+    assert resolve_width("auto") == 0
+    assert resolve_width(None, mesh=make_mesh(8)) == 0
+    # TPU backend resolves auto to the batched width
+    orig = jax.default_backend
+    jax.default_backend = lambda: "tpu"
+    try:
+        assert resolve_width(None) == 8
+        assert resolve_width("auto") == 8
+        assert resolve_width(0) == 0          # explicit always wins
+        # a CPU mesh overrides a TPU default backend
+        assert resolve_width(None, mesh=make_mesh(8)) == 0
+    finally:
+        jax.default_backend = orig
+
+
 def test_batched_mesh_composes():
     from nmf_toolbox_tpu.parallel import make_mesh
     V, W0, H0 = _problem(m=17, n=43, k=3, seed=7)
