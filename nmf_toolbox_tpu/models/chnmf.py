@@ -42,15 +42,20 @@ class _Spec(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def _build_solver(spec: _Spec):
+    # The one-time Grams arrive as ARGUMENTS, computed eagerly at the
+    # entry (chcnmf.py pattern): TPU XLA's memory-pressure-driven
+    # rematerialization recomputes large loop-invariant buffers inside
+    # the while_loop body every iteration, so the in-program S'V
+    # (p*m*n FLOP, a p-by-n buffer produced from the 4 GB V) was paid
+    # every iteration — measured 19.3 ms/iter marginal at 100k x 10k
+    # p400, the Gram's own cost; as executable arguments the loop runs
+    # at 0.09 ms/iter (210x, benchmarks/GRAM_FAMILY_MARGINAL_v5e.json,
+    # round 3).  The solver never touches the m-sized axis at all now.
     @jax.jit
-    def solve(V, S, G0, H0, g_sparsity, h_sparsity, tolerance):
-        eps = jnp.asarray(spec.eps, V.dtype)
-        # One-time Grams (chnmf.m:169-172).
-        StV = S.T @ V
-        StS = S.T @ S
+    def solve(StV, StS, G0, H0, v_sq, g_sparsity, h_sparsity, tolerance):
+        eps = jnp.asarray(spec.eps, StV.dtype)
         sv_pos, sv_neg = pos_neg_split(StV)
         ss_pos, ss_neg = pos_neg_split(StS)
-        v_sq = jnp.sum(V * V)
 
         def step(carry, i):
             G, H = carry
@@ -83,7 +88,7 @@ def _build_solver(spec: _Spec):
             return (G, H), c, jnp.asarray(False)
 
         return looplib.run(step, (G0, H0), spec.maxiter, tolerance,
-                           cost_dtype=V.dtype)
+                           cost_dtype=StV.dtype)
     return solve
 
 
@@ -156,7 +161,13 @@ def chnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),
                  bool(cfg.get("H_fixed", False)), eps,
                  compat == "reference")
-    out = _build_solver(spec)(V, S, G0, H0,
+    # One-time Grams (chnmf.m:169-172), eagerly OUTSIDE the solver
+    # executable (see _build_solver's rematerialization note).  Zero pads
+    # on the m axis contribute exactly zero to both Grams.
+    StV = S.T @ V
+    StS = S.T @ S
+    v_sq = jnp.sum(V * V)
+    out = _build_solver(spec)(StV, StS, G0, H0, v_sq,
                               jnp.asarray(g_sp, dtype), jnp.asarray(h_sp, dtype),
                               jnp.asarray(tolerance, dtype))
     G, H = out.state

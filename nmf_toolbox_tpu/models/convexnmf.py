@@ -7,7 +7,11 @@ Grams is materialized:
 
     (VV_neg @ G @ H) @ H'  ->  (VV_neg @ G) @ (H @ H')
 
-(identical math, fewer FLOPs and far less HBM traffic at large n).
+(identical math, fewer FLOPs and far less HBM traffic at large n).  Two
+further structural savings (see _build_solver): the symmetry of V'V lets
+the H update and the cost share one Gram-times-factor product, and a
+non-negative V (checked once per dispatch) makes VV_neg exactly zero,
+specializing the step to 3 large products per iteration instead of 7.
 
 Compat note (COMPAT.md): the reference's default G_init references
 undefined variables (convexnmf.m:69-71) and errors unless the caller
@@ -39,18 +43,32 @@ class _Spec(NamedTuple):
     g_fixed: bool
     h_fixed: bool
     n_valid: int = None  # true n of a mesh-padded problem
+    nonneg: bool = False  # V >= 0 everywhere -> VV_neg is exactly zero
 
 
 @functools.lru_cache(maxsize=None)
 def _build_solver(spec: _Spec):
+    # The one-time Grams arrive as ARGUMENTS of this executable, computed
+    # eagerly at the entry point (same pattern as chcnmf.py).  Keeping
+    # them as in-program intermediates looks equivalent but is not: TPU
+    # XLA's memory-pressure-driven rematerialization recomputes LARGE
+    # loop-invariant buffers (the n-by-n Grams, 400 MB at n=10k) inside
+    # the while_loop body every iteration rather than keeping them live —
+    # V'V is 2e13 FLOP at 100k x 10k, measured as a 220 ms/iter marginal,
+    # ~60x the loop's roofline; with the Grams as executable arguments
+    # (which cannot be rematerialized) the same loop runs at 0.86 ms/iter
+    # (255x, benchmarks/GRAM_FAMILY_MARGINAL_v5e.json, round 3).  Scalar
+    # invariants (v_sq) are not affected but ride along as arguments.
     @jax.jit
-    def solve(V, G0, H0, g_sparsity, tolerance):
-        VtV = V.T @ V  # one-time n-by-n Gram (convexnmf.m:86-87)
-        vv_pos, vv_neg = pos_neg_split(VtV)
-        v_sq = jnp.trace(VtV)
+    def solve(grams, G0, H0, v_sq, g_sparsity, tolerance):
+        if spec.nonneg:
+            (VtV,) = grams
+        else:
+            vv_pos, vv_neg = grams
+        n = G0.shape[0]
         # Pad rows of G / pad columns of H have 0/0 sqrt-MU ratios (the
         # reference's updates are unguarded); pin them to zero.
-        cmask = col_mask(V.shape[1], spec.n_valid)
+        cmask = col_mask(n, spec.n_valid)
 
         def masked(ratio, colwise: bool):
             if cmask is None:
@@ -58,7 +76,37 @@ def _build_solver(spec: _Spec):
             sel = cmask[None, :] if colwise else cmask[:, None]
             return jnp.where(sel, ratio, jnp.zeros((), ratio.dtype))
 
-        def step(carry, i):
+        def cost(VtVG, G, H):
+            # 0.5||V - V G H||^2 in Gram form (k-by-k only):
+            # = 0.5(tr(V'V) - 2 tr(H' G' V'V) + tr((G' V'V G)(H H')))
+            return jnp.maximum(  # clamp: see ops/gram.euclidean_cost_gram
+                0.5 * (v_sq - 2.0 * jnp.sum(VtVG * H.T)
+                       + jnp.sum((G.T @ VtVG) * (H @ H.T))), 0.0)
+
+        # The n^2 k Gram-times-factor products dominate every iteration
+        # (n-by-n times n-by-k / k-by-n); everything else is k-scale.
+        # Two structural savings over the literal pos/neg formulation:
+        #   * V'V is symmetric, so G'VV_pos = (VV_pos G)' — the H update
+        #     and the cost share ONE product with the post-update G.
+        #   * when V >= 0 (checked once at dispatch), VV_neg is exactly
+        #     the zero matrix: its products vanish and VV_pos is V'V
+        #     bit-for-bit, leaving 3 large products per iteration
+        #     (VtV H', VtV G, VtV G_new) instead of 7.
+        def step_nonneg(carry, i):
+            G, H = carry
+            if not spec.g_fixed:
+                HHt = H @ H.T
+                pG = VtV @ H.T
+                nG = (VtV @ G) @ HHt
+                G = G * jnp.sqrt(masked(pG / (nG + g_sparsity), False))  # convexnmf.m:94
+                G = unit_sum_columns(G)                   # convexnmf.m:95
+            VtVG = VtV @ G  # shared by the H update and the cost
+            if not spec.h_fixed:
+                GtVV = VtVG.T                             # symmetry of V'V
+                H = H * jnp.sqrt(masked(GtVV / ((GtVV @ G) @ H), True))  # convexnmf.m:101
+            return (G, H), cost(VtVG, G, H), jnp.asarray(False)
+
+        def step_general(carry, i):
             G, H = carry
             if not spec.g_fixed:
                 HHt = H @ H.T
@@ -67,24 +115,18 @@ def _build_solver(spec: _Spec):
                 nG = vv_neg @ H.T + (vv_pos @ G) @ HHt
                 G = G * jnp.sqrt(masked(pG / (nG + g_sparsity), False))  # convexnmf.m:94
                 G = unit_sum_columns(G)                   # convexnmf.m:95
+            PpG = vv_pos @ G  # shared (transposed) by H update + cost
+            PnG = vv_neg @ G
             if not spec.h_fixed:
-                GtVV_pos = G.T @ vv_pos
-                GtVV_neg = G.T @ vv_neg
-                GtG = G.T @ G
                 # G'(VV_pos + VV_neg G H) -> (G'VV_pos) + (G'VV_neg G) H
-                pH = GtVV_pos + (GtVV_neg @ G) @ H
-                nH = GtVV_neg + (GtVV_pos @ G) @ H
+                pH = PpG.T + (PnG.T @ G) @ H
+                nH = PnG.T + (PpG.T @ G) @ H
                 H = H * jnp.sqrt(masked(pH / nH, True))   # convexnmf.m:101
-            # cost 0.5||V - V G H||^2 in Gram form (k-by-k only):
-            # = 0.5(tr(V'V) - 2 tr(H' G' V'V) + tr((G' V'V G)(H H')))
-            VtVG = VtV @ G
-            c = jnp.maximum(  # clamp: see ops/gram.euclidean_cost_gram
-                0.5 * (v_sq - 2.0 * jnp.sum(VtVG * H.T)
-                       + jnp.sum((G.T @ VtVG) * (H @ H.T))), 0.0)
-            return (G, H), c, jnp.asarray(False)
+            return (G, H), cost(PpG - PnG, G, H), jnp.asarray(False)
 
+        step = step_nonneg if spec.nonneg else step_general
         return looplib.run(step, (G0, H0), spec.maxiter, tolerance,
-                           cost_dtype=V.dtype)
+                           cost_dtype=G0.dtype)
     return solve
 
 
@@ -139,10 +181,21 @@ def convexnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
         H0 = pad_axes(H0, {1: pad_n})
     V, G0, H0 = apply_placements(mesh, "convexnmf", V=V, G=G0, H=H0)
 
+    # One scalar readback per dispatch: V >= 0 selects the specialized
+    # step with exactly-zero VV_neg (3 large products/iter instead of 7).
+    nonneg = bool(jnp.all(V >= 0))
     spec = _Spec(maxiter, bool(cfg.get("G_fixed", False)),
                  bool(cfg.get("H_fixed", False)),
-                 None if valid is None else n)
-    out = _build_solver(spec)(V, G0, H0, jnp.asarray(g_sparsity, dtype),
+                 None if valid is None else n, nonneg)
+    # One-time Gram, eagerly OUTSIDE the solver executable (see
+    # _build_solver's rematerialization note).  Padded V has zero pads,
+    # so the padded Gram rows/cols are zero — identical to the previous
+    # in-program computation.
+    VtV = V.T @ V  # convexnmf.m:86-87
+    v_sq = jnp.trace(VtV)
+    grams = (VtV,) if nonneg else pos_neg_split(VtV)
+    out = _build_solver(spec)(grams, G0, H0, v_sq,
+                              jnp.asarray(g_sparsity, dtype),
                               jnp.asarray(tolerance, dtype))
     G, H = out.state
     if valid is not None:

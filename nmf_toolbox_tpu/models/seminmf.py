@@ -32,9 +32,15 @@ class _Spec(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def _build_solver(spec: _Spec):
+    # v_sq arrives as an argument, following the gram-family convention
+    # (convexnmf.py's rematerialization note: large loop-invariant
+    # buffers MUST be executable arguments on TPU; a kept scalar is safe
+    # either way, and hoisting it keeps one pattern across solvers).
+    # Direct-solve marginal at 100k x 10k r200: 7.26 ms/iter — the two
+    # unavoidable m*n*k products per iteration (V H' and W'V) at MXU
+    # rate (benchmarks/GRAM_FAMILY_MARGINAL_v5e.json).
     @jax.jit
-    def solve(V, W0, H0, tolerance):
-        v_sq = sq_norm(V)
+    def solve(V, W0, H0, v_sq, tolerance):
         # Pad columns of the sqrt MU ratio are 0/0 (the reference's update
         # has no eps guard); pin them to zero so NaN never forms.
         cmask = col_mask(V.shape[1], None if spec.valid is None
@@ -104,7 +110,8 @@ def seminmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
 
     spec = _Spec(maxiter, bool(cfg.get("W_fixed", False)),
                  bool(cfg.get("H_fixed", False)), valid)
-    out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
+    out = _build_solver(spec)(V, W0, H0, sq_norm(V),
+                              jnp.asarray(tolerance, dtype))
     W, H = out.state
     if valid is not None:
         W, H = W[:m], H[:, :n]
