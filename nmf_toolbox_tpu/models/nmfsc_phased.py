@@ -447,11 +447,14 @@ def nmfsc_phased(V, num_basis_elems: int, config: dict | None = None,
     step_h = jnp.asarray(float(rs["step_h"]) if rs is not None else 1.0,
                          dtype)
     # linesearch_width (the fused solvers' parallel-backtracking knob)
-    # maps onto this dispatch's batched trial rounds so the documented
-    # TPU recommendation composes instead of being silently dropped.
-    # None/'auto' resolves by backend (8 on TPU, sequential elsewhere).
-    from ..ops.linesearch import resolve_width
-    lw = resolve_width(cfg.get("linesearch_width"))
+    # maps onto this dispatch's batched trial rounds so an EXPLICIT
+    # setting composes instead of being silently dropped.  The fused
+    # solvers' 'auto' default does NOT apply here: the phased dispatch is
+    # round-trip-dominated, and batched-vs-sequential measured within
+    # relay noise at BASELINE #2 (54-71 ms/iter both ways, round 3), so
+    # the default stays the bounded sequential trial rounds.
+    raw_lw = cfg.get("linesearch_width")
+    lw = 0 if raw_lw in (None, "auto") else int(raw_lw)
     spec = _PhSpec(w_sp > 0, h_sp > 0,
                    bool(cfg.get("W_fixed", False)),
                    bool(cfg.get("H_fixed", False)),

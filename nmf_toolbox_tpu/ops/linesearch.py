@@ -131,6 +131,12 @@ def resolve_width(value, mesh=None) -> int:
 
     ``mesh``: when the solve is sharded, the mesh's devices decide the
     platform; otherwise ``jax.default_backend()`` does.
+
+    Scope: the fused (single-program) nmfsc/cnmfsc solvers, where the
+    batched round removes sequential on-device trial evaluations.  The
+    phased nmfsc dispatch resolves None/'auto' to sequential instead —
+    it is relay-round-trip-dominated and batching measured within noise
+    there (models/nmfsc_phased.py).
     """
     if value is None or (isinstance(value, str) and value == "auto"):
         if mesh is not None:
