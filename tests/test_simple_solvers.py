@@ -91,6 +91,51 @@ def test_convexnmf_g_colsum_and_default_init():
     np.testing.assert_allclose(res.W, V @ np.asarray(res.G), atol=1e-10)
 
 
+def test_convexnmf_nonneg_parity():
+    """Nonnegative V takes the specialized step (VV_neg exactly zero,
+    shared symmetric-Gram product — convexnmf.py round 3); it must still
+    match the literal pos/neg-split oracle."""
+    rng = np.random.default_rng(13)
+    V = rng.uniform(0.1, 1.0, (15, 35))
+    G0 = rng.uniform(size=(35, 4))
+    H0 = rng.uniform(size=(4, 35)) + 0.2
+    res = nt.convexnmf(V, 4, G_init=G0, H_init=H0, maxiter=30,
+                       tolerance=1e-12, dtype=np.float64)
+    Wg, Hg, Gg, cg = oracle.convexnmf(V, G0, H0, maxiter=30, tolerance=1e-12)
+    np.testing.assert_allclose(res.G, Gg, atol=1e-8)
+    np.testing.assert_allclose(res.H, Hg, atol=1e-8)
+    np.testing.assert_allclose(res.cost, cg, rtol=1e-8)
+
+
+def test_convexnmf_nonneg_matches_general_path():
+    """The nonneg specialization and the general pos/neg-split solver are
+    the same algorithm: force both through the internal builder on the
+    SAME nonnegative problem."""
+    import importlib
+    import jax.numpy as jnp
+    cvx = importlib.import_module("nmf_toolbox_tpu.models.convexnmf")
+    from nmf_toolbox_tpu.ops.gram import pos_neg_split
+
+    rng = np.random.default_rng(14)
+    V = jnp.asarray(rng.uniform(0.1, 1.0, (12, 30)))
+    G0 = jnp.asarray(rng.uniform(size=(30, 3)))
+    H0 = jnp.asarray(rng.uniform(size=(3, 30)) + 0.2)
+    VtV = V.T @ V
+    v_sq = jnp.trace(VtV)
+    tol = jnp.asarray(1e-30, V.dtype)
+    zero = jnp.asarray(0.0, V.dtype)
+    a = cvx._build_solver(cvx._Spec(20, False, False, None, True))(
+        (VtV,), G0, H0, v_sq, zero, tol)
+    b = cvx._build_solver(cvx._Spec(20, False, False, None, False))(
+        pos_neg_split(VtV), G0, H0, v_sq, zero, tol)
+    np.testing.assert_allclose(np.asarray(a.state[0]), np.asarray(b.state[0]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(a.state[1]), np.asarray(b.state[1]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(a.cost_buf), np.asarray(b.cost_buf),
+                               rtol=1e-10)
+
+
 def test_convexnmf_sparsity():
     rng = np.random.default_rng(5)
     V = rng.normal(size=(10, 25))
