@@ -18,7 +18,9 @@ identical-argument cache without host syncs), and the marginal is the
 median over repeats of (T(LONG) - T(SHORT)) / (LONG - SHORT) iterations.
 
 Usage: python benchmarks/gram_family_marginal.py [--quick] [--cpu]
-Writes benchmarks/GRAM_FAMILY_MARGINAL_v5e.json.
+Writes benchmarks/GRAM_FAMILY_MARGINAL_v5e.json — only for a full-scale
+TPU run; --quick/--cpu smoke runs print the rows without touching the
+committed measurement file.
 """
 import argparse
 import json
@@ -137,8 +139,16 @@ def main(quick: bool):
         lambda it, st: ((VtV,), G0 if st is None else st[0],
                         H0 if st is None else st[1], v_sq_c, zero, tol))
 
-    OUT.write_text(json.dumps(data, indent=1) + "\n")
-    print("wrote", OUT, flush=True)
+    payload = json.dumps(data, indent=1) + "\n"
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu and not quick:
+        OUT.write_text(payload)
+        print("wrote", OUT, flush=True)
+    else:
+        # Smoke-test mode: never clobber the committed TPU measurements.
+        print(payload, flush=True)
+        print(f"smoke run (quick={quick}, platform="
+              f"{jax.devices()[0].platform}); NOT writing {OUT}", flush=True)
 
 
 if __name__ == "__main__":

@@ -66,23 +66,32 @@ def main():
 
     if which == "convexnmf":
         from nmf_toolbox_tpu.models.convexnmf import _build_solver, _Spec
+        from nmf_toolbox_tpu.ops.gram import pos_neg_split
         G0 = jax.random.uniform(kg, (N, K), jnp.float32)
         gsp = jnp.asarray(0.0, jnp.float32)
+        # One-time Gram outside the loop executable (the round-3
+        # rematerialization fix); V here is uniform(0.05, 1) so the
+        # nonneg specialization applies, matching the production path.
+        VtV = V.T @ V
+        v_sq = jnp.trace(VtV)
+        grams = (VtV,)
+        jax.block_until_ready(VtV)
 
         def make(maxiter):
-            solve = _build_solver(_Spec(maxiter, False, False))
+            solve = _build_solver(_Spec(maxiter, False, False, None, True))
             def call(f):
-                out = solve(V, G0 * f, H0, gsp, tol)
+                out = solve(grams, G0 * f, H0, v_sq, gsp, tol)
                 return float(out.cost_buf[-1])
             return call
     elif which == "seminmf":
         from nmf_toolbox_tpu.models.seminmf import _build_solver, _Spec
         W0 = jax.random.uniform(kw, (M, K), jnp.float32, -1.0, 1.0)
+        v_sq = jnp.sum(V * V)
 
         def make(maxiter):
             solve = _build_solver(_Spec(maxiter, False, False))
             def call(f):
-                out = solve(V, W0 * f, H0, tol)
+                out = solve(V, W0 * f, H0, v_sq, tol)
                 return float(out.cost_buf[-1])
             return call
     elif which in ("chnmf", "chcnmf"):
@@ -97,11 +106,17 @@ def main():
         if which == "chnmf":
             from nmf_toolbox_tpu.core import EPS
             from nmf_toolbox_tpu.models.chnmf import _build_solver, _Spec
+            # One-time hull Grams outside the loop executable (round-3
+            # rematerialization fix): the loop never touches V again.
+            StV = S.T @ V
+            StS = S.T @ S
+            v_sq = jnp.sum(V * V)
+            jax.block_until_ready((StV, StS))
 
             def make(maxiter):
                 solve = _build_solver(_Spec(maxiter, False, False, EPS))
                 def call(f):
-                    out = solve(V, S, G0 * f, H0, zsp, zsp, tol)
+                    out = solve(StV, StS, G0 * f, H0, v_sq, zsp, zsp, tol)
                     return float(out.cost_buf[-1])
                 return call
         else:

@@ -139,11 +139,6 @@ def main(argv=None):
             print("error: --weights is not supported with --streaming",
                   file=sys.stderr)
             return 2
-        if args.inner_iters is not None and args.inner_iters != 1 \
-                and args.solver == "nmf_hals":
-            print("error: --inner-iters is not supported together with "
-                  "--weights for nmf_hals", file=sys.stderr)
-            return 2
         cfg["weights"] = load_matrix(args.weights)
     if args.init and args.init != "random":
         if args.solver not in ("nmf", "nmf_hals"):
@@ -176,20 +171,27 @@ def main(argv=None):
             return 2
         pos = [np.load(args.labels), args.k]
 
-    if args.streaming:
-        res = nt.nmf_streaming(V, args.k, block_size=args.block_size,
-                               epochs=max(1, args.maxiter),
-                               tolerance=args.tolerance, seed=args.seed,
-                               return_H=False, mesh=cfg.get("mesh"))
-        save_factors(args.out, res)
-    elif args.checkpoint_every:
-        res = run_checkpointed(solver, V, *pos, total_iters=args.maxiter,
-                               chunk=args.checkpoint_every, path=args.out,
-                               **{k: v for k, v in cfg.items()
-                                  if k != "maxiter"})
-    else:
-        res = solver(V, *pos, **cfg)
-        save_factors(args.out, res)
+    # Invalid option COMBINATIONS (e.g. --weights with --inner-iters > 1)
+    # are validated by the solvers themselves in one place; surface their
+    # ValueError as a clean CLI error instead of a traceback.
+    try:
+        if args.streaming:
+            res = nt.nmf_streaming(V, args.k, block_size=args.block_size,
+                                   epochs=max(1, args.maxiter),
+                                   tolerance=args.tolerance, seed=args.seed,
+                                   return_H=False, mesh=cfg.get("mesh"))
+            save_factors(args.out, res)
+        elif args.checkpoint_every:
+            res = run_checkpointed(solver, V, *pos, total_iters=args.maxiter,
+                                   chunk=args.checkpoint_every, path=args.out,
+                                   **{k: v for k, v in cfg.items()
+                                      if k != "maxiter"})
+        else:
+            res = solver(V, *pos, **cfg)
+            save_factors(args.out, res)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
     summary = {"solver": args.solver, "shape": list(V.shape), "k": args.k,
                "iterations": int(res.n_iters), "converged": bool(res.converged),

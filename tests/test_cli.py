@@ -158,3 +158,20 @@ def test_cli_weights(matrix_file, tmp_path):
                  "--maxiter", "2", "--out", str(tmp_path / "x.npz")])
     assert r.returncode == 2
     assert "--weights" in r.stderr
+
+
+def test_cli_solver_valueerror_is_clean(matrix_file, tmp_path):
+    # Invalid option COMBINATIONS are validated once, in the solvers;
+    # the CLI surfaces their ValueError as `error: ...` + exit 2 rather
+    # than a traceback.  --weights forces method='naive' for nmf, which
+    # conflicts with --inner-iters > 1 (accelerated MU needs the Gram
+    # method); same for nmf_hals's weighted path.
+    w = str(tmp_path / "w.npy")
+    np.save(w, np.ones((30, 40), np.float32))
+    for solver in ("nmf", "nmf_hals"):
+        r = run_cli([solver, matrix_file, "--k", "4", "--weights", w,
+                     "--inner-iters", "2", "--maxiter", "3",
+                     "--out", str(tmp_path / "f.npz")])
+        assert r.returncode == 2, (solver, r.stderr[-500:])
+        assert r.stderr.startswith("error:"), (solver, r.stderr[:200])
+        assert "Traceback" not in r.stderr, (solver, r.stderr[-500:])
