@@ -74,7 +74,8 @@ def load_factors(path, as_inits: bool = True) -> dict:
 
 
 def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
-                     path, resume: bool = True, **config):
+                     path, resume: bool = True, backend: str = "auto",
+                     **config):
     """Long-run driver: execute ``solver`` in chunks of ``chunk``
     iterations, persisting the factors after every chunk so a crashed run
     resumes where it left off (SURVEY.md section 5 failure-recovery plan).
@@ -101,14 +102,38 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
 
         res = run_checkpointed(nt.nmf, V, 64, total_iters=500, chunk=50,
                                path="run.npz", divergence="kl")
+
+    ``backend`` selects the persistence layer: ``"npz"`` (one host
+    file, checkpoint.save_factors), ``"orbax"`` (directory checkpoint
+    with per-shard writes and sharded restore — the right choice for
+    mesh runs, see checkpoint_orbax), or ``"auto"`` (default): orbax
+    when the path has no ``.npz`` suffix AND the run is sharded
+    (``config['mesh']``), npz otherwise.
     """
+    if backend == "auto":
+        backend = ("orbax" if config.get("mesh") is not None
+                   and not os.fspath(path).endswith(".npz") else "npz")
+    if backend == "orbax":
+        from .checkpoint_orbax import load_factors_orbax, save_factors_orbax
+        mesh = config.get("mesh")
+        sname = getattr(solver, "__name__", None)
+        def _load(p, as_inits=False):
+            return load_factors_orbax(p, as_inits, mesh=mesh, solver=sname)
+        _save = save_factors_orbax
+        exists = os.path.isdir(os.fspath(path))
+    elif backend == "npz":
+        _load, _save = load_factors, save_factors
+        exists = os.path.exists(os.fspath(path))
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
+
     tolerance = float(config.get("tolerance", 1e-3))
     done = 0
     inits: dict = {}
     costs = []
     resume_state = None
-    if resume and os.path.exists(os.fspath(path)):
-        raw = load_factors(path, as_inits=False)
+    if resume and exists:
+        raw = _load(path, as_inits=False)
         inits = {f"{k}_init": v for k, v in raw.items() if k in _FACTOR_KEYS}
         done = int(raw.get("extra__iters_done", 0))
         if "extra__cost_so_far" in raw:
@@ -154,14 +179,16 @@ def run_checkpointed(solver, V, *args, total_iters: int, chunk: int,
         converged = converged or bool(res.converged)
         extra = {"iters_done": done, "cost_so_far": np.concatenate(costs)}
         if resume_state is not None:
-            extra.update({f"resume_{k}": np.asarray(v)
+            # npz needs host arrays; orbax saves device scalars as-is.
+            conv = np.asarray if backend == "npz" else (lambda v: v)
+            extra.update({f"resume_{k}": conv(v)
                           for k, v in resume_state.items()})
-        save_factors(path, res, extra=extra)
+        _save(path, res, extra=extra)
     if res is None:
         # Already complete at entry: reconstruct a Result from the
         # checkpoint instead of crashing the caller.
         from ..core import Result
-        raw = load_factors(path, as_inits=False)
+        raw = _load(path, as_inits=False)
         fields = tuple(k for k in _FACTOR_KEYS if k in raw) + ("cost",)
         res = Result(fields=fields,
                      **{k: raw[k] for k in _FACTOR_KEYS if k in raw})
