@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -52,6 +53,12 @@ def build_parser():
     p.add_argument("--checkpoint-every", type=int, default=None,
                    help="run in chunks of this many iterations, saving "
                         "--out after each (crash-resumable)")
+    p.add_argument("--checkpoint-backend", default="auto",
+                   choices=("auto", "npz", "orbax"),
+                   help="with --checkpoint-every: npz = one host file; "
+                        "orbax = directory checkpoint with per-shard "
+                        "writes + sharded restore (mesh runs); auto = "
+                        "orbax for --mesh runs with a non-.npz --out")
     p.add_argument("--mesh", type=int, default=None,
                    help="shard over this many devices (sample axis)")
     p.add_argument("--streaming", action="store_true",
@@ -154,7 +161,12 @@ def main(argv=None):
         from nmf_toolbox_tpu.parallel import make_mesh
         cfg["mesh"] = make_mesh(args.mesh)
     if args.resume:
-        cfg.update(load_factors(args.resume))
+        if os.path.isdir(args.resume):  # orbax directory checkpoint
+            from nmf_toolbox_tpu.utils.checkpoint_orbax import \
+                load_factors_orbax
+            cfg.update(load_factors_orbax(args.resume))
+        else:
+            cfg.update(load_factors(args.resume))
 
     solver = getattr(nt, args.solver)
     pos = [args.k]
@@ -184,6 +196,7 @@ def main(argv=None):
         elif args.checkpoint_every:
             res = run_checkpointed(solver, V, *pos, total_iters=args.maxiter,
                                    chunk=args.checkpoint_every, path=args.out,
+                                   backend=args.checkpoint_backend,
                                    **{k: v for k, v in cfg.items()
                                       if k != "maxiter"})
         else:

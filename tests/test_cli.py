@@ -175,3 +175,17 @@ def test_cli_solver_valueerror_is_clean(matrix_file, tmp_path):
         assert r.returncode == 2, (solver, r.stderr[-500:])
         assert r.stderr.startswith("error:"), (solver, r.stderr[:200])
         assert "Traceback" not in r.stderr, (solver, r.stderr[-500:])
+
+
+def test_cli_orbax_checkpoint_and_resume(matrix_file, tmp_path):
+    # --checkpoint-backend orbax writes a directory checkpoint; --resume
+    # accepts that directory for a follow-on run.
+    out = str(tmp_path / "ck_dir")
+    r = run_cli(["nmf", matrix_file, "--k", "4", "--maxiter", "6",
+                 "--checkpoint-every", "3", "--checkpoint-backend", "orbax",
+                 "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert pathlib.Path(out).is_dir()
+    r = run_cli(["nmf", matrix_file, "--k", "4", "--maxiter", "2",
+                 "--resume", out, "--out", str(tmp_path / "f.npz")])
+    assert r.returncode == 0, r.stderr[-500:]
