@@ -8,7 +8,12 @@ whose cost plateaus at float-ulp scale — the reference's strict
 `cost(i) < cost(i-1)` rule (nmf.m:221) is implementation-sensitive when
 successive costs differ by less than ~1 ulp (JAX vs NumPy association),
 while the per-iteration costs themselves agreed to 1e-7.  The seeds
-below sit away from that knife edge."""
+below sit away from that knife edge.
+
+Round-3 extension: the stateful/complex group (cnmfsc, cmfwisa,
+chcnmf, constrainednmf) joins; a 136-trial offline sweep over both
+the gram-family and stateful/complex groups matched the oracle on
+every sample."""
 import numpy as np
 import pytest
 
@@ -134,7 +139,7 @@ def test_fuzz_gram_family(trial):
         np.testing.assert_allclose(r.G, Gg, atol=1e-7)
         np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-7)
     else:
-        p = int(rng.integers(k + 1, min(n, k + 6)))
+        p = int(rng.integers(k + 1, min(n, k + 6) + 1))  # inclusive high
         S = V[:, rng.choice(n, p, replace=False)]
         G0 = rng.uniform(0.05, 1, (p, k))
         hsp = float(rng.choice([0.0, 0.05]))
@@ -184,3 +189,88 @@ def test_fuzz_weighted(trial):
     Ws = r.W if isinstance(r.W, list) else [r.W]
     for Wx in Ws:
         assert np.all(np.isfinite(Wx))
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_stateful_and_complex(trial):
+    """cnmfsc / cmfwisa / chcnmf / constrainednmf randomized configs —
+    the four families the earlier fuzz groups don't reach.  Small
+    shapes/iteration counts (the projected-gradient and per-frame paths
+    are the slow oracles); every sample checked against the literal
+    transliteration."""
+    rng = np.random.default_rng(8000 + trial)
+    V, W0, H0, m, n, k = _rand_problem(rng, mmax=14, nmax=18, kmax=4)
+    miters = int(rng.integers(3, 8))
+    which = trial % 4
+    if which == 0:  # cnmfsc: Hoyer sparseness + per-frame line search
+        T = int(rng.integers(1, 4))
+        W0c = rng.uniform(0.05, 1.0, (m, k, T))
+        kw = {}
+        if rng.random() < 0.7:
+            kw["W_sparsity"] = float(rng.choice([0.3, 0.5, 0.7]))
+        if rng.random() < 0.5:
+            kw["H_sparsity"] = float(rng.choice([0.3, 0.6]))
+        r = nt.cnmfsc(V, k, T, W_init=W0c, H_init=H0, maxiter=miters,
+                      tolerance=1e-12, dtype=np.float64, **kw)
+        Wg, Hg, cg = oracle.cnmfsc(V, W0c, H0, T, maxiter=miters,
+                                   tolerance=1e-12, **kw)
+        np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9,
+                                   err_msg=f"cnmfsc {kw} T={T} "
+                                           f"shape={(m, n, k)}")
+        np.testing.assert_allclose(r.W, Wg, atol=1e-9)
+        np.testing.assert_allclose(r.H, Hg, atol=1e-9)
+    elif which == 1:  # cmfwisa: complex V, optional sparsity/fixed
+        Vc = V * np.exp(1j * rng.uniform(-np.pi, np.pi, (m, n)))
+        hsp = float(rng.choice([0.0, 0.1]))
+        pfx = bool(rng.random() < 0.3)
+        r = nt.cmfwisa(Vc, k, W_init=W0, H_init=H0, H_sparsity=hsp,
+                       P_fixed=pfx, maxiter=miters, tolerance=1e-12,
+                       dtype=np.complex128)
+        Wg, Hg, Pg, cg = oracle.cmfwisa(Vc, [W0], [H0], H_sparsity=[hsp],
+                                        P_fixed=[pfx], maxiter=miters,
+                                        tolerance=1e-12)
+        np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9,
+                                   err_msg=f"cmfwisa hsp={hsp} pfx={pfx} "
+                                           f"shape={(m, n, k)}")
+        np.testing.assert_allclose(r.W, Wg[0], atol=1e-9)
+        np.testing.assert_allclose(r.H, Hg[0], atol=1e-9)
+    elif which == 2:  # chcnmf: hull-convolutive, fixed hull basis
+        T = int(rng.integers(1, 4))
+        p = int(rng.integers(k + 1, min(n, k + 5) + 1))  # inclusive high
+        S = V[:, rng.choice(n, p, replace=False)]
+        G0 = rng.uniform(0.05, 1, (p, k, T))
+        gsp = float(rng.choice([0.0, 0.02]))
+        hsp = float(rng.choice([0.0, 0.05]))
+        r = nt.chcnmf(V, k, T, S_init=S, G_init=G0, H_init=H0,
+                      G_sparsity=gsp, H_sparsity=hsp, maxiter=miters,
+                      tolerance=1e-12, dtype=np.float64)
+        Wg, Hg, Gg, cg = oracle.chcnmf(V, S, G0, H0, T, G_sparsity=gsp,
+                                       H_sparsity=hsp, maxiter=miters,
+                                       tolerance=1e-12)
+        np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9,
+                                   err_msg=f"chcnmf g={gsp} h={hsp} T={T} "
+                                           f"p={p} shape={(m, n, k)}")
+        np.testing.assert_allclose(r.G, Gg, atol=1e-9)
+        np.testing.assert_allclose(r.H, Hg, atol=1e-9)
+    else:  # constrainednmf: labels with unlabeled columns, divergences
+        div = str(rng.choice(["euclidean", "kl"]))
+        ncls = int(rng.integers(2, 4))
+        labels = rng.integers(0, ncls, n)
+        labels[rng.choice(n, max(2, n // 3), replace=False)] = -1
+        ncls_eff = len(np.unique(labels[labels > -1]))
+        nu = int((labels == -1).sum())
+        Z0 = rng.uniform(size=(k, nu + ncls_eff))
+        wsp = float(rng.choice([0.0, 0.1]))
+        r = nt.constrainednmf(V, labels, k, W_init=W0, Z_init=Z0,
+                              divergence=div, W_sparsity=wsp,
+                              maxiter=miters, tolerance=1e-12,
+                              dtype=np.float64)
+        Wg, Hg, Zg, Ag, cg = oracle.constrainednmf(
+            V, labels, W0, Z0, divergence=div, W_sparsity=wsp,
+            maxiter=miters, tolerance=1e-12)
+        np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9,
+                                   err_msg=f"constrainednmf {div} wsp={wsp} "
+                                           f"ncls={ncls_eff} shape={(m,n,k)}")
+        np.testing.assert_allclose(r.W, Wg, atol=1e-9)
+        np.testing.assert_allclose(r.Z, Zg, atol=1e-9)
+        np.testing.assert_allclose(r.H, Hg, atol=1e-9)
