@@ -10,12 +10,14 @@ from .core import EPS, Result
 from .ops import reconstruct, projfunc
 from .models import (nmf, lnmf, seminmf, convexnmf, chnmf, cnmf, nmfsc,
                      cnmfsc, cmfwisa, chcnmf, constrainednmf, nmf_hals,
-                     nmf_streaming, nmf_batched)
+                     nmf_streaming, nmf_batched, nmf_multiseed)
+from .rank import pick_rank, consensus_stability, estimate_rank_svd
 
 reconstruct_from_decomposition = reconstruct  # reference-style alias
 
 __all__ = ["EPS", "Result", "reconstruct", "reconstruct_from_decomposition",
            "projfunc", "nmf", "lnmf", "seminmf", "convexnmf", "chnmf",
            "cnmf", "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf",
-           "nmf_hals", "nmf_streaming", "nmf_batched"]
+           "nmf_hals", "nmf_streaming", "nmf_batched", "nmf_multiseed",
+           "pick_rank", "consensus_stability", "estimate_rank_svd"]
 __version__ = "0.1.0"

@@ -69,6 +69,91 @@ def _build_solver(spec: _Spec):
     return solve
 
 
+@functools.lru_cache(maxsize=None)
+def _build_multiseed_solver(spec: _Spec):
+    """Like ``_build_solver`` but the data matrix is SHARED across the
+    batch: only the inits are vmapped (in_axes V=None), so S restarts of
+    the same problem read one copy of V from HBM instead of S copies.
+    This is the engine for consensus rank selection (rank.py), where the
+    whole point is many random restarts of one matrix."""
+    eps_v = spec.eps
+
+    def one_step(V, v_sq, W, H):
+        eps = jnp.asarray(eps_v, V.dtype)
+        HHt = H @ H.T
+        VHt = V @ H.T
+        WG = W @ HHt
+        dneg = jnp.sum(W * WG, axis=0)
+        dpos = jnp.sum(W * VHt, axis=0)
+        W = W * ((VHt + W * dneg[None, :])
+                 / jnp.maximum(WG + W * dpos[None, :], eps))
+        W = unit_l2_columns(W)
+        WtV = W.T @ V
+        WtW = W.T @ W
+        H = H * (WtV / jnp.maximum(WtW @ H, eps))
+        c = euclidean_cost_gram(v_sq, WtV, WtW, H)
+        return W, H, c
+
+    step_s = jax.vmap(one_step, in_axes=(None, None, 0, 0))
+
+    @jax.jit
+    def solve(V, W0, H0):
+        v_sq = sq_norm(V)
+
+        def body(carry, _):
+            W, H = carry
+            W, H, c = step_s(V, v_sq, W, H)
+            return (W, H), c
+
+        (W, H), costs = jax.lax.scan(body, (W0, H0), None, length=spec.iters)
+        return W, H, costs.T  # (S, iters)
+
+    return solve
+
+
+def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
+                  config: dict | None = None, **kwargs):
+    """Euclidean NMF of ONE matrix from ``n_seeds`` random restarts.
+
+    All restarts run as a single fused program (vmap over the inits,
+    V shared), so the chip cost is one batched solve, not S dispatches.
+    Parameters: maxiter (100), seed, dtype, eps, W_init/H_init with a
+    leading (S,) axis.  Returns Result with W (S, m, k), H (S, k, n),
+    cost (S, maxiter).
+    """
+    cfg = merge_config(config, kwargs)
+    dtype = resolve_dtype(V, cfg.get("dtype"))
+    V = jnp.asarray(V, dtype)
+    if V.ndim != 2:
+        raise ValueError(f"nmf_multiseed expects (m, n); got {V.shape}")
+    m, n = V.shape
+    k = int(num_basis_elems)
+    S = int(n_seeds)
+    if S < 1:
+        raise ValueError(f"n_seeds must be >= 1; got {n_seeds}")
+    maxiter, _, eps, key = common_scalars(cfg)
+    kw, kh = jax.random.split(key)
+
+    W0 = cfg.get("W_init")
+    if W0 is None:
+        W0 = uniform_init(kw, (S, m, k), dtype)
+    H0 = cfg.get("H_init")
+    if H0 is None:
+        H0 = uniform_init(kh, (S, k, n), dtype)
+    W0 = jnp.asarray(W0, dtype)
+    H0 = jnp.asarray(H0, dtype)
+    if W0.shape != (S, m, k) or H0.shape != (S, k, n):
+        raise ValueError(
+            f"inits must carry a leading seed axis: W_init {(S, m, k)}, "
+            f"H_init {(S, k, n)}; got {W0.shape}, {H0.shape}")
+    W0 = jax.vmap(unit_l2_columns)(W0)  # nmf.m:132-134
+
+    W, H, costs = _build_multiseed_solver(_Spec(maxiter, eps))(V, W0, H0)
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
+                  n_iters=maxiter, converged=False)
+
+
 def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
                 **kwargs):
     """Euclidean NMF over a batch Vs of shape (B, m, n).

@@ -1,0 +1,138 @@
+"""Rank selection (rank.py) + the multi-seed batched engine behind it.
+
+The reference offers no rank-selection tooling (num_basis_elems is a
+required user input in every solver, nmf.m:1) — these are
+beyond-reference surfaces, so they are pinned against constructions
+with a known ground-truth rank rather than against an oracle.
+"""
+import numpy as np
+import pytest
+
+from nmf_toolbox_tpu import (nmf, nmf_multiseed, pick_rank,
+                             consensus_stability, estimate_rank_svd)
+from nmf_toolbox_tpu.rank import _consensus_metrics
+
+
+def _blocky(k=3, m=40, n=60, noise=0.01, seed=0):
+    """Rank-k data with well-separated block structure: each column is
+    dominated by exactly one of k basis vectors."""
+    rng = np.random.default_rng(seed)
+    W = np.zeros((m, k))
+    for j in range(k):
+        W[j * (m // k):(j + 1) * (m // k), j] = 1.0
+    H = np.zeros((k, n))
+    for i in range(n):
+        H[i % k, i] = 1.0 + 0.2 * rng.random()
+    V = W @ H + noise * rng.random((m, n))
+    return V
+
+
+class TestMultiseed:
+    def test_matches_single_solver_per_seed(self):
+        """Each restart's trajectory equals running nmf() with the same
+        init: the vmap over inits must not couple the restarts."""
+        rng = np.random.default_rng(3)
+        V = rng.random((12, 17))
+        S, k, iters = 3, 4, 25
+        W0 = rng.random((S, 12, k))
+        H0 = rng.random((S, k, 17))
+        res = nmf_multiseed(V, k, S, W_init=W0, H_init=H0, maxiter=iters,
+                            dtype="float64")
+        for s in range(S):
+            ref = nmf(V, k, W_init=W0[s], H_init=H0[s], maxiter=iters,
+                      tolerance=0.0, dtype="float64")
+            np.testing.assert_allclose(res.W[s], ref.W, rtol=1e-10)
+            np.testing.assert_allclose(res.H[s], ref.H, rtol=1e-10)
+            np.testing.assert_allclose(res.cost[s], ref.cost, rtol=1e-10)
+
+    def test_default_inits_differ_across_seeds(self):
+        V = np.random.default_rng(0).random((10, 14))
+        res = nmf_multiseed(V, 3, 4, maxiter=5, seed=7)
+        finals = res.cost[:, -1]
+        assert len(np.unique(np.round(finals, 12))) > 1
+
+    def test_shape_validation(self):
+        V = np.random.default_rng(0).random((10, 14))
+        with pytest.raises(ValueError, match="leading seed axis"):
+            nmf_multiseed(V, 3, 4, W_init=np.ones((10, 3)), maxiter=2)
+        with pytest.raises(ValueError, match="n_seeds"):
+            nmf_multiseed(V, 3, 0, maxiter=2)
+        with pytest.raises(ValueError, match="expects"):
+            nmf_multiseed(np.ones((2, 3, 4)), 2, 2, maxiter=2)
+
+
+class TestConsensusMetrics:
+    def test_perfect_consensus(self):
+        """A crisp block-diagonal consensus scores 1 on both metrics."""
+        C = np.kron(np.eye(3), np.ones((4, 4)))
+        coph, disp = _consensus_metrics(C)
+        assert coph == pytest.approx(1.0)
+        assert disp == pytest.approx(1.0)
+
+    def test_unstable_consensus_scores_lower(self):
+        rng = np.random.default_rng(1)
+        C = rng.random((12, 12))
+        C = (C + C.T) / 2
+        np.fill_diagonal(C, 1.0)
+        coph, disp = _consensus_metrics(C)
+        assert disp < 0.5
+        assert coph < 0.999
+
+
+class TestConsensusStability:
+    def test_recovers_true_rank(self):
+        V = _blocky(k=3)
+        sel = consensus_stability(V, ranks=(2, 3, 5), n_seeds=10,
+                                  maxiter=150, seed=0, dtype="float64")
+        assert sel.recommended == 3
+        by_rank = {s.rank: s for s in sel.stats}
+        assert by_rank[3].cophenetic >= by_rank[5].cophenetic
+        # sanity on the reported costs: best <= mean, both finite
+        for s in sel.stats:
+            assert np.isfinite(s.mean_cost) and s.best_cost <= s.mean_cost
+            assert s.consensus.shape == (V.shape[1],) * 2
+
+    def test_pick_rank_front_door(self):
+        V = _blocky(k=3, noise=0.005, seed=2)
+        sel = pick_rank(V, ranks=(2, 3, 4), n_seeds=8, maxiter=120,
+                        dtype="float64")
+        assert sel.method == "consensus"
+        assert sel.recommended == 3
+
+    def test_requires_ranks(self):
+        with pytest.raises(ValueError, match="candidate ranks"):
+            pick_rank(np.ones((4, 4)))
+        with pytest.raises(ValueError, match="non-empty"):
+            consensus_stability(np.ones((4, 4)), ranks=())
+
+
+class TestSvdRank:
+    def test_exact_low_rank(self):
+        rng = np.random.default_rng(5)
+        V = rng.random((50, 4)) @ rng.random((4, 80))
+        rank, curve = estimate_rank_svd(V, energy=0.999, max_rank=16,
+                                        dtype="float64")
+        assert rank <= 4
+        assert curve[3] > 0.999
+
+    def test_energy_monotone_curve(self):
+        V = np.random.default_rng(6).random((30, 40))
+        rank, curve = estimate_rank_svd(V, energy=0.5, max_rank=10,
+                                        dtype="float64")
+        assert np.all(np.diff(curve) >= -1e-12)
+        assert 1 <= rank <= 10
+
+    def test_pick_rank_svd_method(self):
+        rng = np.random.default_rng(7)
+        V = rng.random((40, 3)) @ rng.random((3, 50))
+        sel = pick_rank(V, method="svd", energy=0.999, max_rank=12,
+                        dtype="float64")
+        assert sel.method == "svd"
+        assert sel.recommended <= 3
+        assert sel.energy_curve.shape == (12,)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="energy"):
+            estimate_rank_svd(np.ones((4, 4)), energy=1.5)
+        with pytest.raises(ValueError, match="unknown rank-selection"):
+            pick_rank(np.ones((4, 4)), method="elbow")
