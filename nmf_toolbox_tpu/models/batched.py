@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
 from ..ops.gram import euclidean_cost_gram, sq_norm
 from ..ops.normalize import unit_l2_columns
-from ..parallel import apply_placements
+from ..parallel import (apply_placements, mesh_multiples, pad_amount,
+                        pad_axes)
 
 
 class _Spec(NamedTuple):
@@ -118,8 +119,9 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
     All restarts run as a single fused program (vmap over the inits,
     V shared), so the chip cost is one batched solve, not S dispatches.
     Parameters: maxiter (100), seed, dtype, eps, W_init/H_init with a
-    leading (S,) axis.  Returns Result with W (S, m, k), H (S, k, n),
-    cost (S, maxiter).
+    leading (S,) axis, mesh (restarts shard over the sample axis — S
+    must divide it; V shards over the feature axis).  Returns Result
+    with W (S, m, k), H (S, k, n), cost (S, maxiter).
     """
     cfg = merge_config(config, kwargs)
     dtype = resolve_dtype(V, cfg.get("dtype"))
@@ -148,7 +150,29 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
             f"H_init {(S, k, n)}; got {W0.shape}, {H0.shape}")
     W0 = jax.vmap(unit_l2_columns)(W0)  # nmf.m:132-134
 
+    # mesh: restarts shard over the sample axis (data-parallel), the
+    # shared V over the feature axis (see parallel/mesh.py table).
+    # Zero-padding the feature axis is EXACT for the euclid MU update:
+    # zero rows of W stay zero (multiplicative), contribute nothing to
+    # the Grams / column norms / cost, and are sliced off on return.
+    mesh = cfg.get("mesh")
+    pad_m = 0
+    if mesh is not None:
+        mmul, nmul = mesh_multiples(mesh)
+        if S % nmul:
+            raise ValueError(
+                f"n_seeds={S} must be a multiple of the mesh's sample "
+                f"axis ({nmul}): restarts shard over it. Round n_seeds "
+                f"up or use a smaller mesh.")
+        pad_m = pad_amount(m, mmul)
+        if pad_m:
+            V = pad_axes(V, {0: pad_m})
+            W0 = pad_axes(W0, {1: pad_m})
+    V, W0, H0 = apply_placements(mesh, "nmf_multiseed", V=V, W=W0, H=H0)
+
     W, H, costs = _build_multiseed_solver(_Spec(maxiter, eps))(V, W0, H0)
+    if pad_m:
+        W = W[:, :m, :]
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
                   n_iters=maxiter, converged=False)

@@ -105,6 +105,12 @@ def placements_for(solver: str, mesh: Mesh) -> dict:
         # the sample axis of the mesh carries the batch dimension here.
         "nmf_batched": {"V": P(n_ax, None, None), "W": P(n_ax, None, None),
                         "H": P(n_ax, None, None)},
+        # multi-restart (rank selection): the SHARED V shards over
+        # features only (every restart reads all of it), restarts
+        # shard over the sample axis — pure data parallelism, the only
+        # collectives are the psums of W's row-reductions along m_ax.
+        "nmf_multiseed": {"V": P(m_ax, None), "W": P(n_ax, m_ax, None),
+                          "H": P(n_ax, None, None)},
     }
     return table[solver]
 

@@ -188,3 +188,45 @@ def test_constrainednmf_sharded():
                           tolerance=1e-12, dtype=np.float64, mesh=mesh)
     np.testing.assert_allclose(a.W, b.W, atol=1e-10)
     np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
+
+
+@needs_8
+def test_multiseed_sharded():
+    """Restarts shard over the sample axis; V over features (2-D mesh).
+    Trajectories must match the unsharded run per restart."""
+    rng = np.random.default_rng(9)
+    # 17 features: NOT divisible by the 2-D mesh's feature axis — the
+    # zero-pad path must be bit-exact (zero W rows are absorbing in MU).
+    V = rng.uniform(0.05, 1, (17, 40))
+    S, k = 8, 3
+    W0 = rng.uniform(size=(S, 17, k))
+    H0 = rng.uniform(size=(S, k, 40))
+    a = nt.nmf_multiseed(V, k, S, W_init=W0, H_init=H0, maxiter=10,
+                         dtype=np.float64)
+    for mesh in (make_mesh(8), make_mesh(shape=(2, 4))):
+        b = nt.nmf_multiseed(V, k, S, W_init=W0, H_init=H0, maxiter=10,
+                             dtype=np.float64, mesh=mesh)
+        np.testing.assert_allclose(a.cost, b.cost, rtol=1e-9)
+        np.testing.assert_allclose(a.W, b.W, atol=1e-9)
+        np.testing.assert_allclose(a.H, b.H, atol=1e-9)
+
+
+@needs_8
+def test_consensus_sweep_on_mesh():
+    """The rank sweep composes with a mesh (restarts data-parallel):
+    same seed -> identical stats and recommendation as unsharded."""
+    from nmf_toolbox_tpu import consensus_stability
+    rng = np.random.default_rng(10)
+    W = np.kron(np.eye(3), np.ones((5, 1)))
+    H = np.zeros((3, 24))
+    H[np.arange(24) % 3, np.arange(24)] = 1.0
+    V = W @ H + 0.01 * rng.random((15, 24))
+    a = consensus_stability(V, ranks=(2, 3, 4), n_seeds=8, maxiter=80,
+                            seed=3, dtype=np.float64)
+    b = consensus_stability(V, ranks=(2, 3, 4), n_seeds=8, maxiter=80,
+                            seed=3, dtype=np.float64, mesh=make_mesh(8))
+    assert b.recommended == a.recommended
+    for sa, sb in zip(a.stats, b.stats):
+        np.testing.assert_allclose(sb.consensus, sa.consensus)
+        assert sb.cophenetic == pytest.approx(sa.cophenetic, abs=1e-9)
+        assert sb.mean_cost == pytest.approx(sa.mean_cost, rel=1e-9)
