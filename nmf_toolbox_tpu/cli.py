@@ -26,7 +26,18 @@ def build_parser():
     p = argparse.ArgumentParser(prog="nmf-tpu", description=__doc__)
     p.add_argument("solver", choices=SOLVERS)
     p.add_argument("input", help=".npy matrix (or raw binary with --shape)")
-    p.add_argument("--k", type=int, required=True, help="number of basis elements")
+    p.add_argument("--k", type=int, default=None,
+                   help="number of basis elements (required unless "
+                        "--pick-rank chooses it)")
+    p.add_argument("--pick-rank", default=None, metavar="2,3,..,8|svd",
+                   help="choose k from data before factorizing: a comma "
+                        "list of candidates runs the consensus/stability "
+                        "sweep (restarts fused on device); 'svd' reads k "
+                        "off the randomized-SVD energy curve")
+    p.add_argument("--rank-seeds", type=int, default=10,
+                   help="restarts per candidate rank for --pick-rank")
+    p.add_argument("--rank-energy", type=float, default=0.9,
+                   help="energy fraction for --pick-rank svd")
     p.add_argument("--context-len", type=int, default=None,
                    help="time shifts T (convolutive solvers)")
     p.add_argument("--labels", default=None,
@@ -168,6 +179,40 @@ def main(argv=None):
         else:
             cfg.update(load_factors(args.resume))
 
+    rank_info = None
+    if args.pick_rank:
+        if args.k is not None:
+            print("error: give either --k or --pick-rank, not both",
+                  file=sys.stderr)
+            return 2
+        try:
+            if args.pick_rank == "svd":
+                k, curve = nt.estimate_rank_svd(
+                    np.asarray(V), energy=args.rank_energy,
+                    dtype=args.dtype, seed=args.seed)
+                rank_info = {"method": "svd", "recommended": int(k),
+                             "energy_curve": np.round(curve, 6).tolist()}
+            else:
+                ranks = tuple(int(x) for x in args.pick_rank.split(","))
+                sel = nt.consensus_stability(
+                    np.asarray(V), ranks, n_seeds=args.rank_seeds,
+                    seed=args.seed, dtype=args.dtype,
+                    mesh=cfg.get("mesh"))
+                k = sel.recommended
+                rank_info = {"method": "consensus",
+                             "recommended": int(k),
+                             "cophenetic": {str(s.rank): round(s.cophenetic, 6)
+                                            for s in sel.stats},
+                             "dispersion": {str(s.rank): round(s.dispersion, 6)
+                                            for s in sel.stats}}
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        args.k = int(k)
+    elif args.k is None:
+        print("error: --k is required (or use --pick-rank)", file=sys.stderr)
+        return 2
+
     solver = getattr(nt, args.solver)
     pos = [args.k]
     if args.solver in ("cnmf", "cnmfsc", "chcnmf"):
@@ -210,6 +255,8 @@ def main(argv=None):
                "iterations": int(res.n_iters), "converged": bool(res.converged),
                "final_cost": res.final_cost,
                "out": args.out}
+    if rank_info is not None:
+        summary["rank_selection"] = rank_info
     if not args.quiet:
         print(json.dumps(summary))
     return 0

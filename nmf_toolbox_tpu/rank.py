@@ -110,14 +110,25 @@ def estimate_rank_svd(V, energy: float = 0.90, max_rank: int = 64,
 
 
 def consensus_stability(V, ranks, n_seeds: int = 20,
+                        stability_tol: float = 0.01,
+                        cost_gain: float = 0.2,
                         config: dict | None = None, **kwargs) -> RankSelection:
     """Brunet-style consensus sweep over candidate ``ranks``.
 
     For each k: ``n_seeds`` euclidean NMF restarts in one fused batched
     program, connectivity C_s[i,j] = 1 iff columns i,j take their argmax
     on the same basis element, consensus = mean_s C_s, then cophenetic
-    correlation + dispersion of the consensus.  Recommends the candidate
-    with the highest cophenetic correlation (ties -> smaller k).
+    correlation + dispersion of the consensus.
+
+    Recommendation rule (stability + fit elbow): among candidates whose
+    cophenetic correlation is within ``stability_tol`` of the best,
+    start from the smallest and move to a larger stable candidate only
+    while it improves the best-restart objective by at least
+    ``cost_gain`` (relative).  Pure cophenetic argmax cannot separate
+    NESTED stable clusterings (merging two true clusters the same way
+    every restart is also perfectly stable); the fit elbow is the
+    standard discriminator (Brunet 2004 choose-before-the-drop practice,
+    Hutchins 2008 residual elbow).
 
     kwargs are forwarded to the solver (maxiter, seed, dtype, eps, ...).
     """
@@ -138,8 +149,15 @@ def consensus_stability(V, ranks, n_seeds: int = 20,
                                consensus=consensus,
                                mean_cost=float(np.mean(final)),
                                best_cost=float(np.min(final))))
-    best = max(range(len(ranks)),
-               key=lambda i: (stats[i].cophenetic, -ranks[i]))
+    order = sorted(range(len(ranks)), key=lambda i: ranks[i])
+    max_coph = max(s.cophenetic for s in stats)
+    stable = [i for i in order if stats[i].cophenetic >= max_coph - stability_tol]
+    best = stable[0]
+    for i in stable[1:]:
+        prev_cost = stats[best].best_cost
+        floor = np.finfo(np.float64).tiny
+        if 1.0 - stats[i].best_cost / max(prev_cost, floor) >= cost_gain:
+            best = i
     return RankSelection(recommended=ranks[best], ranks=ranks, stats=stats,
                          method="consensus")
 

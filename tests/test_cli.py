@@ -189,3 +189,45 @@ def test_cli_orbax_checkpoint_and_resume(matrix_file, tmp_path):
     r = run_cli(["nmf", matrix_file, "--k", "4", "--maxiter", "2",
                  "--resume", out, "--out", str(tmp_path / "f.npz")])
     assert r.returncode == 0, r.stderr[-500:]
+
+
+def test_cli_pick_rank_consensus(tmp_path):
+    # rank-3 blocky data: the sweep must land on 3 and factorize with it
+    rng = np.random.default_rng(1)
+    W = np.kron(np.eye(3), np.ones((10, 1)))
+    H = np.zeros((3, 36))
+    H[np.arange(36) % 3, np.arange(36)] = 1.0 + 0.2 * rng.random(36)
+    p = tmp_path / "V.npy"
+    np.save(p, (W @ H + 0.01 * rng.random((30, 36))).astype(np.float32))
+    out = str(tmp_path / "f.npz")
+    r = run_cli(["nmf", str(p), "--pick-rank", "2,3,5", "--rank-seeds", "8",
+                 "--maxiter", "10", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    sel = summary["rank_selection"]
+    assert sel["method"] == "consensus" and summary["k"] == sel["recommended"]
+    assert set(sel["cophenetic"]) == {"2", "3", "5"}
+    from nmf_toolbox_tpu.utils.checkpoint import load_factors
+    assert load_factors(out)["W_init"].shape == (30, summary["k"])
+
+
+def test_cli_pick_rank_svd(tmp_path):
+    rng = np.random.default_rng(2)
+    p = tmp_path / "V.npy"
+    np.save(p, (rng.random((40, 3)) @ rng.random((3, 50))).astype(np.float32))
+    out = str(tmp_path / "f.npz")
+    r = run_cli(["nmf", str(p), "--pick-rank", "svd", "--rank-energy",
+                 "0.999", "--maxiter", "5", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rank_selection"]["method"] == "svd"
+    assert summary["k"] <= 3
+
+
+def test_cli_pick_rank_validation(matrix_file, tmp_path):
+    out = str(tmp_path / "x.npz")
+    r = run_cli(["nmf", matrix_file, "--out", out])
+    assert r.returncode == 2 and "--k is required" in r.stderr
+    r = run_cli(["nmf", matrix_file, "--k", "3", "--pick-rank", "2,3",
+                 "--out", out])
+    assert r.returncode == 2 and "not both" in r.stderr
