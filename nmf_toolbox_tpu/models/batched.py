@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
+from ..ops import divergence as dv
 from ..ops.gram import euclidean_cost_gram, sq_norm
 from ..ops.normalize import unit_l2_columns
 from ..parallel import (apply_placements, mesh_multiples, pad_amount,
@@ -70,16 +71,32 @@ def _build_solver(spec: _Spec):
     return solve
 
 
+class _SeedSpec(NamedTuple):
+    iters: int
+    eps: float
+    div: str = "euclidean"
+    valid_m: int | None = None   # true feature count of a mesh-padded run
+
+
 @functools.lru_cache(maxsize=None)
-def _build_multiseed_solver(spec: _Spec):
+def _build_multiseed_solver(spec: _SeedSpec):
     """Like ``_build_solver`` but the data matrix is SHARED across the
     batch: only the inits are vmapped (in_axes V=None), so S restarts of
     the same problem read one copy of V from HBM instead of S copies.
     This is the engine for consensus rank selection (rank.py), where the
-    whole point is many random restarts of one matrix."""
+    whole point is many random restarts of one matrix.
+
+    Divergences: euclidean (Gram form, V touched twice per iteration)
+    and kl (Brunet 2004's original formulation; field form matching
+    models/nmf.py naive_step, so per-restart trajectories pin against
+    the single solver).  Mesh zero-padding on the feature axis: exact
+    for euclidean (zero W rows are absorbing); for KL the padded rows
+    produce 0/0 fields and are masked (valid_m), while the ones-field
+    sums are already exact (zero W rows contribute nothing).
+    """
     eps_v = spec.eps
 
-    def one_step(V, v_sq, W, H):
+    def euclid_step(V, v_sq, W, H):
         eps = jnp.asarray(eps_v, V.dtype)
         HHt = H @ H.T
         VHt = V @ H.T
@@ -95,6 +112,31 @@ def _build_multiseed_solver(spec: _Spec):
         c = euclidean_cost_gram(v_sq, WtV, WtW, H)
         return W, H, c
 
+    def kl_step(V, v_sq, W, H):
+        del v_sq
+        eps = jnp.asarray(eps_v, V.dtype)
+        m, n = V.shape
+        mask = None
+        if spec.valid_m is not None and spec.valid_m != m:
+            mask = (jnp.arange(m) < spec.valid_m)[:, None]
+        from .nmf import _kl_ones_b, _kl_ones_pos_h
+        V_hat = W @ H
+        phi_neg, _, _ = dv.fields("kl", V, V_hat, mask=mask)
+        A = phi_neg @ H.T
+        B = _kl_ones_b(H, m)
+        dneg = jnp.sum(W * B, axis=0)
+        dpos = jnp.sum(W * A, axis=0)
+        W = W * ((A + W * dneg[None, :])
+                 / jnp.maximum(B + W * dpos[None, :], eps))
+        W = unit_l2_columns(W)
+        V_hat = W @ H
+        phi_neg, _, _ = dv.fields("kl", V, V_hat, mask=mask)
+        H = H * ((W.T @ phi_neg)
+                 / jnp.maximum(_kl_ones_pos_h(W, n), eps))
+        c = dv.cost("kl", V, W @ H, mask=mask)
+        return W, H, c
+
+    one_step = euclid_step if spec.div == "euclidean" else kl_step
     step_s = jax.vmap(one_step, in_axes=(None, None, 0, 0))
 
     @jax.jit
@@ -114,16 +156,24 @@ def _build_multiseed_solver(spec: _Spec):
 
 def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
                   config: dict | None = None, **kwargs):
-    """Euclidean NMF of ONE matrix from ``n_seeds`` random restarts.
+    """NMF of ONE matrix from ``n_seeds`` random restarts.
 
     All restarts run as a single fused program (vmap over the inits,
     V shared), so the chip cost is one batched solve, not S dispatches.
-    Parameters: maxiter (100), seed, dtype, eps, W_init/H_init with a
-    leading (S,) axis, mesh (restarts shard over the sample axis — S
-    must divide it; V shards over the feature axis).  Returns Result
-    with W (S, m, k), H (S, k, n), cost (S, maxiter).
+    Parameters: divergence ('euclidean' | 'kl' — Brunet 2004's consensus
+    method is classically KL), maxiter (100), seed, dtype, eps,
+    W_init/H_init with a leading (S,) axis, mesh (restarts shard over
+    the sample axis — S must divide it; V shards over the feature
+    axis).  Returns Result with W (S, m, k), H (S, k, n), cost
+    (S, maxiter).
     """
     cfg = merge_config(config, kwargs)
+    div = dv.canon(cfg.get("divergence", "euclidean"))
+    if div not in ("euclidean", "kl"):
+        raise ValueError(
+            f"nmf_multiseed supports divergence 'euclidean' or 'kl'; got "
+            f"{cfg.get('divergence')!r} (use the single-matrix nmf() for "
+            "the IS/AB families)")
     dtype = resolve_dtype(V, cfg.get("dtype"))
     V = jnp.asarray(V, dtype)
     if V.ndim != 2:
@@ -170,7 +220,8 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
             W0 = pad_axes(W0, {1: pad_m})
     V, W0, H0 = apply_placements(mesh, "nmf_multiseed", V=V, W=W0, H=H0)
 
-    W, H, costs = _build_multiseed_solver(_Spec(maxiter, eps))(V, W0, H0)
+    spec = _SeedSpec(maxiter, eps, div, m if pad_m else None)
+    W, H, costs = _build_multiseed_solver(spec)(V, W0, H0)
     if pad_m:
         W = W[:, :m, :]
     return Result(fields=("W", "H", "cost"),

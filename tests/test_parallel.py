@@ -230,3 +230,21 @@ def test_consensus_sweep_on_mesh():
         np.testing.assert_allclose(sb.consensus, sa.consensus)
         assert sb.cophenetic == pytest.approx(sa.cophenetic, abs=1e-9)
         assert sb.mean_cost == pytest.approx(sa.mean_cost, rel=1e-9)
+
+
+@needs_8
+def test_multiseed_kl_sharded_padded():
+    """KL multiseed on a 2-D mesh with a non-divisible feature axis: the
+    masked 0/0 fields in the pad rows must not perturb the trajectory."""
+    rng = np.random.default_rng(11)
+    V = rng.uniform(0.05, 1, (17, 40))
+    S, k = 8, 3
+    W0 = rng.uniform(size=(S, 17, k))
+    H0 = rng.uniform(size=(S, k, 40))
+    a = nt.nmf_multiseed(V, k, S, divergence="kl", W_init=W0, H_init=H0,
+                         maxiter=8, dtype=np.float64)
+    b = nt.nmf_multiseed(V, k, S, divergence="kl", W_init=W0, H_init=H0,
+                         maxiter=8, dtype=np.float64,
+                         mesh=make_mesh(shape=(2, 4)))
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-9)
+    np.testing.assert_allclose(a.W, b.W, atol=1e-9)

@@ -136,3 +136,31 @@ class TestSvdRank:
             estimate_rank_svd(np.ones((4, 4)), energy=1.5)
         with pytest.raises(ValueError, match="unknown rank-selection"):
             pick_rank(np.ones((4, 4)), method="elbow")
+
+
+class TestMultiseedKL:
+    def test_matches_single_kl_solver_per_seed(self):
+        rng = np.random.default_rng(11)
+        V = rng.random((13, 19)) + 0.05
+        S, k, iters = 3, 4, 20
+        W0 = rng.random((S, 13, k))
+        H0 = rng.random((S, k, 19))
+        res = nmf_multiseed(V, k, S, divergence="kl", W_init=W0, H_init=H0,
+                            maxiter=iters, dtype="float64")
+        for s in range(S):
+            ref = nmf(V, k, divergence="kl", method="naive", W_init=W0[s],
+                      H_init=H0[s], maxiter=iters, tolerance=0.0,
+                      dtype="float64")
+            np.testing.assert_allclose(res.W[s], ref.W, rtol=1e-10)
+            np.testing.assert_allclose(res.cost[s], ref.cost, rtol=1e-10)
+
+    def test_kl_consensus_runs(self):
+        V = _blocky(k=3, seed=4)
+        sel = consensus_stability(V, ranks=(2, 3), n_seeds=6, maxiter=100,
+                                  divergence="kl", dtype="float64")
+        assert sel.recommended in (2, 3)
+        assert all(np.isfinite(s.mean_cost) for s in sel.stats)
+
+    def test_rejects_other_divergences(self):
+        with pytest.raises(ValueError, match="euclidean.*or.*kl"):
+            nmf_multiseed(np.ones((4, 5)), 2, 2, divergence="is", maxiter=2)
