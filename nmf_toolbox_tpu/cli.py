@@ -81,6 +81,10 @@ def build_parser():
                    help="per-entry weight matrix, same shape as the input "
                         "(0 = missing/ignored entry); nmf, cnmf, "
                         "constrainednmf, nmf_hals")
+    p.add_argument("--fix", default=None, choices=("W", "H"),
+                   help="hold one factor fixed while fitting the other; "
+                        "requires --resume to supply it. --fix W = encode "
+                        "new data against a frozen dictionary (serving)")
     p.add_argument("--out", required=True, help="output .npz checkpoint")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -171,6 +175,20 @@ def main(argv=None):
     if args.mesh:
         from nmf_toolbox_tpu.parallel import make_mesh
         cfg["mesh"] = make_mesh(args.mesh)
+    if args.fix:
+        # Only solvers with a real fixed-factor code path (the others
+        # read config with .get and would silently ignore the flag).
+        fixable = ("nmf", "nmfsc", "lnmf", "cnmf", "cnmfsc", "seminmf",
+                   "cmfwisa")
+        if args.solver not in fixable:
+            print(f"error: --fix is only supported for "
+                  f"{'/'.join(fixable)}", file=sys.stderr)
+            return 2
+        if not args.resume:
+            print("error: --fix requires --resume to supply the fixed "
+                  "factor", file=sys.stderr)
+            return 2
+        cfg[f"{args.fix}_fixed"] = True
     if args.resume:
         if os.path.isdir(args.resume):  # orbax directory checkpoint
             from nmf_toolbox_tpu.utils.checkpoint_orbax import \

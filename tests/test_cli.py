@@ -231,3 +231,30 @@ def test_cli_pick_rank_validation(matrix_file, tmp_path):
     r = run_cli(["nmf", matrix_file, "--k", "3", "--pick-rank", "2,3",
                  "--out", out])
     assert r.returncode == 2 and "not both" in r.stderr
+
+
+def test_cli_fix_factor_encoding(matrix_file, tmp_path):
+    """Serving path: learn a dictionary, then encode 'new' data against
+    it with --fix W — the dictionary must come back bit-identical."""
+    dic = str(tmp_path / "dict.npz")
+    r = run_cli(["nmf", matrix_file, "--k", "4", "--maxiter", "15",
+                 "--out", dic])
+    assert r.returncode == 0, r.stderr[-500:]
+    enc = str(tmp_path / "enc.npz")
+    r = run_cli(["nmf", matrix_file, "--resume", dic, "--fix", "W",
+                 "--k", "4", "--maxiter", "5", "--out", enc])
+    assert r.returncode == 0, r.stderr[-500:]
+    with np.load(dic) as d, np.load(enc) as e:
+        # W passes through the solver's init-time column re-norm
+        # (nmf.m:132-134 normalizes W_init always) -> float noise only.
+        np.testing.assert_allclose(d["W"], e["W"], rtol=1e-5)
+        assert not np.array_equal(d["H"], e["H"])  # H kept fitting
+
+
+def test_cli_fix_validation(matrix_file, tmp_path):
+    out = str(tmp_path / "x.npz")
+    r = run_cli(["nmf", matrix_file, "--k", "3", "--fix", "W", "--out", out])
+    assert r.returncode == 2 and "requires --resume" in r.stderr
+    r = run_cli(["chnmf", matrix_file, "--k", "3", "--fix", "H",
+                 "--out", out])
+    assert r.returncode == 2 and "--fix is only supported" in r.stderr
