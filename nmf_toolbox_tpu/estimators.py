@@ -17,7 +17,9 @@ class NMF:
 
     Parameters
     ----------
-    n_components : rank k.
+    n_components : rank k, or "auto" (default) to pick it at fit time
+        from the randomized-SVD energy curve (config: rank_energy=0.9,
+        rank_max=64); the chosen rank lands in ``n_components_``.
     solver : 'mu' (reference-parity multiplicative updates), 'hals'
         (fast time-to-tolerance), or any solver name from the package
         ('nmfsc', 'cnmf', ... — extra positional config like context_len
@@ -32,11 +34,16 @@ class NMF:
     reconstruction_err_ (final cost), cost_trace_.
     """
 
-    def __init__(self, n_components: int, *, solver: str = "mu",
+    def __init__(self, n_components: int | str = "auto", *, solver: str = "mu",
                  divergence: str | None = None, max_iter: int = 200,
                  tol: float = 1e-4, random_state: int = 0,
                  solver_args: tuple = (), **config):
-        self.n_components = int(n_components)
+        # "auto": pick the rank at fit time from the randomized-SVD
+        # energy curve (rank.estimate_rank_svd; config keys rank_energy /
+        # rank_max control the target fraction and search cap).  The
+        # chosen value lands in n_components_ (sklearn convention).
+        self.n_components = (n_components if n_components == "auto"
+                             else int(n_components))
         self.solver = solver
         self.divergence = divergence
         self.max_iter = int(max_iter)
@@ -51,6 +58,8 @@ class NMF:
 
     def _cfg(self):
         cfg = dict(self.config)
+        cfg.pop("rank_energy", None)   # consumed by the auto-rank path,
+        cfg.pop("rank_max", None)      # not solver config
         cfg.update(maxiter=self.max_iter, tolerance=self.tol,
                    seed=self.random_state)
         if self.divergence is not None:
@@ -63,13 +72,22 @@ class NMF:
 
     def fit_transform(self, X, y=None):
         V = np.asarray(X).T  # sklearn rows-are-samples -> reference layout
+        if self.n_components == "auto":
+            from .rank import estimate_rank_svd
+            k, _ = estimate_rank_svd(
+                V, energy=float(self.config.get("rank_energy", 0.9)),
+                max_rank=int(self.config.get("rank_max", 64)),
+                seed=self.random_state)
+            self.n_components_ = int(k)
+        else:
+            self.n_components_ = int(self.n_components)
         cfg = self._cfg()
         if cfg.get("weights") is not None:
             # ADVICE r2: the facade converts X to solver layout; weights
             # given in the same sklearn orientation (n_samples, n_features)
             # must ride along, or a square X would silently misapply them.
             cfg["weights"] = np.asarray(cfg["weights"]).T
-        res = self._fn()(V, self.n_components, *self.solver_args, **cfg)
+        res = self._fn()(V, self.n_components_, *self.solver_args, **cfg)
         W = np.asarray(res.W)
         if W.ndim != 2:
             raise ValueError(
@@ -108,7 +126,7 @@ class NMF:
         cfg.pop("weights", None)
         cfg.update(W_init=self.components_.T, W_fixed=True)
         fn = models.nmf if self.solver in ("mu", "hals") else self._fn()
-        res = fn(V, self.n_components, *self.solver_args, **cfg)
+        res = fn(V, self.components_.shape[0], *self.solver_args, **cfg)
         return np.asarray(res.H).T
 
     def inverse_transform(self, Ht):

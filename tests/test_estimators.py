@@ -91,3 +91,20 @@ def test_facade_hals_weights():
     Ht = est.fit_transform(X)
     assert Ht.shape == (25, 3)
     assert np.isfinite(est.reconstruction_err_)
+
+
+def test_auto_rank():
+    """n_components='auto' (default) picks the rank at fit via the SVD
+    energy curve and records it sklearn-style in n_components_."""
+    rng = np.random.default_rng(30)
+    X = (rng.random((60, 3)) @ rng.random((3, 40))).astype(np.float64)
+    est = NMF(rank_energy=0.999, max_iter=50, random_state=1)
+    Ht = est.fit_transform(X)
+    assert est.n_components_ <= 3
+    assert Ht.shape == (60, est.n_components_)
+    assert est.components_.shape[0] == est.n_components_
+    # transform works off the fitted basis without re-resolving the rank
+    assert est.transform(X).shape == (60, est.n_components_)
+    # explicit integer still resolves to itself
+    est2 = NMF(n_components=4, max_iter=5).fit(X)
+    assert est2.n_components_ == 4
