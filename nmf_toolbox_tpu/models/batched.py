@@ -32,12 +32,13 @@ from ..parallel import (apply_placements, mesh_multiples, pad_amount,
 class _Spec(NamedTuple):
     iters: int
     eps: float
+    div: str = "euclidean"
 
 
-@functools.lru_cache(maxsize=None)
-def _build_solver(spec: _Spec):
-    eps_v = spec.eps
-
+def _make_euclid_step(eps_v):
+    """Gram-form euclid MU iteration on one (V, W, H) problem — the
+    kernel both batched engines vmap (nmf.m:149-186 update structure,
+    W-normalization gradient coupling included)."""
     def one_step(V, v_sq, W, H):
         eps = jnp.asarray(eps_v, V.dtype)
         HHt = H @ H.T
@@ -53,7 +54,46 @@ def _build_solver(spec: _Spec):
         H = H * (WtV / jnp.maximum(WtW @ H, eps))
         c = euclidean_cost_gram(v_sq, WtV, WtW, H)
         return W, H, c
+    return one_step
 
+
+def _make_kl_step(eps_v, valid_m=None):
+    """Field-form KL MU iteration on one (V, W, H) problem, matching
+    models/nmf.py naive_step (nmf.m:147-199 with phi_pos = ones).
+    ``valid_m`` masks the 0/0 ratio fields in mesh-padded rows; the
+    ones-field sums are already exact (zero W rows contribute nothing).
+    """
+    from .nmf import _kl_ones_b, _kl_ones_pos_h
+
+    def one_step(V, v_sq, W, H):
+        del v_sq
+        eps = jnp.asarray(eps_v, V.dtype)
+        m, n = V.shape
+        mask = None
+        if valid_m is not None and valid_m != m:
+            mask = (jnp.arange(m) < valid_m)[:, None]
+        V_hat = W @ H
+        phi_neg, _, _ = dv.fields("kl", V, V_hat, mask=mask)
+        A = phi_neg @ H.T
+        B = _kl_ones_b(H, m)
+        dneg = jnp.sum(W * B, axis=0)
+        dpos = jnp.sum(W * A, axis=0)
+        W = W * ((A + W * dneg[None, :])
+                 / jnp.maximum(B + W * dpos[None, :], eps))
+        W = unit_l2_columns(W)
+        V_hat = W @ H
+        phi_neg, _, _ = dv.fields("kl", V, V_hat, mask=mask)
+        H = H * ((W.T @ phi_neg)
+                 / jnp.maximum(_kl_ones_pos_h(W, n), eps))
+        c = dv.cost("kl", V, W @ H, mask=mask)
+        return W, H, c
+    return one_step
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: _Spec):
+    one_step = (_make_euclid_step(spec.eps) if spec.div == "euclidean"
+                else _make_kl_step(spec.eps))
     step_b = jax.vmap(one_step, in_axes=(0, 0, 0, 0))
 
     @jax.jit
@@ -94,49 +134,8 @@ def _build_multiseed_solver(spec: _SeedSpec):
     produce 0/0 fields and are masked (valid_m), while the ones-field
     sums are already exact (zero W rows contribute nothing).
     """
-    eps_v = spec.eps
-
-    def euclid_step(V, v_sq, W, H):
-        eps = jnp.asarray(eps_v, V.dtype)
-        HHt = H @ H.T
-        VHt = V @ H.T
-        WG = W @ HHt
-        dneg = jnp.sum(W * WG, axis=0)
-        dpos = jnp.sum(W * VHt, axis=0)
-        W = W * ((VHt + W * dneg[None, :])
-                 / jnp.maximum(WG + W * dpos[None, :], eps))
-        W = unit_l2_columns(W)
-        WtV = W.T @ V
-        WtW = W.T @ W
-        H = H * (WtV / jnp.maximum(WtW @ H, eps))
-        c = euclidean_cost_gram(v_sq, WtV, WtW, H)
-        return W, H, c
-
-    def kl_step(V, v_sq, W, H):
-        del v_sq
-        eps = jnp.asarray(eps_v, V.dtype)
-        m, n = V.shape
-        mask = None
-        if spec.valid_m is not None and spec.valid_m != m:
-            mask = (jnp.arange(m) < spec.valid_m)[:, None]
-        from .nmf import _kl_ones_b, _kl_ones_pos_h
-        V_hat = W @ H
-        phi_neg, _, _ = dv.fields("kl", V, V_hat, mask=mask)
-        A = phi_neg @ H.T
-        B = _kl_ones_b(H, m)
-        dneg = jnp.sum(W * B, axis=0)
-        dpos = jnp.sum(W * A, axis=0)
-        W = W * ((A + W * dneg[None, :])
-                 / jnp.maximum(B + W * dpos[None, :], eps))
-        W = unit_l2_columns(W)
-        V_hat = W @ H
-        phi_neg, _, _ = dv.fields("kl", V, V_hat, mask=mask)
-        H = H * ((W.T @ phi_neg)
-                 / jnp.maximum(_kl_ones_pos_h(W, n), eps))
-        c = dv.cost("kl", V, W @ H, mask=mask)
-        return W, H, c
-
-    one_step = euclid_step if spec.div == "euclidean" else kl_step
+    one_step = (_make_euclid_step(spec.eps) if spec.div == "euclidean"
+                else _make_kl_step(spec.eps, spec.valid_m))
     step_s = jax.vmap(one_step, in_axes=(None, None, 0, 0))
 
     @jax.jit
@@ -231,14 +230,21 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
 
 def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
                 **kwargs):
-    """Euclidean NMF over a batch Vs of shape (B, m, n).
+    """NMF over a batch Vs of shape (B, m, n).
 
-    Parameters: W_init (B, m, k), H_init (B, k, n), maxiter (100), seed,
-    dtype, eps, mesh (problems shard over the batch axis — B must divide
-    the mesh size).  Returns Result with W (B, m, k), H (B, k, n), and cost
-    (B, maxiter) — one trace per problem.
+    Parameters: divergence ('euclidean' | 'kl' — KL is the spectrogram
+    serving objective), W_init (B, m, k), H_init (B, k, n), maxiter
+    (100), seed, dtype, eps, mesh (problems shard over the batch axis —
+    B must divide the mesh size).  Returns Result with W (B, m, k),
+    H (B, k, n), and cost (B, maxiter) — one trace per problem.
     """
     cfg = merge_config(config, kwargs)
+    div = dv.canon(cfg.get("divergence", "euclidean"))
+    if div not in ("euclidean", "kl"):
+        raise ValueError(
+            f"nmf_batched supports divergence 'euclidean' or 'kl'; got "
+            f"{cfg.get('divergence')!r} (use the single-matrix nmf() for "
+            "the IS/AB families)")
     dtype = resolve_dtype(Vs, cfg.get("dtype"))
     Vs = jnp.asarray(Vs, dtype)
     if Vs.ndim != 3:
@@ -261,7 +267,7 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
     Vs, W0, H0 = apply_placements(cfg.get("mesh"), "nmf_batched",
                                   V=Vs, W=W0, H=H0)
 
-    W, H, costs = _build_solver(_Spec(maxiter, eps))(Vs, W0, H0)
+    W, H, costs = _build_solver(_Spec(maxiter, eps, div))(Vs, W0, H0)
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
                   n_iters=maxiter, converged=False)

@@ -1,6 +1,8 @@
 """Batched (vmapped) NMF tests."""
 import numpy as np
 
+from nmf_toolbox_tpu import nmf_batched
+
 import nmf_toolbox_tpu as nt
 
 
@@ -49,3 +51,27 @@ def test_batched_sharded_matches_single_device():
                        dtype=np.float64, mesh=make_mesh(8))
     np.testing.assert_allclose(a.W, b.W, atol=1e-10)
     np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
+
+
+def test_batched_kl_matches_per_problem():
+    """divergence='kl' per-problem trajectories pin against the single
+    solver's naive KL path."""
+    rng = np.random.default_rng(5)
+    B, m, n, k, iters = 3, 11, 14, 3, 15
+    Vs = rng.random((B, m, n)) + 0.05
+    W0 = rng.random((B, m, k))
+    H0 = rng.random((B, k, n))
+    res = nmf_batched(Vs, k, divergence="kl", W_init=W0, H_init=H0,
+                      maxiter=iters, dtype="float64")
+    for b in range(B):
+        ref = nt.nmf(Vs[b], k, divergence="kl", method="naive",
+                     W_init=W0[b], H_init=H0[b], maxiter=iters,
+                     tolerance=0.0, dtype="float64")
+        np.testing.assert_allclose(res.W[b], ref.W, rtol=1e-10)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-10)
+
+
+def test_batched_rejects_other_divergences():
+    import pytest
+    with pytest.raises(ValueError, match="euclidean.*or.*kl"):
+        nmf_batched(np.ones((2, 4, 5)), 2, divergence="ab", maxiter=2)
