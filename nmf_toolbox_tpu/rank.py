@@ -64,13 +64,16 @@ def _consensus_metrics(consensus: np.ndarray) -> tuple[float, float]:
     n = consensus.shape[0]
     disp = float(np.mean(4.0 * (consensus - 0.5) ** 2))
     d = 1.0 - consensus
-    # Perfectly stable clustering: every dissimilarity is 0 or 1 and the
-    # cophenetic distances reproduce them exactly -> correlation 1.  Guard
-    # the degenerate zero-variance case scipy's cophenet turns into nan.
+    # Zero-variance guard (scipy's cophenet returns nan there): a
+    # UNIFORM dissimilarity near 0 (always one cluster) or near 1
+    # (always all-separate) is perfectly consistent -> 1; a uniform
+    # mid-value (e.g. 0.5 everywhere: coin-flip co-clustering) is
+    # maximal instability -> 0.
     iu = np.triu_indices(n, k=1)
     dv = d[iu]
     if np.allclose(dv, dv[0] if dv.size else 0.0):
-        return 1.0, disp
+        v = float(dv[0]) if dv.size else 0.0
+        return (1.0 if (v <= 0.05 or v >= 0.95) else 0.0), disp
     from scipy.cluster.hierarchy import linkage, cophenet
     from scipy.spatial.distance import squareform
     dv_sym = squareform((d + d.T) / 2.0, checks=False)
@@ -167,8 +170,8 @@ def pick_rank(V, ranks=None, method: str = "consensus", **kwargs):
 
     method="consensus" (default): stability sweep over ``ranks``
     (required) -> RankSelection.  method="svd": spectral-energy estimate
-    (kwargs: energy, max_rank, seed) -> RankSelection with one synthetic
-    stats entry carrying the energy curve in ``mean_cost``-free form.
+    (kwargs: energy, max_rank, seed) -> RankSelection with empty stats
+    and the energy curve attached as ``.energy_curve``.
     """
     if method == "consensus":
         if ranks is None:

@@ -164,3 +164,15 @@ class TestMultiseedKL:
     def test_rejects_other_divergences(self):
         with pytest.raises(ValueError, match="euclidean.*or.*kl"):
             nmf_multiseed(np.ones((4, 5)), 2, 2, divergence="is", maxiter=2)
+
+    def test_uniform_midvalue_consensus_is_unstable(self):
+        """A coin-flip consensus (0.5 everywhere off-diagonal) must NOT
+        score as stable through the zero-variance guard."""
+        C = np.full((10, 10), 0.5)
+        np.fill_diagonal(C, 1.0)
+        coph, disp = _consensus_metrics(C)
+        assert coph == 0.0
+        # all-separate every restart IS consistent
+        C2 = np.eye(10)
+        coph2, _ = _consensus_metrics(C2)
+        assert coph2 == 1.0
