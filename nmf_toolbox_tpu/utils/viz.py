@@ -94,3 +94,42 @@ def view_dictionary(W, config: dict | None = None, ax=None, show=False,
     if show:
         ax.figure.show()
     return ax
+
+
+def view_consensus(consensus, ax=None, show=False):
+    """Plot a (reordered) consensus matrix from a rank sweep.
+
+    The standard readout of Brunet-2004 consensus clustering: samples
+    are reordered by the average-linkage dendrogram of 1 - consensus so
+    stable clusters appear as crisp diagonal blocks; a smeared plot
+    means the candidate rank is unstable.  Pass one
+    ``RankSelection.stats[i].consensus`` from
+    ``nmf_toolbox_tpu.consensus_stability``.
+
+    Returns the matplotlib Axes.  (Beyond-reference surface — the
+    reference has no rank-selection tooling.)
+    """
+    import matplotlib.pyplot as plt
+    from scipy.cluster.hierarchy import linkage, leaves_list
+    from scipy.spatial.distance import squareform
+
+    C = np.asarray(consensus, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] != C.shape[1]:
+        raise ValueError(f"consensus must be square; got {C.shape}")
+    d = 1.0 - (C + C.T) / 2.0
+    np.fill_diagonal(d, 0.0)
+    if C.shape[0] > 1 and np.ptp(squareform(d, checks=False)) > 0:
+        order = leaves_list(linkage(squareform(d, checks=False),
+                                    method="average"))
+    else:
+        order = np.arange(C.shape[0])
+    if ax is None:
+        _, ax = plt.subplots()
+    im = ax.imshow(C[np.ix_(order, order)], vmin=0.0, vmax=1.0,
+                   aspect="equal", interpolation="nearest")
+    ax.figure.colorbar(im, ax=ax)
+    ax.set_xlabel("Sample (dendrogram order)")
+    ax.set_ylabel("Sample (dendrogram order)")
+    if show:
+        ax.figure.show()
+    return ax

@@ -117,3 +117,24 @@ def test_view_dictionary_cnmf_flatten_content():
         for t in range(T):
             expected[:, k * (T + sp) + t] = W[:, k, t]
     np.testing.assert_array_equal(img, expected)
+
+
+def test_view_consensus():
+    import matplotlib
+    matplotlib.use("Agg")
+    from nmf_toolbox_tpu.utils import view_consensus
+    C = np.kron(np.eye(3), np.ones((4, 4)))
+    # scramble the sample order; the dendrogram reorder must restore
+    # crisp blocks (check: reordered image is block diagonal)
+    rng = np.random.default_rng(0)
+    p = rng.permutation(12)
+    ax = view_consensus(C[np.ix_(p, p)])
+    img = ax.images[0].get_array()
+    assert img.shape == (12, 12)
+    # every row has exactly 4 ones, contiguous after reordering
+    for r in np.asarray(img):
+        on = np.nonzero(r)[0]
+        assert len(on) == 4 and on[-1] - on[0] == 3
+    import pytest
+    with pytest.raises(ValueError, match="square"):
+        view_consensus(np.ones((3, 4)))
