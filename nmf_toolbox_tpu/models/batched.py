@@ -33,25 +33,31 @@ class _Spec(NamedTuple):
     iters: int
     eps: float
     div: str = "euclidean"
+    inner: int = 1
 
 
-def _make_euclid_step(eps_v):
+def _make_euclid_step(eps_v, inner=1):
     """Gram-form euclid MU iteration on one (V, W, H) problem — the
     kernel both batched engines vmap (nmf.m:149-186 update structure,
-    W-normalization gradient coupling included)."""
+    W-normalization gradient coupling included).  ``inner`` repeats each
+    factor update reusing the V-dependent Grams (accelerated MU, Gillis
+    & Glineur 2012 — same semantics as nmf(method='gram', inner_iters=),
+    trajectories pin against it)."""
     def one_step(V, v_sq, W, H):
         eps = jnp.asarray(eps_v, V.dtype)
         HHt = H @ H.T
         VHt = V @ H.T
-        WG = W @ HHt
-        dneg = jnp.sum(W * WG, axis=0)
-        dpos = jnp.sum(W * VHt, axis=0)
-        W = W * ((VHt + W * dneg[None, :])
-                 / jnp.maximum(WG + W * dpos[None, :], eps))
-        W = unit_l2_columns(W)
+        for _ in range(inner):
+            WG = W @ HHt
+            dneg = jnp.sum(W * WG, axis=0)
+            dpos = jnp.sum(W * VHt, axis=0)
+            W = W * ((VHt + W * dneg[None, :])
+                     / jnp.maximum(WG + W * dpos[None, :], eps))
+            W = unit_l2_columns(W)
         WtV = W.T @ V
         WtW = W.T @ W
-        H = H * (WtV / jnp.maximum(WtW @ H, eps))
+        for _ in range(inner):
+            H = H * (WtV / jnp.maximum(WtW @ H, eps))
         c = euclidean_cost_gram(v_sq, WtV, WtW, H)
         return W, H, c
     return one_step
@@ -92,8 +98,8 @@ def _make_kl_step(eps_v, valid_m=None):
 
 @functools.lru_cache(maxsize=None)
 def _build_solver(spec: _Spec):
-    one_step = (_make_euclid_step(spec.eps) if spec.div == "euclidean"
-                else _make_kl_step(spec.eps))
+    one_step = (_make_euclid_step(spec.eps, spec.inner)
+                if spec.div == "euclidean" else _make_kl_step(spec.eps))
     step_b = jax.vmap(one_step, in_axes=(0, 0, 0, 0))
 
     @jax.jit
@@ -116,6 +122,7 @@ class _SeedSpec(NamedTuple):
     eps: float
     div: str = "euclidean"
     valid_m: int | None = None   # true feature count of a mesh-padded run
+    inner: int = 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -134,7 +141,8 @@ def _build_multiseed_solver(spec: _SeedSpec):
     produce 0/0 fields and are masked (valid_m), while the ones-field
     sums are already exact (zero W rows contribute nothing).
     """
-    one_step = (_make_euclid_step(spec.eps) if spec.div == "euclidean"
+    one_step = (_make_euclid_step(spec.eps, spec.inner)
+                if spec.div == "euclidean"
                 else _make_kl_step(spec.eps, spec.valid_m))
     step_s = jax.vmap(one_step, in_axes=(None, None, 0, 0))
 
@@ -151,6 +159,19 @@ def _build_multiseed_solver(spec: _SeedSpec):
         return W, H, costs.T  # (S, iters)
 
     return solve
+
+
+def _inner_of(cfg, div, name):
+    """Validate inner_iters (accelerated MU is euclid-Gram-only,
+    matching nmf()'s contract)."""
+    inner = int(cfg.get("inner_iters", 1) or 1)
+    if inner < 1:
+        raise ValueError("inner_iters must be >= 1")
+    if inner > 1 and div != "euclidean":
+        raise ValueError(
+            f"{name}: inner_iters > 1 (accelerated MU) requires the "
+            "euclidean divergence")
+    return inner
 
 
 def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
@@ -219,7 +240,8 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
             W0 = pad_axes(W0, {1: pad_m})
     V, W0, H0 = apply_placements(mesh, "nmf_multiseed", V=V, W=W0, H=H0)
 
-    spec = _SeedSpec(maxiter, eps, div, m if pad_m else None)
+    spec = _SeedSpec(maxiter, eps, div, m if pad_m else None,
+                     _inner_of(cfg, div, 'nmf_multiseed'))
     W, H, costs = _build_multiseed_solver(spec)(V, W0, H0)
     if pad_m:
         W = W[:, :m, :]
@@ -267,7 +289,8 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
     Vs, W0, H0 = apply_placements(cfg.get("mesh"), "nmf_batched",
                                   V=Vs, W=W0, H=H0)
 
-    W, H, costs = _build_solver(_Spec(maxiter, eps, div))(Vs, W0, H0)
+    spec = _Spec(maxiter, eps, div, _inner_of(cfg, div, 'nmf_batched'))
+    W, H, costs = _build_solver(spec)(Vs, W0, H0)
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
                   n_iters=maxiter, converged=False)

@@ -75,3 +75,33 @@ def test_batched_rejects_other_divergences():
     import pytest
     with pytest.raises(ValueError, match="euclidean.*or.*kl"):
         nmf_batched(np.ones((2, 4, 5)), 2, divergence="ab", maxiter=2)
+
+
+def test_batched_inner_iters_matches_gram():
+    """Accelerated MU in the batched engines pins against
+    nmf(method='gram', inner_iters=)."""
+    import pytest
+    from nmf_toolbox_tpu import nmf_multiseed
+    rng = np.random.default_rng(8)
+    V = rng.random((10, 13))
+    S, k, iters, inner = 2, 3, 10, 3
+    W0 = rng.random((S, 10, k))
+    H0 = rng.random((S, k, 13))
+    res = nmf_multiseed(V, k, S, W_init=W0, H_init=H0, maxiter=iters,
+                        inner_iters=inner, dtype="float64")
+    for s in range(S):
+        ref = nt.nmf(V, k, W_init=W0[s], H_init=H0[s], maxiter=iters,
+                     method="gram", inner_iters=inner, tolerance=0.0,
+                     dtype="float64")
+        np.testing.assert_allclose(res.W[s], ref.W, rtol=1e-10)
+        np.testing.assert_allclose(res.cost[s], ref.cost, rtol=1e-10)
+    Vs = rng.random((2, 10, 13))
+    resb = nmf_batched(Vs, k, W_init=W0, H_init=H0, maxiter=iters,
+                       inner_iters=inner, dtype="float64")
+    for b in range(2):
+        ref = nt.nmf(Vs[b], k, W_init=W0[b], H_init=H0[b], maxiter=iters,
+                     method="gram", inner_iters=inner, tolerance=0.0,
+                     dtype="float64")
+        np.testing.assert_allclose(resb.W[b], ref.W, rtol=1e-10)
+    with pytest.raises(ValueError, match="euclidean"):
+        nmf_batched(Vs, k, divergence="kl", inner_iters=2, maxiter=2)
