@@ -39,7 +39,7 @@ OUT = HERE / "SCALING_cpu8.json"
 
 SOLVERS = ["nmf", "nmf-weighted", "cnmf", "nmfsc", "cnmfsc", "cmfwisa",
            "chnmf", "chcnmf", "convexnmf", "lnmf", "seminmf",
-           "constrainednmf"]
+           "constrainednmf", "nmf-multiseed"]
 
 COLLECTIVES = ("all-reduce", "collective-permute", "all-gather",
                "reduce-scatter", "all-to-all")
@@ -101,6 +101,10 @@ def _run_solver(name, mesh):
         return nt.seminmf(V - 0.5, k,
                           W_init=rng.uniform(-1, 1, (m, k)).astype(np.float32),
                           H_init=H0, **kw)
+    if name == "nmf-multiseed":
+        # restarts shard over the sample axis; expected collectives are
+        # the same psum family as nmf (W row-reductions over m_ax)
+        return nt.nmf_multiseed(V, k, 8, maxiter=1, mesh=mesh)
     if name == "constrainednmf":
         labels = np.full(n, -1)
         labels[rng.choice(n, n // 3, replace=False)] = rng.integers(0, 3, n // 3)
