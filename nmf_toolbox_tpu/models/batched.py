@@ -181,7 +181,8 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
     All restarts run as a single fused program (vmap over the inits,
     V shared), so the chip cost is one batched solve, not S dispatches.
     Parameters: divergence ('euclidean' | 'kl' — Brunet 2004's consensus
-    method is classically KL), maxiter (100), seed, dtype, eps,
+    method is classically KL), maxiter (100), inner_iters (accelerated
+    MU, euclid only), seed, dtype, eps,
     W_init/H_init with a leading (S,) axis, mesh (restarts shard over
     the sample axis — S must divide it; V shards over the feature
     axis).  Returns Result with W (S, m, k), H (S, k, n), cost
@@ -256,8 +257,9 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
 
     Parameters: divergence ('euclidean' | 'kl' — KL is the spectrogram
     serving objective), W_init (B, m, k), H_init (B, k, n), maxiter
-    (100), seed, dtype, eps, mesh (problems shard over the batch axis —
-    B must divide the mesh size).  Returns Result with W (B, m, k),
+    (100), inner_iters (accelerated MU, euclid only), seed, dtype, eps,
+    mesh (problems shard over the batch axis — B must divide the mesh
+    size).  Returns Result with W (B, m, k),
     H (B, k, n), and cost (B, maxiter) — one trace per problem.
     """
     cfg = merge_config(config, kwargs)
