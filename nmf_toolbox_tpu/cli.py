@@ -212,12 +212,21 @@ def main(argv=None):
                              "energy_curve": np.round(curve, 6).tolist()}
             else:
                 ranks = tuple(int(x) for x in args.pick_rank.split(","))
+                # sweep under the same objective the final fit will use
+                # when the engine supports it (euclid/kl); IS/AB sweeps
+                # fall back to euclid with a note in the summary.
+                sweep_div = (args.divergence
+                             if args.divergence in (None, "euclidean", "kl",
+                                                    "kl_divergence")
+                             else "euclidean")
                 sel = nt.consensus_stability(
                     np.asarray(V), ranks, n_seeds=args.rank_seeds,
                     seed=args.seed, dtype=args.dtype,
+                    divergence=sweep_div or "euclidean",
                     mesh=cfg.get("mesh"))
                 k = sel.recommended
                 rank_info = {"method": "consensus",
+                             "sweep_divergence": sweep_div or "euclidean",
                              "recommended": int(k),
                              "cophenetic": {str(s.rank): round(s.cophenetic, 6)
                                             for s in sel.stats},

@@ -258,3 +258,18 @@ def test_cli_fix_validation(matrix_file, tmp_path):
     r = run_cli(["chnmf", matrix_file, "--k", "3", "--fix", "H",
                  "--out", out])
     assert r.returncode == 2 and "--fix is only supported" in r.stderr
+
+
+def test_cli_pick_rank_kl_sweep(tmp_path):
+    rng = np.random.default_rng(3)
+    W = np.kron(np.eye(3), np.ones((8, 1)))
+    H = np.zeros((3, 30))
+    H[np.arange(30) % 3, np.arange(30)] = 1.0
+    p = tmp_path / "V.npy"
+    np.save(p, (W @ H + 0.01 * rng.random((24, 30))).astype(np.float32))
+    out = str(tmp_path / "f.npz")
+    r = run_cli(["nmf", str(p), "--pick-rank", "2,3", "--rank-seeds", "6",
+                 "--divergence", "kl", "--maxiter", "8", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rank_selection"]["sweep_divergence"] == "kl"
