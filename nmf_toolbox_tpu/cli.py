@@ -115,6 +115,10 @@ def main(argv=None):
             ("--init", args.init if args.init not in (None, "random")
              else None),
             ("--inner-iters", args.inner_iters),
+            # the sweep would np.asarray the memory-map (materializing
+            # the out-of-core matrix in RAM) and upload it whole
+            ("--pick-rank", args.pick_rank),
+            ("--fix", args.fix),
         ] if val is not None]
         if unsupported:
             print("error: --streaming (euclidean out-of-core) does not "
@@ -196,6 +200,14 @@ def main(argv=None):
             cfg.update(load_factors_orbax(args.resume))
         else:
             cfg.update(load_factors(args.resume))
+        if args.fix:
+            # Encoding new data against a frozen factor: the checkpoint's
+            # OTHER factor was fit to the training sample/feature count
+            # and must not be injected as an init for differently-shaped
+            # new data — drop everything but the fixed factor's init.
+            keep = f"{args.fix}_init"
+            for key in [k for k in cfg if k.endswith("_init") and k != keep]:
+                del cfg[key]
 
     rank_info = None
     if args.pick_rank:
@@ -215,18 +227,27 @@ def main(argv=None):
                 # sweep under the same objective the final fit will use
                 # when the engine supports it (euclid/kl); IS/AB sweeps
                 # fall back to euclid with a note in the summary.
-                sweep_div = (args.divergence
-                             if args.divergence in (None, "euclidean", "kl",
-                                                    "kl_divergence")
-                             else "euclidean")
+                from nmf_toolbox_tpu.ops.divergence import canon
+                sweep_div = (canon(args.divergence)
+                             if args.divergence is not None else "euclidean")
+                if sweep_div not in ("euclidean", "kl"):
+                    sweep_div = "euclidean"
+                n_seeds = args.rank_seeds
+                if cfg.get("mesh") is not None:
+                    # restarts shard over the mesh's sample axis — round
+                    # the restart count up to the next multiple
+                    from nmf_toolbox_tpu.parallel import mesh_multiples
+                    _, nmul = mesh_multiples(cfg["mesh"])
+                    n_seeds = -(-n_seeds // nmul) * nmul
                 sel = nt.consensus_stability(
-                    np.asarray(V), ranks, n_seeds=args.rank_seeds,
+                    np.asarray(V), ranks, n_seeds=n_seeds,
                     seed=args.seed, dtype=args.dtype,
-                    divergence=sweep_div or "euclidean",
+                    divergence=sweep_div,
                     mesh=cfg.get("mesh"))
                 k = sel.recommended
                 rank_info = {"method": "consensus",
-                             "sweep_divergence": sweep_div or "euclidean",
+                             "sweep_divergence": sweep_div,
+                             "n_seeds": int(n_seeds),
                              "recommended": int(k),
                              "cophenetic": {str(s.rank): round(s.cophenetic, 6)
                                             for s in sel.stats},

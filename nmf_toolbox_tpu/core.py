@@ -244,8 +244,14 @@ class Result:
     def final_cost(self) -> float:
         """Last valid cost entry, robust to per-solver trace semantics
         (initial-cost offset traces have length n_iters+1; lnmf's
-        untrimmed trace is zero-padded past n_iters)."""
+        untrimmed trace is zero-padded past n_iters).  For the batched
+        engines' (B, iters) traces this is the BEST problem's final
+        cost (the min over the batch at the last iteration) — the
+        scalar a multi-restart caller actually wants; use ``cost[:, -1]``
+        for the per-problem values."""
         c = np.asarray(self.cost)
+        if c.ndim == 2:
+            return float(np.min(c[:, -1]))
         n = int(self.n_iters)
         if len(c) in (n, n + 1) or n == 0:
             return float(c[-1])

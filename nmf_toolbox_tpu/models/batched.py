@@ -184,8 +184,8 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
     method is classically KL), maxiter (100), inner_iters (accelerated
     MU, euclid only), seed, dtype, eps,
     W_init/H_init with a leading (S,) axis, mesh (restarts shard over
-    the sample axis — S must divide it; V shards over the feature
-    axis).  Returns Result with W (S, m, k), H (S, k, n), cost
+    the sample axis — S must be a multiple of that axis' size; V shards
+    over the feature axis).  Returns Result with W (S, m, k), H (S, k, n), cost
     (S, maxiter).
     """
     cfg = merge_config(config, kwargs)

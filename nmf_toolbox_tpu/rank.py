@@ -118,8 +118,9 @@ def consensus_stability(V, ranks, n_seeds: int = 20,
                         config: dict | None = None, **kwargs) -> RankSelection:
     """Brunet-style consensus sweep over candidate ``ranks``.
 
-    For each k: ``n_seeds`` euclidean NMF restarts in one fused batched
-    program, connectivity C_s[i,j] = 1 iff columns i,j take their argmax
+    For each k: ``n_seeds`` NMF restarts (euclidean by default;
+    ``divergence='kl'`` for Brunet's original objective) in one fused
+    batched program, connectivity C_s[i,j] = 1 iff columns i,j take their argmax
     on the same basis element, consensus = mean_s C_s, then cophenetic
     correlation + dispersion of the consensus.
 
@@ -140,6 +141,9 @@ def consensus_stability(V, ranks, n_seeds: int = 20,
     ranks = tuple(int(k) for k in ranks)
     if not ranks:
         raise ValueError("ranks must be a non-empty sequence")
+    # Upload V once; the per-rank jnp.asarray inside nmf_multiseed is
+    # then a no-op (a relay transfer per candidate otherwise).
+    V = jnp.asarray(V, resolve_dtype(V, cfg.get("dtype")))
     stats: list[RankStats] = []
     for k in ranks:
         res = nmf_multiseed(V, k, n_seeds, dict(cfg))
@@ -152,17 +156,29 @@ def consensus_stability(V, ranks, n_seeds: int = 20,
                                consensus=consensus,
                                mean_cost=float(np.mean(final)),
                                best_cost=float(np.min(final))))
-    order = sorted(range(len(ranks)), key=lambda i: ranks[i])
-    max_coph = max(s.cophenetic for s in stats)
-    stable = [i for i in order if stats[i].cophenetic >= max_coph - stability_tol]
-    best = stable[0]
-    for i in stable[1:]:
-        prev_cost = stats[best].best_cost
-        floor = np.finfo(np.float64).tiny
-        if 1.0 - stats[i].best_cost / max(prev_cost, floor) >= cost_gain:
-            best = i
+    best = _recommend(ranks, stats, stability_tol, cost_gain)
     return RankSelection(recommended=ranks[best], ranks=ranks, stats=stats,
                          method="consensus")
+
+
+def _recommend(ranks, stats, stability_tol: float, cost_gain: float) -> int:
+    """Index of the recommended candidate (stability + fit elbow)."""
+    order = sorted(range(len(ranks)), key=lambda i: ranks[i])
+    max_coph = max(s.cophenetic for s in stats)
+    stable = [i for i in order
+              if stats[i].cophenetic >= max_coph - stability_tol]
+    best = stable[0]
+    floor = np.finfo(np.float64).tiny
+    for i in stable[1:]:
+        if 1.0 - stats[i].best_cost / max(stats[best].best_cost,
+                                          floor) >= cost_gain:
+            best = i
+        else:
+            # Stop at the first non-improving stable candidate: a gentle
+            # monotone cost slope must not ratchet past the elbow by
+            # accumulating sub-threshold gains across candidates.
+            break
+    return best
 
 
 def pick_rank(V, ranks=None, method: str = "consensus", **kwargs):

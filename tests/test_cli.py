@@ -12,9 +12,10 @@ import pytest
 REPO = str(pathlib.Path(__file__).resolve().parents[1])
 
 
-def run_cli(args):
+def run_cli(args, env_extra=None):
     env = {"PYTHONPATH": REPO, "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
-           "JAX_PLATFORMS": "cpu", "HOME": os.environ.get("HOME", "/root")}
+           "JAX_PLATFORMS": "cpu", "HOME": os.environ.get("HOME", "/root"),
+           **(env_extra or {})}
     return subprocess.run([sys.executable, "-m", "nmf_toolbox_tpu"] + args,
                           capture_output=True, text=True, cwd=REPO, env=env)
 
@@ -273,3 +274,51 @@ def test_cli_pick_rank_kl_sweep(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["rank_selection"]["sweep_divergence"] == "kl"
+
+
+def test_cli_fix_encodes_different_sample_count(tmp_path):
+    """Review finding: the checkpoint's H_init (train sample count) must
+    not be injected when encoding differently-shaped new data."""
+    rng = np.random.default_rng(4)
+    W = rng.uniform(0.1, 1, (20, 3))
+    old = tmp_path / "old.npy"; new = tmp_path / "new.npy"
+    np.save(old, (W @ rng.uniform(size=(3, 30))).astype(np.float32))
+    np.save(new, (W @ rng.uniform(size=(3, 45))).astype(np.float32))
+    dic = str(tmp_path / "dict.npz")
+    r = run_cli(["nmf", str(old), "--k", "3", "--maxiter", "10",
+                 "--out", dic])
+    assert r.returncode == 0, r.stderr[-500:]
+    enc = str(tmp_path / "enc.npz")
+    r = run_cli(["nmf", str(new), "--resume", dic, "--fix", "W", "--k", "3",
+                 "--maxiter", "10", "--out", enc])
+    assert r.returncode == 0, r.stderr[-500:]
+    with np.load(enc) as e:
+        assert e["H"].shape == (3, 45)
+
+
+def test_cli_pick_rank_mesh_rounds_seeds(tmp_path):
+    """--pick-rank with --mesh rounds --rank-seeds up to the mesh's
+    sample-axis multiple instead of hard-failing."""
+    rng = np.random.default_rng(5)
+    W = np.kron(np.eye(3), np.ones((8, 1)))
+    H = np.zeros((3, 32))
+    H[np.arange(32) % 3, np.arange(32)] = 1.0
+    p = tmp_path / "V.npy"
+    np.save(p, (W @ H + 0.01 * rng.random((24, 32))).astype(np.float32))
+    out = str(tmp_path / "f.npz")
+    r = run_cli(["nmf", str(p), "--pick-rank", "2,3", "--rank-seeds", "5",
+                 "--mesh", "8", "--maxiter", "8", "--out", out],
+                env_extra={"XLA_FLAGS":
+                           "--xla_force_host_platform_device_count=8"})
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rank_selection"]["n_seeds"] == 8
+
+
+def test_cli_streaming_rejects_pick_rank(tmp_path):
+    rng = np.random.default_rng(6)
+    p = tmp_path / "V.npy"
+    np.save(p, rng.random((20, 30)).astype(np.float32))
+    r = run_cli(["nmf", str(p), "--streaming", "--pick-rank", "2,3",
+                 "--out", str(tmp_path / "x.npz")])
+    assert r.returncode == 2 and "--pick-rank" in r.stderr

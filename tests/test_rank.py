@@ -176,3 +176,34 @@ class TestMultiseedKL:
         C2 = np.eye(10)
         coph2, _ = _consensus_metrics(C2)
         assert coph2 == 1.0
+
+
+class TestElbowRule:
+    def _mk(self, ranks, cophs, costs, tol=0.01, gain=0.2):
+        import nmf_toolbox_tpu.rank as R
+        stats = [R.RankStats(rank=k, cophenetic=c, dispersion=1.0,
+                             consensus=np.eye(2), mean_cost=b, best_cost=b)
+                 for k, c, b in zip(ranks, cophs, costs)]
+        return ranks[R._recommend(ranks, stats, tol, gain)]
+
+    def test_gentle_slope_does_not_ratchet(self):
+        """Steady ~10% per-step improvements must not accumulate past
+        the elbow (review finding: cumulative-gain ratchet)."""
+        costs = [100.0 * 0.9 ** i for i in range(6)]
+        assert self._mk((2, 3, 4, 5, 6, 7), [1.0] * 6, costs) == 2
+
+    def test_sharp_elbow_is_found(self):
+        assert self._mk((2, 3, 4, 5), [1.0] * 4,
+                        [100.0, 40.0, 39.0, 38.5]) == 3
+
+    def test_unstable_candidates_excluded(self):
+        # the huge-gain k=4 is unstable -> never considered
+        assert self._mk((2, 3, 4), [1.0, 1.0, 0.7],
+                        [100.0, 30.0, 1.0]) == 3
+
+
+def test_multiseed_final_cost():
+    """Result.final_cost on a (S, iters) trace = best restart's final."""
+    V = np.random.default_rng(0).random((10, 14))
+    res = nmf_multiseed(V, 3, 4, maxiter=7, seed=1, dtype="float64")
+    assert res.final_cost == float(np.min(res.cost[:, -1]))
