@@ -44,9 +44,18 @@ def _make_euclid_step(eps_v, inner=1):
     & Glineur 2012 — same semantics as nmf(method='gram', inner_iters=),
     trajectories pin against it)."""
     def one_step(V, v_sq, W, H):
-        eps = jnp.asarray(eps_v, V.dtype)
+        # V may be stored bf16 (data_dtype option): feed the MXU the
+        # storage dtype, accumulate in the compute dtype (same pattern
+        # as models/nmf.py gram_step vdot).
+        cdt = jnp.promote_types(W.dtype, jnp.float32)
+        eps = jnp.asarray(eps_v, cdt)
+
+        def vdot(A, B):
+            return jax.lax.dot(A, B.astype(A.dtype),
+                               preferred_element_type=cdt)
+
         HHt = H @ H.T
-        VHt = V @ H.T
+        VHt = vdot(V, H.T)
         for _ in range(inner):
             WG = W @ HHt
             dneg = jnp.sum(W * WG, axis=0)
@@ -54,7 +63,7 @@ def _make_euclid_step(eps_v, inner=1):
             W = W * ((VHt + W * dneg[None, :])
                      / jnp.maximum(WG + W * dpos[None, :], eps))
             W = unit_l2_columns(W)
-        WtV = W.T @ V
+        WtV = vdot(V.T, W).T
         WtW = W.T @ W
         for _ in range(inner):
             H = H * (WtV / jnp.maximum(WtW @ H, eps))
@@ -104,7 +113,7 @@ def _build_solver(spec: _Spec):
 
     @jax.jit
     def solve(Vs, W0, H0):
-        v_sq = jax.vmap(sq_norm)(Vs)
+        v_sq = jax.vmap(sq_norm)(Vs.astype(W0.dtype))  # nmf.py:227
 
         def body(carry, _):
             W, H = carry
@@ -148,7 +157,7 @@ def _build_multiseed_solver(spec: _SeedSpec):
 
     @jax.jit
     def solve(V, W0, H0):
-        v_sq = sq_norm(V)
+        v_sq = sq_norm(V.astype(W0.dtype))  # nmf.py:227
 
         def body(carry, _):
             W, H = carry
@@ -159,6 +168,18 @@ def _build_multiseed_solver(spec: _SeedSpec):
         return W, H, costs.T  # (S, iters)
 
     return solve
+
+
+def _data_dtype_of(cfg, div, name):
+    """Validate data_dtype (bf16 V storage; euclid-only — the KL ratio
+    field needs V at compute precision, matching nmf()'s contract)."""
+    dd = cfg.get("data_dtype")
+    if dd is None:
+        return None
+    if div != "euclidean":
+        raise ValueError(f"{name}: data_dtype is only supported with "
+                         "the euclidean divergence")
+    return jnp.dtype(dd)
 
 
 def _inner_of(cfg, div, name):
@@ -239,6 +260,9 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
         if pad_m:
             V = pad_axes(V, {0: pad_m})
             W0 = pad_axes(W0, {1: pad_m})
+    dd = _data_dtype_of(cfg, div, "nmf_multiseed")
+    if dd is not None:
+        V = V.astype(dd)  # storage dtype; factors stay at compute dtype
     V, W0, H0 = apply_placements(mesh, "nmf_multiseed", V=V, W=W0, H=H0)
 
     spec = _SeedSpec(maxiter, eps, div, m if pad_m else None,
@@ -286,6 +310,10 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
         H0 = uniform_init(kh, (B, k, n), dtype)
     W0 = jax.vmap(unit_l2_columns)(jnp.asarray(W0, dtype))  # nmf.m:132-134
     H0 = jnp.asarray(H0, dtype)
+
+    dd = _data_dtype_of(cfg, div, "nmf_batched")
+    if dd is not None:
+        Vs = Vs.astype(dd)  # storage dtype; factors stay at compute dtype
 
     # mesh: problems shard over the batch axis (data-parallel serving)
     Vs, W0, H0 = apply_placements(cfg.get("mesh"), "nmf_batched",

@@ -105,3 +105,24 @@ def test_batched_inner_iters_matches_gram():
         np.testing.assert_allclose(resb.W[b], ref.W, rtol=1e-10)
     with pytest.raises(ValueError, match="euclidean"):
         nmf_batched(Vs, k, divergence="kl", inner_iters=2, maxiter=2)
+
+
+def test_batched_data_dtype_bf16():
+    """bf16 V storage (serving HBM economy): factors stay f32 and the
+    trajectory tracks the f32 run to bf16-level tolerance."""
+    import pytest
+    from nmf_toolbox_tpu import nmf_multiseed
+    rng = np.random.default_rng(9)
+    Vs = rng.random((2, 24, 32)).astype(np.float32)
+    W0 = rng.random((2, 24, 4)).astype(np.float32)
+    H0 = rng.random((2, 4, 32)).astype(np.float32)
+    a = nmf_batched(Vs, 4, W_init=W0, H_init=H0, maxiter=15)
+    b = nmf_batched(Vs, 4, W_init=W0, H_init=H0, maxiter=15,
+                    data_dtype="bfloat16")
+    assert b.W.dtype == np.float32
+    np.testing.assert_allclose(a.cost[:, -1], b.cost[:, -1], rtol=0.05)
+    m = nmf_multiseed(Vs[0], 4, 2, W_init=W0, H_init=H0[:, :, :32],
+                      maxiter=15, data_dtype="bfloat16")
+    assert m.W.dtype == np.float32 and np.all(np.isfinite(m.cost))
+    with pytest.raises(ValueError, match="data_dtype"):
+        nmf_batched(Vs, 4, divergence="kl", data_dtype="bfloat16", maxiter=2)
