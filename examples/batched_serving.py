@@ -36,6 +36,19 @@ def main():
           f"worst {rel.max():.4f}")
     assert np.median(rel) < 0.15
 
+    # Spectrogram serving usually optimizes KL; and at scale the batch
+    # dominates HBM — data_dtype="bfloat16" halves the V storage and
+    # the dominant read on the euclid path (factors stay f32).
+    res_kl = nt.nmf_batched(Vs, k, divergence="kl", maxiter=50, seed=1)
+    assert np.all(np.diff(res_kl.cost, axis=1) <= 1e-3)  # KL cost monotone
+    res_bf = nt.nmf_batched(Vs, k, maxiter=100, seed=1,
+                            data_dtype="bfloat16")
+    rel_bf = np.linalg.norm(
+        Vs - np.einsum("bmk,bkn->bmn", res_bf.W, res_bf.H), axis=(1, 2)
+    ) / np.linalg.norm(Vs, axis=(1, 2))
+    print(f"bf16-storage relative errors: median {np.median(rel_bf):.4f}")
+    assert np.median(rel_bf) < 0.16
+
 
 if __name__ == "__main__":
     main()
