@@ -274,3 +274,34 @@ def test_fuzz_stateful_and_complex(trial):
         np.testing.assert_allclose(r.W, Wg, atol=1e-9)
         np.testing.assert_allclose(r.Z, Zg, atol=1e-9)
         np.testing.assert_allclose(r.H, Hg, atol=1e-9)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_batched_engines(trial):
+    """Batched/multiseed engines vs the single solver across random
+    shapes, divergences, inner_iters (transitively oracle-pinned: the
+    single solver is fuzzed against the oracle above)."""
+    rng = np.random.default_rng(4200 + trial)
+    V, W0h, H0h, m, n, k = _rand_problem(rng)
+    S = int(rng.integers(1, 4))
+    div = str(rng.choice(["euclidean", "kl"]))
+    inner = int(rng.choice([1, 2, 3])) if div == "euclidean" else 1
+    iters = int(rng.integers(3, 10))
+    W0 = rng.uniform(0.05, 1.0, (S, m, k))
+    H0 = rng.uniform(0.05, 1.0, (S, k, n))
+    kw = dict(divergence=div, maxiter=iters, dtype=np.float64)
+    if inner > 1:
+        kw["inner_iters"] = inner
+    ms = nt.nmf_multiseed(V, k, S, W_init=W0, H_init=H0, **kw)
+    Vs = rng.uniform(0.05, 1.0, (S, m, n))
+    bt = nt.nmf_batched(Vs, k, W_init=W0, H_init=H0, **kw)
+    method = ("gram" if div == "euclidean" else "naive")
+    for s in range(S):
+        ref = nt.nmf(V, k, W_init=W0[s], H_init=H0[s], method=method,
+                     tolerance=0.0, **kw)
+        np.testing.assert_allclose(ms.W[s], ref.W, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(ms.cost[s], ref.cost, rtol=1e-9)
+        refb = nt.nmf(Vs[s], k, W_init=W0[s], H_init=H0[s], method=method,
+                      tolerance=0.0, **kw)
+        np.testing.assert_allclose(bt.W[s], refb.W, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(bt.cost[s], refb.cost, rtol=1e-9)
