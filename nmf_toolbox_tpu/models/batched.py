@@ -206,8 +206,10 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
     MU, euclid only), seed, dtype, eps,
     W_init/H_init with a leading (S,) axis, mesh (restarts shard over
     the sample axis — S must be a multiple of that axis' size; V shards
-    over the feature axis).  Returns Result with W (S, m, k), H (S, k, n), cost
-    (S, maxiter).
+    over the feature axis), device_output (True keeps W/H as jax
+    arrays — no host fetch; on a tunneled relay the fetch can dominate
+    the solve, see benchmarks/BATCHED_SERVING_v5e.json).  Returns
+    Result with W (S, m, k), H (S, k, n), cost (S, maxiter).
     """
     cfg = merge_config(config, kwargs)
     div = dv.canon(cfg.get("divergence", "euclidean"))
@@ -270,6 +272,13 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
     W, H, costs = _build_multiseed_solver(spec)(V, W0, H0)
     if pad_m:
         W = W[:, :m, :]
+    if cfg.get("device_output"):
+        # Serving option: skip the host fetch (the factors stay jax
+        # arrays for downstream device pipelines).  On a tunneled relay
+        # the fetch can dominate the solve itself.
+        return Result(fields=("W", "H", "cost"), W=W, H=H,
+                      cost=np.asarray(costs), n_iters=maxiter,
+                      converged=False)
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
                   n_iters=maxiter, converged=False)
@@ -283,7 +292,8 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
     serving objective), W_init (B, m, k), H_init (B, k, n), maxiter
     (100), inner_iters (accelerated MU, euclid only), seed, dtype, eps,
     mesh (problems shard over the batch axis — B must divide the mesh
-    size).  Returns Result with W (B, m, k),
+    size), device_output (True keeps W/H as jax arrays — no host
+    fetch).  Returns Result with W (B, m, k),
     H (B, k, n), and cost (B, maxiter) — one trace per problem.
     """
     cfg = merge_config(config, kwargs)
@@ -321,6 +331,11 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
 
     spec = _Spec(maxiter, eps, div, _inner_of(cfg, div, 'nmf_batched'))
     W, H, costs = _build_solver(spec)(Vs, W0, H0)
+    if cfg.get("device_output"):
+        # Serving option: factors stay jax arrays (no host round trip).
+        return Result(fields=("W", "H", "cost"), W=W, H=H,
+                      cost=np.asarray(costs), n_iters=maxiter,
+                      converged=False)
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
                   n_iters=maxiter, converged=False)

@@ -126,3 +126,22 @@ def test_batched_data_dtype_bf16():
     assert m.W.dtype == np.float32 and np.all(np.isfinite(m.cost))
     with pytest.raises(ValueError, match="data_dtype"):
         nmf_batched(Vs, 4, divergence="kl", data_dtype="bfloat16", maxiter=2)
+
+
+def test_device_output():
+    """device_output=True keeps the factors as jax arrays (serving:
+    no forced host round trip); values match the fetched run."""
+    import jax
+    rng = np.random.default_rng(10)
+    Vs = rng.random((2, 12, 15)).astype(np.float32)
+    W0 = rng.random((2, 12, 3)).astype(np.float32)
+    H0 = rng.random((2, 3, 15)).astype(np.float32)
+    a = nmf_batched(Vs, 3, W_init=W0, H_init=H0, maxiter=5)
+    b = nmf_batched(Vs, 3, W_init=W0, H_init=H0, maxiter=5,
+                    device_output=True)
+    assert isinstance(b.W, jax.Array) and isinstance(b.H, jax.Array)
+    np.testing.assert_array_equal(a.W, np.asarray(b.W))
+    from nmf_toolbox_tpu import nmf_multiseed
+    m = nmf_multiseed(Vs[0], 3, 2, maxiter=5, device_output=True)
+    assert isinstance(m.W, jax.Array)
+    assert m.final_cost == float(np.min(m.cost[:, -1]))
