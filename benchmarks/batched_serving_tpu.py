@@ -76,6 +76,32 @@ def main(quick: bool, write: bool):
                                      data_dtype="bfloat16"),
         "kl_f32": timed("kl_f32", divergence="kl"),
     }
+
+    # Fixed-dictionary encoding (nmf_encode): ONE shared trained W, H-only
+    # MU for the whole stack.  Euclid iterations are V-free (one-time W'V),
+    # so this is the serving fast path.
+    Wd = jnp.asarray(bases[0] / np.sqrt((bases[0] ** 2).sum(0)))
+    Wd.block_until_ready()
+
+    def timed_encode(label, **cfg):
+        def call():
+            r = nt.nmf_encode(Vs, Wd, maxiter=iters, seed=1,
+                              device_output=True, **cfg)
+            return float(np.asarray(r.cost)[:, -1].sum())  # fence
+        t = time.perf_counter(); call(); compile_s = time.perf_counter() - t
+        ts = []
+        for _ in range(repeats):
+            t = time.perf_counter(); call()
+            ts.append(time.perf_counter() - t)
+        dev = statistics.median(ts)
+        row = {"device_s": round(dev, 4),
+               "ms_per_problem_device": round(1e3 * dev / B, 3),
+               "compile_s": round(compile_s, 1)}
+        print(f"{label}: {row}", flush=True)
+        return row
+
+    rows["encode_euclid_f32"] = timed_encode("encode_euclid_f32")
+    rows["encode_kl_f32"] = timed_encode("encode_kl_f32", divergence="kl")
     out = {"config": {"B": B, "m": m, "n": n, "k": k, "maxiter": iters,
                       "repeats": repeats, "quick": quick},
            "rows": rows, "device": str(jax.devices()[0])}

@@ -284,6 +284,163 @@ def nmf_multiseed(V, num_basis_elems: int, n_seeds: int,
                   n_iters=maxiter, converged=False)
 
 
+class _EncSpec(NamedTuple):
+    iters: int
+    eps: float
+    div: str = "euclidean"
+
+
+@functools.lru_cache(maxsize=None)
+def _build_encode_solver(spec: _EncSpec):
+    """H-only MU against ONE shared dictionary W — the serving decode
+    path (train W once with nmf(), then encode each incoming matrix).
+
+    Trajectories pin against nmf(..., W_init=W, W_fixed=True) per
+    problem (tests/test_batched.py): the single solver with W fixed
+    skips the W branch, so its per-iteration H update reads only
+    loop-invariant W-products — which this engine hoists out of the
+    scan.  Euclidean runs entirely in Gram space after a one-time
+    W'V per problem (iterations never touch V); KL re-reads V for the
+    ratio field each iteration (nmf.m:183-185) but hoists the
+    ones-field denominator W'1 (nmf.m:184).
+    """
+    euclid = spec.div == "euclidean"
+
+    @jax.jit
+    def solve(Vs, W, H0, hsp):
+        cdt = jnp.promote_types(W.dtype, jnp.float32)
+        eps = jnp.asarray(spec.eps, cdt)
+
+        def vdot(A, B):
+            # V may be stored bf16 (data_dtype, euclid only): feed the
+            # MXU the storage dtype, accumulate in the compute dtype.
+            return jax.lax.dot(A, B.astype(A.dtype),
+                               preferred_element_type=cdt)
+
+        if euclid:
+            v_sq = jax.vmap(sq_norm)(Vs.astype(W.dtype))   # nmf.py:227
+            # One-time V-touching work; the scan below is V-free.
+            WtV = jax.vmap(lambda V: vdot(V.T, W).T)(Vs)   # (B, k, n)
+            WtW = W.T @ W
+
+            def one_step(wtv, vsq, H):
+                Hn = H * (wtv / jnp.maximum(WtW @ H + hsp[:, None], eps))
+                c = euclidean_cost_gram(vsq, wtv, WtW, Hn)
+                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+                return Hn, c
+
+            step_b = jax.vmap(one_step, in_axes=(0, 0, 0))
+
+            def body(H, _):
+                H, c = step_b(WtV, v_sq, H)
+                return H, c
+        else:
+            from .nmf import _kl_ones_pos_h
+            n = Vs.shape[-1]
+            pos = _kl_ones_pos_h(W, n) + hsp[:, None]      # loop-invariant
+
+            def one_step(V, H):
+                V_hat = W @ H
+                phi_neg, _, _ = dv.fields("kl", V, V_hat)
+                Hn = H * ((W.T @ phi_neg) / jnp.maximum(pos, eps))
+                c = dv.cost("kl", V, W @ Hn)
+                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+                return Hn, c
+
+            step_b = jax.vmap(one_step, in_axes=(0, 0))
+
+            def body(H, _):
+                H, c = step_b(Vs, H)
+                return H, c
+
+        H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+        return H, costs.T  # (B, iters)
+
+    return solve
+
+
+def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
+    """Encode a batch Vs (B, m, n) against ONE frozen dictionary W (m, k).
+
+    The deployment half of the serving pipeline: ``nmf()`` trains the
+    dictionary once; this runs the H-only multiplicative updates for all
+    B incoming matrices as a single fused device program (one dispatch,
+    batched (B, k, n) matmuls).  Per-problem trajectories are exactly
+    ``nmf(V_i, k, W_init=W, W_fixed=True)`` — the reference semantics of
+    a fixed basis (nmf.m:51-60 W_fixed switch) — including the entry
+    unit-L2 column normalization of W (nmf.m:132-134; a dictionary
+    trained by nmf() is already normalized, so this is the identity for
+    the intended flow).
+
+    Euclidean iterations never touch V: after a one-time W'V per
+    problem, each step is a (k, k) x (k, n) Gram-space update — the
+    per-iteration cost is independent of the feature count m.
+
+    Parameters: divergence ('euclidean' | 'kl'), H_init (B, k, n),
+    H_sparsity (scalar L1 penalty on H — sparse coding against the
+    dictionary, nmf.m:216-218 cost term), maxiter (100), seed, dtype,
+    eps, data_dtype (bf16 V storage, euclid only), mesh (problems shard
+    over the batch axis), device_output (True keeps H on device).
+    Returns Result with W (m, k, the normalized dictionary), H (B, k, n),
+    cost (B, maxiter).
+    """
+    cfg = merge_config(config, kwargs)
+    div = dv.canon(cfg.get("divergence", "euclidean"))
+    if div not in ("euclidean", "kl"):
+        raise ValueError(
+            f"nmf_encode supports divergence 'euclidean' or 'kl'; got "
+            f"{cfg.get('divergence')!r} (use the single-matrix nmf() with "
+            "W_fixed=True for the IS/AB families)")
+    for bad in ("W_fixed", "W_init", "W_sparsity"):
+        if cfg.get(bad) is not None:
+            raise ValueError(f"nmf_encode: {bad!r} does not apply — the "
+                             "dictionary W is the positional argument and "
+                             "is always fixed")
+    dtype = resolve_dtype(Vs, cfg.get("dtype"))
+    Vs = jnp.asarray(Vs, dtype)
+    if Vs.ndim != 3:
+        raise ValueError(f"nmf_encode expects Vs of shape (B, m, n); got "
+                         f"{Vs.shape} (encode a single matrix with "
+                         "nmf(V, k, W_init=W, W_fixed=True))")
+    B, m, n = Vs.shape
+    W = jnp.asarray(W, dtype)
+    if W.ndim != 2 or W.shape[0] != m:
+        raise ValueError(f"dictionary W must be (m, k) = ({m}, k); got "
+                         f"{W.shape}")
+    k = W.shape[1]
+    W = unit_l2_columns(W)  # nmf.m:132-134 (identity for trained dicts)
+    maxiter, _, eps, key = common_scalars(cfg)
+
+    H0 = cfg.get("H_init")
+    if H0 is None:
+        H0 = uniform_init(key, (B, k, n), dtype)
+    H0 = jnp.asarray(H0, dtype)
+    if H0.shape != (B, k, n):
+        raise ValueError(f"H_init must be {(B, k, n)}; got {H0.shape}")
+    hsp = jnp.full((k,), max(float(cfg.get("H_sparsity") or 0.0), 0.0),
+                   dtype)
+
+    dd = _data_dtype_of(cfg, div, "nmf_encode")
+    if dd is not None:
+        Vs = Vs.astype(dd)  # storage dtype; factors stay at compute dtype
+
+    # mesh: problems shard over the batch axis; the dictionary and its
+    # (k, k) Gram are replicated (k is small).
+    Vs, W, H0 = apply_placements(cfg.get("mesh"), "nmf_encode",
+                                 V=Vs, W=W, H=H0)
+
+    H, costs = _build_encode_solver(_EncSpec(maxiter, eps, div))(
+        Vs, W, H0, hsp)
+    if cfg.get("device_output"):
+        # Serving option: H stays a jax array (no host round trip).
+        return Result(fields=("W", "H", "cost"), W=W, H=H,
+                      cost=np.asarray(costs), n_iters=maxiter,
+                      converged=False)
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
+                  n_iters=maxiter, converged=False)
+
+
 def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
                 **kwargs):
     """NMF over a batch Vs of shape (B, m, n).

@@ -105,6 +105,10 @@ def placements_for(solver: str, mesh: Mesh) -> dict:
         # the sample axis of the mesh carries the batch dimension here.
         "nmf_batched": {"V": P(n_ax, None, None), "W": P(n_ax, None, None),
                         "H": P(n_ax, None, None)},
+        # fixed-dictionary encoding: problems shard over the batch axis,
+        # the shared dictionary (m-by-k, small) is replicated.
+        "nmf_encode": {"V": P(n_ax, None, None), "W": P(None, None),
+                       "H": P(n_ax, None, None)},
         # multi-restart (rank selection): the SHARED V shards over
         # features only (every restart reads all of it), restarts
         # shard over the sample axis — pure data parallelism, the only

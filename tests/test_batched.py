@@ -145,3 +145,94 @@ def test_device_output():
     m = nmf_multiseed(Vs[0], 3, 2, maxiter=5, device_output=True)
     assert isinstance(m.W, jax.Array)
     assert m.final_cost == float(np.min(m.cost[:, -1]))
+
+
+def test_encode_matches_fixed_w_single():
+    """nmf_encode per-problem trajectories pin against
+    nmf(V, k, W_init=W, W_fixed=True) — euclid Gram form."""
+    rng = np.random.default_rng(7)
+    B, m, n, k, iters = 4, 18, 22, 3, 15
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    res = nt.nmf_encode(Vs, W, H_init=H0, maxiter=iters, dtype=np.float64)
+    assert res.H.shape == (B, k, n) and res.cost.shape == (B, iters)
+    for b in range(B):
+        ref = nt.nmf(Vs[b], k, W_init=W, W_fixed=True, H_init=H0[b],
+                     maxiter=iters, tolerance=1e-30, dtype=np.float64)
+        np.testing.assert_allclose(res.W, ref.W, atol=1e-12)
+        np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+
+
+def test_encode_kl_matches_fixed_w_single():
+    rng = np.random.default_rng(8)
+    B, m, n, k, iters = 3, 12, 16, 2, 12
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    res = nt.nmf_encode(Vs, W, H_init=H0, divergence="kl", maxiter=iters,
+                        dtype=np.float64)
+    for b in range(B):
+        ref = nt.nmf(Vs[b], k, W_init=W, W_fixed=True, H_init=H0[b],
+                     divergence="kl", maxiter=iters, tolerance=1e-30,
+                     dtype=np.float64)
+        np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+
+
+def test_encode_sparsity_matches_fixed_w_single():
+    """H_sparsity (sparse coding) pins against the single solver's
+    penalty path, including the cost's L1 term (nmf.m:216-218)."""
+    rng = np.random.default_rng(9)
+    B, m, n, k, iters = 2, 14, 18, 3, 12
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    res = nt.nmf_encode(Vs, W, H_init=H0, H_sparsity=0.3, maxiter=iters,
+                        dtype=np.float64)
+    for b in range(B):
+        ref = nt.nmf(Vs[b], k, W_init=W, W_fixed=True, H_init=H0[b],
+                     H_sparsity=0.3, maxiter=iters, tolerance=1e-30,
+                     dtype=np.float64)
+        np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+
+
+def test_encode_sharded_matches_single_device():
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nmf_toolbox_tpu.parallel import make_mesh
+    rng = np.random.default_rng(10)
+    B, m, n, k = 16, 12, 18, 2
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    a = nt.nmf_encode(Vs, W, H_init=H0, maxiter=10, dtype=np.float64)
+    b = nt.nmf_encode(Vs, W, H_init=H0, maxiter=10, dtype=np.float64,
+                      mesh=make_mesh(8))
+    np.testing.assert_allclose(a.H, b.H, atol=1e-10)
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
+
+
+def test_encode_validation_and_device_output():
+    import jax
+    import pytest
+    rng = np.random.default_rng(11)
+    Vs = rng.uniform(0.1, 1, (2, 10, 12)).astype(np.float32)
+    W = rng.uniform(size=(10, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="B, m, n"):
+        nt.nmf_encode(Vs[0], W)
+    with pytest.raises(ValueError, match=r"\(m, k\)"):
+        nt.nmf_encode(Vs, W.T)
+    with pytest.raises(ValueError, match="W_fixed"):
+        nt.nmf_encode(Vs, W, W_fixed=True)
+    with pytest.raises(ValueError, match="euclidean.*or.*kl"):
+        nt.nmf_encode(Vs, W, divergence="is")
+    res = nt.nmf_encode(Vs, W, maxiter=8, seed=3, device_output=True)
+    assert isinstance(res.H, jax.Array)
+    assert np.all(np.isfinite(res.cost))
+    # MU with a fixed basis is still monotone non-increasing.
+    assert np.all(np.diff(res.cost, axis=1) <= 1e-4 * np.abs(res.cost[:, :-1]))
