@@ -62,6 +62,19 @@ def main():
     print(f"SDR percussive: {sdr(B, est_B):6.2f} dB")
     assert sdr(A, est_A) > 5 and sdr(B, est_B) > 5
 
+    # 3) soft-mask the mixture instead of trusting the models outright:
+    #    nt.separate builds per-source ratio masks from the fitted models
+    #    and multiplies the MIXTURE by them, so the estimates sum to the
+    #    mixture exactly and unmodeled energy is shared proportionally
+    #    (power=1 because these synthetic magnitudes add; use the default
+    #    power=2 Wiener masks on complex STFT bins, where power adds).
+    W_list = [np.asarray(w) for w in res.W]
+    masked = np.asarray(nt.separate(mix.astype(np.float32), W_list,
+                                    [HA, HB], power=1.0))
+    np.testing.assert_allclose(masked.sum(axis=0), mix, rtol=1e-4)
+    print(f"SDR tonal (ratio-masked):      {sdr(A, masked[0]):6.2f} dB")
+    print(f"SDR percussive (ratio-masked): {sdr(B, masked[1]):6.2f} dB")
+
 
 if __name__ == "__main__":
     main()

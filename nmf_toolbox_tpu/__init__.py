@@ -13,6 +13,7 @@ from .models import (nmf, lnmf, seminmf, convexnmf, chnmf, cnmf, nmfsc,
                      nmf_streaming, nmf_batched, nmf_multiseed,
                      nmf_encode)
 from .rank import pick_rank, consensus_stability, estimate_rank_svd
+from .utils import wiener_masks, separate
 
 reconstruct_from_decomposition = reconstruct  # reference-style alias
 
@@ -20,5 +21,6 @@ __all__ = ["EPS", "Result", "reconstruct", "reconstruct_from_decomposition",
            "projfunc", "nmf", "lnmf", "seminmf", "convexnmf", "chnmf",
            "cnmf", "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf",
            "nmf_hals", "nmf_streaming", "nmf_batched", "nmf_multiseed", "nmf_encode",
+           "wiener_masks", "separate",
            "pick_rank", "consensus_stability", "estimate_rank_svd"]
 __version__ = "0.1.0"

@@ -1,0 +1,85 @@
+"""Wiener-filter source separation from NMF factors.
+
+The reference stops at the factorization: its separation story is
+"reconstruct each source as W_i @ H_i" (the per-source model structure
+of nmf.m:136-137 multi-source cells and cmfwisa.m:164-169).  Direct
+reconstruction discards the part of the mixture the models did not fit,
+so the estimates neither sum to the mixture nor use its phase.  The
+standard practice on top of any NMF separation (Fevotte et al. 2009 -
+the IS-NMF paper's Wiener reconstruction; used by every NMF audio
+system since) is soft masking:
+
+    mask_i = (W_i H_i)^p / sum_j (W_j H_j)^p,     est_i = mask_i * V
+
+With p=2 this is the Wiener filter (power-spectrogram ratios); p=1 is
+ratio masking on magnitudes.  The estimates sum EXACTLY to V by
+construction, and when V is the complex STFT the masks (real) reuse the
+mixture phase - the consistent way to get listenable sources out of a
+magnitude factorization.
+
+TPU notes: masking is a pure elementwise field over (S, m, n) - one
+fused XLA kernel, no MXU work.  ``separate`` jits cleanly and accepts
+device arrays (e.g. ``nmf_encode(..., device_output=True)`` factors) so
+an encode -> separate serving pipeline never leaves the chip.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import EPS
+
+__all__ = ["wiener_masks", "separate"]
+
+
+def _stack_models(W, H):
+    """Per-source reconstructions (S, m, n) from lists of (W_i, H_i)."""
+    if not isinstance(W, (list, tuple)) or not isinstance(H, (list, tuple)):
+        raise TypeError(
+            "W and H must be lists of per-source factors (the multi-source "
+            "output shape of nmf/cmfwisa, or any [W_i], [H_i] pairing)")
+    if len(W) != len(H) or not W:
+        raise ValueError(f"need matching non-empty factor lists; got "
+                         f"{len(W)} bases and {len(H)} encodings")
+    return jnp.stack([jnp.asarray(Wi) @ jnp.asarray(Hi)
+                      for Wi, Hi in zip(W, H)])
+
+
+def wiener_masks(W, H, power: float = 2.0, eps: float = EPS):
+    """Soft masks (S, m, n) from per-source factor lists.
+
+    ``power``: exponent on the model magnitudes (2.0 = Wiener / power
+    ratios, 1.0 = magnitude ratios).  Masks are non-negative and sum to
+    one over sources at every bin (uniform 1/S where every model is
+    zero, so the decomposition stays exact).
+    """
+    fields = jnp.abs(_stack_models(W, H)) ** power
+    total = jnp.sum(fields, axis=0, keepdims=True)
+    S = fields.shape[0]
+    # Where all models vanish the ratio is 0/0; share the bin equally so
+    # sum_i est_i == V still holds exactly.
+    return jnp.where(total > eps, fields / jnp.maximum(total, eps),
+                     1.0 / S)
+
+
+def separate(V, W, H, power: float = 2.0, eps: float = EPS):
+    """Per-source estimates (S, m, n) with sum_i est_i == V exactly.
+
+    ``V``: the mixture the factors were fit to - magnitude or complex
+    STFT (complex V reuses the mixture phase per source, since the masks
+    are real).  ``W``/``H``: lists of per-source factors - the
+    multi-source output of ``nmf``/``cmfwisa`` directly, or slices of a
+    single model's columns grouped by source.  Returns a stacked jax
+    array; index ``out[i]`` for source i.
+    """
+    V = jnp.asarray(V)
+    masks = wiener_masks(W, H, power=power, eps=eps)
+    if V.shape != masks.shape[1:]:
+        raise ValueError(f"V has shape {V.shape}; factors reconstruct "
+                         f"{masks.shape[1:]}")
+    return masks * V[None]
+
+
+# separate() is elementwise over static shapes: jit is free and keeps the
+# encode -> separate serving path on device.
+separate = jax.jit(separate, static_argnames=("power",))
