@@ -2,6 +2,7 @@
 
     nmf-tpu nmf V.npy --k 32 --divergence kl --maxiter 200 --out factors.npz
     nmf-tpu cnmf spec.npy --k 64 --context-len 8 --out factors.npz
+    nmf-tpu encode batch.npy --dict factors.npz --out enc.npz
     python -m nmf_toolbox_tpu ...   (equivalent)
 
 Input: .npy (or raw binary with --shape/--dtype); output: an .npz
@@ -19,7 +20,8 @@ import sys
 import numpy as np
 
 SOLVERS = ("nmf", "nmf_hals", "nmfsc", "cnmf", "cnmfsc", "cmfwisa", "lnmf",
-           "convexnmf", "seminmf", "chnmf", "chcnmf", "constrainednmf")
+           "convexnmf", "seminmf", "chnmf", "chcnmf", "constrainednmf",
+           "encode")
 
 
 def build_parser():
@@ -85,6 +87,11 @@ def build_parser():
                    help="hold one factor fixed while fitting the other; "
                         "requires --resume to supply it. --fix W = encode "
                         "new data against a frozen dictionary (serving)")
+    p.add_argument("--dict", dest="dictionary", default=None,
+                   metavar="W.npy|ckpt.npz",
+                   help="frozen dictionary for the 'encode' solver: a .npy "
+                        "W matrix or an .npz checkpoint from a training run "
+                        "(multi-source W blocks are concatenated)")
     p.add_argument("--out", required=True, help="output .npz checkpoint")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -135,6 +142,64 @@ def main(argv=None):
                      ("H_sparsity", args.h_sparsity), ("dtype", args.dtype)]:
         if val is not None:
             cfg[key] = val
+    if args.solver == "encode":
+        # Fixed-dictionary batched encoding (nmf_encode): a (B, m, n)
+        # stack against one frozen W.  Its own branch — the generic
+        # path's --k/--pick-rank/--resume/--fix machinery doesn't apply.
+        bad = [f for f, v in [
+            ("--k (the dictionary sets k)", args.k),
+            ("--pick-rank", args.pick_rank),
+            ("--w-sparsity", args.w_sparsity),
+            ("--alpha", args.alpha), ("--beta", args.beta),
+            ("--resume", args.resume), ("--fix", args.fix),
+            ("--checkpoint-every", args.checkpoint_every),
+            ("--weights", args.weights),
+            ("--init", args.init if args.init not in (None, "random")
+             else None),
+            ("--inner-iters", args.inner_iters),
+            ("--context-len", args.context_len),
+            ("--labels", args.labels),
+        ] if v is not None]
+        if bad:
+            print(f"error: encode does not support: {', '.join(bad)}",
+                  file=sys.stderr)
+            return 2
+        if args.dictionary is None:
+            print("error: encode requires --dict (the frozen dictionary)",
+                  file=sys.stderr)
+            return 2
+        if args.dictionary.endswith(".npz"):
+            with np.load(args.dictionary) as z:
+                if "W" in z:
+                    W = z["W"]
+                elif "W__len" in z:  # multi-source checkpoint: stack blocks
+                    W = np.concatenate(
+                        [z[f"W__{s}"] for s in range(int(z["W__len"]))],
+                        axis=1)
+                else:
+                    print(f"error: {args.dictionary} has no W factor",
+                          file=sys.stderr)
+                    return 2
+        else:
+            W = load_matrix(args.dictionary)
+        if args.mesh:
+            from nmf_toolbox_tpu.parallel import make_mesh
+            cfg["mesh"] = make_mesh(args.mesh)
+        cfg.pop("tolerance", None)  # fixed-iteration batched engine
+        try:
+            res = nt.nmf_encode(V, W, **cfg)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        save_factors(args.out, res)
+        if not args.quiet:
+            print(json.dumps({
+                "solver": "encode", "shape": list(V.shape),
+                "k": int(W.shape[1]), "iterations": int(res.n_iters),
+                "final_cost_sum": float(np.asarray(res.cost)[:, -1].sum()),
+                "out": args.out}))
+        return 0
+
     if args.solver == "nmf_hals":
         # hals is euclidean-only with no sparsity penalties; error rather
         # than silently ignore flags it cannot honor.

@@ -322,3 +322,60 @@ def test_cli_streaming_rejects_pick_rank(tmp_path):
     r = run_cli(["nmf", str(p), "--streaming", "--pick-rank", "2,3",
                  "--out", str(tmp_path / "x.npz")])
     assert r.returncode == 2 and "--pick-rank" in r.stderr
+
+
+def test_cli_encode(tmp_path):
+    """encode: train a dictionary, then batch-encode new data against it
+    from both a raw .npy W and a training checkpoint."""
+    rng = np.random.default_rng(12)
+    m, n, k, B = 20, 25, 3, 4
+    V = rng.uniform(0.1, 1, (m, n)).astype(np.float32)
+    v_file = str(tmp_path / "V.npy"); np.save(v_file, V)
+    train_out = str(tmp_path / "train.npz")
+    r = run_cli(["nmf", v_file, "--k", str(k), "--maxiter", "15",
+                 "--out", train_out])
+    assert r.returncode == 0, r.stderr[-500:]
+
+    Vs = rng.uniform(0.1, 1, (B, m, 18)).astype(np.float32)
+    vs_file = str(tmp_path / "Vs.npy"); np.save(vs_file, Vs)
+    enc_out = str(tmp_path / "enc.npz")
+    r = run_cli(["encode", vs_file, "--dict", train_out, "--maxiter", "12",
+                 "--h-sparsity", "0.1", "--divergence", "kl",
+                 "--out", enc_out])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["k"] == k and summary["iterations"] == 12
+    with np.load(enc_out) as z:
+        assert z["H"].shape == (B, k, 18)
+        assert z["cost"].shape == (B, 12)
+        assert z["W"].shape == (m, k)
+
+    # raw .npy dictionary path
+    w_file = str(tmp_path / "W.npy")
+    with np.load(train_out) as z:
+        np.save(w_file, z["W"])
+    r = run_cli(["encode", vs_file, "--dict", w_file, "--maxiter", "5",
+                 "--out", str(tmp_path / "enc2.npz")])
+    assert r.returncode == 0, r.stderr[-500:]
+
+
+def test_cli_encode_validation(tmp_path):
+    rng = np.random.default_rng(13)
+    Vs = rng.uniform(0.1, 1, (2, 10, 12)).astype(np.float32)
+    vs_file = str(tmp_path / "Vs.npy"); np.save(vs_file, Vs)
+    w_file = str(tmp_path / "W.npy")
+    np.save(w_file, rng.uniform(size=(10, 3)).astype(np.float32))
+    out = str(tmp_path / "o.npz")
+    r = run_cli(["encode", vs_file, "--maxiter", "3", "--out", out])
+    assert r.returncode == 2 and "--dict" in r.stderr
+    r = run_cli(["encode", vs_file, "--dict", w_file, "--k", "3",
+                 "--out", out])
+    assert r.returncode == 2 and "does not support" in r.stderr
+    r = run_cli(["encode", vs_file, "--dict", w_file, "--fix", "W",
+                 "--out", out])
+    assert r.returncode == 2 and "does not support" in r.stderr
+    # 2-D input: the engine's shape error surfaces as a clean CLI error
+    v2 = str(tmp_path / "V2.npy")
+    np.save(v2, Vs[0])
+    r = run_cli(["encode", v2, "--dict", w_file, "--out", out])
+    assert r.returncode == 2 and "B, m, n" in r.stderr
