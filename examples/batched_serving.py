@@ -49,6 +49,26 @@ def main():
     print(f"bf16-storage relative errors: median {np.median(rel_bf):.4f}")
     assert np.median(rel_bf) < 0.16
 
+    # Deployment pipeline: train ONE dictionary offline, then each
+    # request batch only fits encodings (nmf_encode: H-only MU, euclid
+    # iterations V-free after a one-time W'V) and is soft-mask separated
+    # — all on device (device_output + the jitted nt.separate).
+    # Measured on v5e: 256 problems x 100 iterations in 66 ms euclid /
+    # 99 ms KL (benchmarks/BATCHED_SERVING_v5e.json).
+    kA, kB = 10, 6
+    Wdict = np.concatenate([bases[0, :, :kA], bases[1, :, :kB]], axis=1)
+    Wdict = (Wdict / np.sqrt((Wdict**2).sum(0))).astype(np.float32)
+    t0 = time.time()
+    enc = nt.nmf_encode(Vs, Wdict, maxiter=100, seed=2, device_output=True)
+    first = nt.separate(Vs[0], [enc.W[:, :kA], enc.W[:, kA:]],
+                        [enc.H[0][:kA], enc.H[0][kA:]])
+    dt = time.time() - t0
+    est = np.asarray(first)
+    np.testing.assert_allclose(est.sum(axis=0), Vs[0], rtol=1e-4)
+    print(f"encode+separate: {dt:.2f}s for {B} encodes "
+          f"({dt / B * 1e3:.1f} ms/problem incl. compile); "
+          f"2 sources sum to the mixture exactly")
+
 
 if __name__ == "__main__":
     main()

@@ -186,8 +186,10 @@ def main(argv=None):
             from nmf_toolbox_tpu.parallel import make_mesh
             cfg["mesh"] = make_mesh(args.mesh)
         cfg.pop("tolerance", None)  # fixed-iteration batched engine
+        # A 3-D dictionary (m, k, T) selects the convolutive engine.
+        engine = nt.cnmf_encode if np.ndim(W) == 3 else nt.nmf_encode
         try:
-            res = nt.nmf_encode(V, W, **cfg)
+            res = engine(V, W, **cfg)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
@@ -196,6 +198,7 @@ def main(argv=None):
             print(json.dumps({
                 "solver": "encode", "shape": list(V.shape),
                 "k": int(W.shape[1]), "iterations": int(res.n_iters),
+                "convolutive": bool(np.ndim(W) == 3),
                 "final_cost_sum": float(np.asarray(res.cost)[:, -1].sum()),
                 "out": args.out}))
         return 0

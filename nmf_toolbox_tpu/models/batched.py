@@ -441,6 +441,163 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
                   n_iters=maxiter, converged=False)
 
 
+class _ConvEncSpec(NamedTuple):
+    iters: int
+    eps: float
+    div: str
+    T: int
+
+
+@functools.lru_cache(maxsize=None)
+def _build_conv_encode_solver(spec: _ConvEncSpec):
+    """H-only convolutive MU against one shared (m, k, T) dictionary.
+
+    Trajectories pin against cnmf(..., W_init=W, W_fixed=True) per
+    problem: euclidean follows the Gram path (cnmf.py gram_step with
+    w_any=False — the V-touching gneg = conv_wt_phi(W, V) is
+    loop-invariant and hoisted, so iterations run in (T, T, k, k) Gram
+    space); KL follows the naive kl_fast path including the reference's
+    no-shift ones-field quirk (cnmf.m:220-224), with the loop-invariant
+    positive field sum(W) hoisted.
+    """
+    from ..ops.gram import conv_cross_grams_h, conv_cross_grams_w
+    from ..ops.shift import (conv_reconstruct, conv_wt_phi, shift_left,
+                             stack_shifts_right)
+    T = spec.T
+    euclid = spec.div == "euclidean"
+
+    @jax.jit
+    def solve(Vs, W, H0, hsp):
+        dt = W.dtype
+        eps = jnp.asarray(spec.eps, dt)
+        WW = conv_cross_grams_w(W)  # (T, T, k, k), loop-invariant
+
+        if euclid:
+            v_sqs = jax.vmap(sq_norm)(Vs)
+            Gneg = jax.vmap(lambda V: conv_wt_phi(W, V))(Vs)  # one-time
+
+            def one_step(gneg, vsq, H):
+                Hs = stack_shifts_right(H, T)
+                gpos = jnp.zeros_like(gneg)
+                for t in range(T):
+                    gpos = gpos + shift_left(
+                        jnp.einsum("skl,sln->kn", WW[t], Hs,
+                                   preferred_element_type=dt), t)
+                Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+                HH = conv_cross_grams_h(stack_shifts_right(Hn, T))
+                c = jnp.maximum(
+                    0.5 * (vsq - 2.0 * jnp.sum(gneg * Hn)
+                           + jnp.sum(WW * HH)), 0.0)
+                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+                return Hn, c
+
+            step_b = jax.vmap(one_step, in_axes=(0, 0, 0))
+
+            def body(H, _):
+                H, c = step_b(Gneg, v_sqs, H)
+                return H, c
+        else:
+            # KL ones-field denominator (cnmf.py step kl_fast branch):
+            # sum_t W_t' @ ones = broadcast of sum(W) — loop-invariant.
+            w_sum = jnp.sum(W, axis=(0, 2))  # (k,)
+
+            def one_step(V, H):
+                V_hat = conv_reconstruct(W, H, None)
+                phi_neg, _, _ = dv.ab_fields(V, V_hat, 1.0, 0.0)
+                gneg = conv_wt_phi(W, phi_neg)
+                gpos = jnp.broadcast_to(w_sum[:, None], gneg.shape)
+                Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+                c = dv.cost("kl", V, conv_reconstruct(W, Hn, None))
+                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+                return Hn, c
+
+            step_b = jax.vmap(one_step, in_axes=(0, 0))
+
+            def body(H, _):
+                H, c = step_b(Vs, H)
+                return H, c
+
+        H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+        return H, costs.T  # (B, iters)
+
+    return solve
+
+
+def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
+    """Encode a batch Vs (B, m, n) against ONE frozen CONVOLUTIVE
+    dictionary W (m, k, T) — the serving decode path for convolutive
+    audio dictionaries (cnmf trains W once; each incoming spectrogram
+    only fits its encoding).
+
+    Per-problem trajectories are exactly
+    ``cnmf(V_i, k, T, W_init=W, W_fixed=True)``, including the entry
+    cross-frame normalization of W (cnmf.m:157-166; its column norms are
+    transferred into the H inits, an identity for dictionaries trained
+    by cnmf()) and, for KL, the reference's no-shift ones-field quirk
+    (cnmf.m:220-224).  Euclidean iterations never touch V: after a
+    one-time conv_wt_phi(W, V) per problem, each step runs in
+    (T, T, k, k) Gram space.
+
+    Parameters: divergence ('euclidean' | 'kl'), H_init (B, k, n),
+    H_sparsity (scalar), maxiter (100), seed, dtype, eps, mesh (problems
+    shard over the batch axis), device_output.  Returns Result with
+    W (m, k, T, normalized), H (B, k, n), cost (B, maxiter).
+    """
+    cfg = merge_config(config, kwargs)
+    div = dv.canon(cfg.get("divergence", "euclidean"))
+    if div not in ("euclidean", "kl"):
+        raise ValueError(
+            f"cnmf_encode supports divergence 'euclidean' or 'kl'; got "
+            f"{cfg.get('divergence')!r} (use the single-matrix cnmf() with "
+            "W_fixed=True for the IS/AB families)")
+    for bad in ("W_fixed", "W_init", "W_sparsity"):
+        if cfg.get(bad) is not None:
+            raise ValueError(f"cnmf_encode: {bad!r} does not apply — the "
+                             "dictionary W is the positional argument and "
+                             "is always fixed")
+    dtype = resolve_dtype(Vs, cfg.get("dtype"))
+    Vs = jnp.asarray(Vs, dtype)
+    if Vs.ndim != 3:
+        raise ValueError(f"cnmf_encode expects Vs of shape (B, m, n); got "
+                         f"{Vs.shape} (encode a single matrix with "
+                         "cnmf(V, k, T, W_init=W, W_fixed=True))")
+    B, m, n = Vs.shape
+    W = jnp.asarray(W, dtype)
+    if W.ndim != 3 or W.shape[0] != m:
+        raise ValueError(f"convolutive dictionary W must be (m, k, T) with "
+                         f"m = {m}; got {W.shape}")
+    k, T = W.shape[1], W.shape[2]
+    maxiter, _, eps, key = common_scalars(cfg)
+
+    H0 = cfg.get("H_init")
+    if H0 is None:
+        H0 = uniform_init(key, (B, k, n), dtype)
+    H0 = jnp.asarray(H0, dtype)
+    if H0.shape != (B, k, n):
+        raise ValueError(f"H_init must be {(B, k, n)}; got {H0.shape}")
+    # Entry cross-frame normalization with norm transfer into every
+    # problem's H init (cnmf.m:157-166; cnmf.py applies this
+    # unconditionally, W_fixed included — identity for trained dicts).
+    norms = jnp.sqrt(jnp.sum(W * W, axis=(0, 2))) / T  # (k,)
+    W = W / norms[None, :, None]
+    H0 = H0 * norms[None, :, None]
+    hsp = jnp.full((k,), max(float(cfg.get("H_sparsity") or 0.0), 0.0),
+                   dtype)
+
+    Vs, W, H0 = apply_placements(cfg.get("mesh"), "cnmf_encode",
+                                 V=Vs, W=W, H=H0)
+
+    H, costs = _build_conv_encode_solver(_ConvEncSpec(maxiter, eps, div, T))(
+        Vs, W, H0, hsp)
+    if cfg.get("device_output"):
+        return Result(fields=("W", "H", "cost"), W=W, H=H,
+                      cost=np.asarray(costs), n_iters=maxiter,
+                      converged=False)
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
+                  n_iters=maxiter, converged=False)
+
+
 def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
                 **kwargs):
     """NMF over a batch Vs of shape (B, m, n).

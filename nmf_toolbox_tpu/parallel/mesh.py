@@ -109,6 +109,8 @@ def placements_for(solver: str, mesh: Mesh) -> dict:
         # the shared dictionary (m-by-k, small) is replicated.
         "nmf_encode": {"V": P(n_ax, None, None), "W": P(None, None),
                        "H": P(n_ax, None, None)},
+        "cnmf_encode": {"V": P(n_ax, None, None), "W": P(None, None, None),
+                        "H": P(n_ax, None, None)},
         # multi-restart (rank selection): the SHARED V shards over
         # features only (every restart reads all of it), restarts
         # shard over the sample axis — pure data parallelism, the only

@@ -236,3 +236,64 @@ def test_encode_validation_and_device_output():
     assert np.all(np.isfinite(res.cost))
     # MU with a fixed basis is still monotone non-increasing.
     assert np.all(np.diff(res.cost, axis=1) <= 1e-4 * np.abs(res.cost[:, :-1]))
+
+
+def test_conv_encode_matches_fixed_w_single():
+    """cnmf_encode per-problem trajectories pin against
+    cnmf(V, k, T, W_init=W, W_fixed=True) — euclid Gram path, including
+    the entry cross-frame norm transfer into H (cnmf.m:157-166)."""
+    rng = np.random.default_rng(14)
+    B, m, n, k, T, iters = 3, 14, 20, 3, 3, 12
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(0.1, 1, (m, k, T))  # deliberately unnormalized
+    H0 = rng.uniform(size=(B, k, n))
+    res = nt.cnmf_encode(Vs, W, H_init=H0, maxiter=iters, dtype=np.float64)
+    assert res.W.shape == (m, k, T) and res.cost.shape == (B, iters)
+    for b in range(B):
+        ref = nt.cnmf(Vs[b], k, T, W_init=W, W_fixed=True, H_init=H0[b],
+                      maxiter=iters, tolerance=1e-30, dtype=np.float64)
+        np.testing.assert_allclose(res.W, ref.W, atol=1e-12)
+        np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+
+
+def test_conv_encode_kl_matches_fixed_w_single():
+    """KL path pins against cnmf's kl_fast branch including the no-shift
+    ones-field quirk (cnmf.m:220-224)."""
+    rng = np.random.default_rng(15)
+    B, m, n, k, T, iters = 2, 11, 16, 2, 3, 10
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(0.1, 1, (m, k, T))
+    H0 = rng.uniform(size=(B, k, n))
+    res = nt.cnmf_encode(Vs, W, H_init=H0, divergence="kl", maxiter=iters,
+                         H_sparsity=0.2, dtype=np.float64)
+    for b in range(B):
+        ref = nt.cnmf(Vs[b], k, T, W_init=W, W_fixed=True, H_init=H0[b],
+                      divergence="kl", H_sparsity=0.2, maxiter=iters,
+                      tolerance=1e-30, dtype=np.float64)
+        np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+
+
+def test_conv_encode_sharded_and_validation():
+    import jax
+    import pytest
+    rng = np.random.default_rng(16)
+    B, m, n, k, T = 8, 10, 14, 2, 2
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(0.1, 1, (m, k, T))
+    H0 = rng.uniform(size=(B, k, n))
+    with pytest.raises(ValueError, match="B, m, n"):
+        nt.cnmf_encode(Vs[0], W)
+    with pytest.raises(ValueError, match=r"\(m, k, T\)"):
+        nt.cnmf_encode(Vs, W[:, :, 0])
+    with pytest.raises(ValueError, match="W_fixed"):
+        nt.cnmf_encode(Vs, W, W_fixed=True)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nmf_toolbox_tpu.parallel import make_mesh
+    a = nt.cnmf_encode(Vs, W, H_init=H0, maxiter=8, dtype=np.float64)
+    b = nt.cnmf_encode(Vs, W, H_init=H0, maxiter=8, dtype=np.float64,
+                       mesh=make_mesh(8))
+    np.testing.assert_allclose(a.H, b.H, atol=1e-10)
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)

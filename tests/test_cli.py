@@ -379,3 +379,22 @@ def test_cli_encode_validation(tmp_path):
     np.save(v2, Vs[0])
     r = run_cli(["encode", v2, "--dict", w_file, "--out", out])
     assert r.returncode == 2 and "B, m, n" in r.stderr
+
+
+def test_cli_encode_convolutive(tmp_path):
+    """A 3-D --dict selects the convolutive encode engine."""
+    rng = np.random.default_rng(14)
+    m, n, k, T, B = 12, 16, 2, 3, 2
+    w_file = str(tmp_path / "Wc.npy")
+    np.save(w_file, rng.uniform(0.1, 1, (m, k, T)).astype(np.float32))
+    vs_file = str(tmp_path / "Vs.npy")
+    np.save(vs_file, rng.uniform(0.1, 1, (B, m, n)).astype(np.float32))
+    out = str(tmp_path / "enc.npz")
+    r = run_cli(["encode", vs_file, "--dict", w_file, "--maxiter", "6",
+                 "--divergence", "kl", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["convolutive"] is True and summary["k"] == k
+    with np.load(out) as z:
+        assert z["H"].shape == (B, k, n)
+        assert z["W"].shape == (m, k, T)
