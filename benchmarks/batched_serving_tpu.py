@@ -102,6 +102,33 @@ def main(quick: bool, write: bool):
 
     rows["encode_euclid_f32"] = timed_encode("encode_euclid_f32")
     rows["encode_kl_f32"] = timed_encode("encode_kl_f32", divergence="kl")
+
+    # Convolutive dictionary (T=4): euclid iterations run in
+    # (T, T, k, k) Gram space after a one-time conv_wt_phi(W, V).
+    T = 4
+    Wc = jnp.asarray(rng.gamma(2.0, 1.0, (m, k, T)).astype(np.float32))
+    Wc.block_until_ready()
+
+    def timed_conv_encode(label, **cfg):
+        def call():
+            r = nt.cnmf_encode(Vs, Wc, maxiter=iters, seed=1,
+                               device_output=True, **cfg)
+            return float(np.asarray(r.cost)[:, -1].sum())  # fence
+        t = time.perf_counter(); call(); compile_s = time.perf_counter() - t
+        ts = []
+        for _ in range(repeats):
+            t = time.perf_counter(); call()
+            ts.append(time.perf_counter() - t)
+        dev = statistics.median(ts)
+        row = {"device_s": round(dev, 4),
+               "ms_per_problem_device": round(1e3 * dev / B, 3),
+               "compile_s": round(compile_s, 1), "T": T}
+        print(f"{label}: {row}", flush=True)
+        return row
+
+    rows["conv_encode_euclid_f32"] = timed_conv_encode("conv_encode_euclid_f32")
+    rows["conv_encode_kl_f32"] = timed_conv_encode("conv_encode_kl_f32",
+                                                   divergence="kl")
     out = {"config": {"B": B, "m": m, "n": n, "k": k, "maxiter": iters,
                       "repeats": repeats, "quick": quick},
            "rows": rows, "device": str(jax.devices()[0])}

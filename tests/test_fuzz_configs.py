@@ -305,3 +305,42 @@ def test_fuzz_batched_engines(trial):
                       tolerance=0.0, **kw)
         np.testing.assert_allclose(bt.W[s], refb.W, rtol=1e-9, atol=1e-12)
         np.testing.assert_allclose(bt.cost[s], refb.cost, rtol=1e-9)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_encode_engines(trial):
+    """Fixed-dictionary encode engines vs the single solvers with
+    W_fixed=True across random shapes, divergences, sparsity, and
+    context lengths (transitively oracle-pinned)."""
+    rng = np.random.default_rng(5200 + trial)
+    V, W0h, H0h, m, n, k = _rand_problem(rng)
+    B = int(rng.integers(1, 4))
+    div = str(rng.choice(["euclidean", "kl"]))
+    hsp = float(rng.choice([0.0, 0.2]))
+    iters = int(rng.integers(3, 9))
+    Vs = rng.uniform(0.05, 1.0, (B, m, n))
+    H0 = rng.uniform(0.05, 1.0, (B, k, n))
+    kw = dict(divergence=div, maxiter=iters, dtype=np.float64)
+    if hsp:
+        kw["H_sparsity"] = hsp
+
+    W = rng.uniform(0.05, 1.0, (m, k))  # unnormalized on purpose
+    enc = nt.nmf_encode(Vs, W, H_init=H0, **kw)
+    T = int(rng.integers(2, 5))
+    Wc = rng.uniform(0.05, 1.0, (m, k, T))
+    cenc = nt.cnmf_encode(Vs, Wc, H_init=H0, **kw)
+    # tolerance must be a positive subnormal-of-the-trace value:
+    # tolerance=0.0 would be coerced to the reference's 1e-3 fallback
+    # (ValidateParameters.m:227-230, core.common_scalars) and the single
+    # solver would early-exit while the fixed-count engine keeps going.
+    for b in range(B):
+        ref = nt.nmf(Vs[b], k, W_init=W, W_fixed=True, H_init=H0[b],
+                     tolerance=1e-30, **kw)
+        assert ref.n_iters == iters, "single solver early-exited"
+        np.testing.assert_allclose(enc.H[b], ref.H, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(enc.cost[b], ref.cost, rtol=1e-9)
+        cref = nt.cnmf(Vs[b], k, T, W_init=Wc, W_fixed=True, H_init=H0[b],
+                       tolerance=1e-30, **kw)
+        assert cref.n_iters == iters, "single solver early-exited"
+        np.testing.assert_allclose(cenc.H[b], cref.H, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(cenc.cost[b], cref.cost, rtol=1e-9)
