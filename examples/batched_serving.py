@@ -53,8 +53,8 @@ def main():
     # request batch only fits encodings (nmf_encode: H-only MU, euclid
     # iterations V-free after a one-time W'V) and is soft-mask separated
     # — all on device (device_output + the jitted nt.separate).
-    # Measured on v5e: 256 problems x 100 iterations in 66 ms euclid /
-    # 99 ms KL (benchmarks/BATCHED_SERVING_v5e.json).
+    # Measured on v5e: ~0.4-0.5 ms per complete 100-iteration encode at
+    # 256 problems (benchmarks/BATCHED_SERVING_v5e.json).
     kA, kB = 10, 6
     Wdict = np.concatenate([bases[0, :, :kA], bases[1, :, :kB]], axis=1)
     Wdict = (Wdict / np.sqrt((Wdict**2).sum(0))).astype(np.float32)

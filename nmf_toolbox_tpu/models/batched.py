@@ -21,7 +21,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
+from ..core import (as_list, common_scalars, merge_config, per_column,
+                    promote_per_source, resolve_dtype, source_blocks,
+                    uniform_init, unwrap_sources, Result)
 from ..ops import divergence as dv
 from ..ops.gram import euclidean_cost_gram, sq_norm
 from ..ops.normalize import unit_l2_columns
@@ -377,10 +379,13 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
     per-iteration cost is independent of the feature count m.
 
     Parameters: divergence ('euclidean' | 'kl'), H_init (B, k, n),
-    H_sparsity (scalar L1 penalty on H — sparse coding against the
-    dictionary, nmf.m:216-218 cost term), maxiter (100), seed, dtype,
-    eps, data_dtype (bf16 V storage, euclid only), mesh (problems shard
-    over the batch axis), device_output (True keeps H on device).
+    H_sparsity (scalar-or-per-source L1 penalty on H — sparse coding
+    against the dictionary, nmf.m:216-218 cost term), maxiter (100),
+    seed, dtype, eps, data_dtype (bf16 V storage, euclid only), mesh
+    (problems shard over the batch axis), device_output (True keeps H on
+    device).  W may be a LIST of per-source dictionaries (cell-array
+    semantics, nmf.m:114-116): they concatenate along the basis axis and
+    W/H return as per-source lists — the shape separate() consumes.
     Returns Result with W (m, k, the normalized dictionary), H (B, k, n),
     cost (B, maxiter).
     """
@@ -403,10 +408,20 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
                          f"{Vs.shape} (encode a single matrix with "
                          "nmf(V, k, W_init=W, W_fixed=True))")
     B, m, n = Vs.shape
-    W = jnp.asarray(W, dtype)
-    if W.ndim != 2 or W.shape[0] != m:
-        raise ValueError(f"dictionary W must be (m, k) = ({m}, k); got "
-                         f"{W.shape}")
+    # Multi-source dictionary (MATLAB cell-array semantics, nmf.m:114-116):
+    # a list of per-source dictionaries concatenates along the basis axis
+    # and H unwraps to per-source blocks on return — the shape separate()
+    # consumes directly.
+    w_list, w_was_seq = as_list(W)
+    w_list = [jnp.asarray(w, dtype) for w in w_list]
+    S = len(w_list)
+    for s, w in enumerate(w_list):
+        if w.ndim != 2 or w.shape[0] != m:
+            raise ValueError(f"dictionary W[{s}] must be (m, k) = ({m}, k); "
+                             f"got {w.shape}")
+    ks = [w.shape[1] for w in w_list]
+    blocks = source_blocks(ks)
+    W = jnp.concatenate(w_list, axis=1)
     k = W.shape[1]
     W = unit_l2_columns(W)  # nmf.m:132-134 (identity for trained dicts)
     maxiter, _, eps, key = common_scalars(cfg)
@@ -414,11 +429,17 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
     H0 = cfg.get("H_init")
     if H0 is None:
         H0 = uniform_init(key, (B, k, n), dtype)
+    elif isinstance(H0, (list, tuple)):
+        if len(H0) != S:
+            raise ValueError(f"Requested {S} sources. Given {len(H0)} "
+                             "initial encoding matrices.")
+        H0 = jnp.concatenate([jnp.asarray(h, dtype) for h in H0], axis=1)
     H0 = jnp.asarray(H0, dtype)
     if H0.shape != (B, k, n):
         raise ValueError(f"H_init must be {(B, k, n)}; got {H0.shape}")
-    hsp = jnp.full((k,), max(float(cfg.get("H_sparsity") or 0.0), 0.0),
-                   dtype)
+    h_sp = [max(float(v), 0.0) for v in
+            promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)]
+    hsp = per_column(h_sp, ks, dtype)
 
     dd = _data_dtype_of(cfg, div, "nmf_encode")
     if dd is not None:
@@ -432,12 +453,17 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
     H, costs = _build_encode_solver(_EncSpec(maxiter, eps, div))(
         Vs, W, H0, hsp)
     if cfg.get("device_output"):
-        # Serving option: H stays a jax array (no host round trip).
-        return Result(fields=("W", "H", "cost"), W=W, H=H,
+        # Serving option: factors stay jax arrays (no host round trip);
+        # multi-source unwrap slices without fetching.
+        Wo = ([W[:, a:b] for a, b in blocks] if w_was_seq else W)
+        Ho = ([H[:, a:b] for a, b in blocks] if w_was_seq else H)
+        return Result(fields=("W", "H", "cost"), W=Wo, H=Ho,
                       cost=np.asarray(costs), n_iters=maxiter,
                       converged=False)
     return Result(fields=("W", "H", "cost"),
-                  W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
+                  W=unwrap_sources(W, blocks, 1, w_was_seq),
+                  H=unwrap_sources(H, blocks, 1, w_was_seq),
+                  cost=np.asarray(costs),
                   n_iters=maxiter, converged=False)
 
 
@@ -539,8 +565,10 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
     (T, T, k, k) Gram space.
 
     Parameters: divergence ('euclidean' | 'kl'), H_init (B, k, n),
-    H_sparsity (scalar), maxiter (100), seed, dtype, eps, mesh (problems
-    shard over the batch axis), device_output.  Returns Result with
+    H_sparsity (scalar-or-per-source), maxiter (100), seed, dtype, eps,
+    mesh (problems shard over the batch axis), device_output.  W may be
+    a LIST of per-source dictionaries sharing one T (cell-array
+    semantics); W/H return as per-source lists.  Returns Result with
     W (m, k, T, normalized), H (B, k, n), cost (B, maxiter).
     """
     cfg = merge_config(config, kwargs)
@@ -562,16 +590,33 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
                          f"{Vs.shape} (encode a single matrix with "
                          "cnmf(V, k, T, W_init=W, W_fixed=True))")
     B, m, n = Vs.shape
-    W = jnp.asarray(W, dtype)
-    if W.ndim != 3 or W.shape[0] != m:
-        raise ValueError(f"convolutive dictionary W must be (m, k, T) with "
-                         f"m = {m}; got {W.shape}")
+    # Multi-source convolutive dictionary: list concatenates along the
+    # basis axis (all sources share T), H unwraps per source on return.
+    w_list, w_was_seq = as_list(W)
+    w_list = [jnp.asarray(w, dtype) for w in w_list]
+    S = len(w_list)
+    for s, w in enumerate(w_list):
+        if w.ndim != 3 or w.shape[0] != m:
+            raise ValueError(f"convolutive dictionary W[{s}] must be "
+                             f"(m, k, T) with m = {m}; got {w.shape}")
+        if w.shape[2] != w_list[0].shape[2]:
+            raise ValueError("all source dictionaries must share the same "
+                             f"context length; got T={w.shape[2]} vs "
+                             f"{w_list[0].shape[2]}")
+    ks = [w.shape[1] for w in w_list]
+    blocks = source_blocks(ks)
+    W = jnp.concatenate(w_list, axis=1)
     k, T = W.shape[1], W.shape[2]
     maxiter, _, eps, key = common_scalars(cfg)
 
     H0 = cfg.get("H_init")
     if H0 is None:
         H0 = uniform_init(key, (B, k, n), dtype)
+    elif isinstance(H0, (list, tuple)):
+        if len(H0) != S:
+            raise ValueError(f"Requested {S} sources. Given {len(H0)} "
+                             "initial encoding matrices.")
+        H0 = jnp.concatenate([jnp.asarray(h, dtype) for h in H0], axis=1)
     H0 = jnp.asarray(H0, dtype)
     if H0.shape != (B, k, n):
         raise ValueError(f"H_init must be {(B, k, n)}; got {H0.shape}")
@@ -581,8 +626,9 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
     norms = jnp.sqrt(jnp.sum(W * W, axis=(0, 2))) / T  # (k,)
     W = W / norms[None, :, None]
     H0 = H0 * norms[None, :, None]
-    hsp = jnp.full((k,), max(float(cfg.get("H_sparsity") or 0.0), 0.0),
-                   dtype)
+    h_sp = [max(float(v), 0.0) for v in
+            promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)]
+    hsp = per_column(h_sp, ks, dtype)
 
     Vs, W, H0 = apply_placements(cfg.get("mesh"), "cnmf_encode",
                                  V=Vs, W=W, H=H0)
@@ -590,11 +636,15 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
     H, costs = _build_conv_encode_solver(_ConvEncSpec(maxiter, eps, div, T))(
         Vs, W, H0, hsp)
     if cfg.get("device_output"):
-        return Result(fields=("W", "H", "cost"), W=W, H=H,
+        Wo = ([W[:, a:b] for a, b in blocks] if w_was_seq else W)
+        Ho = ([H[:, a:b] for a, b in blocks] if w_was_seq else H)
+        return Result(fields=("W", "H", "cost"), W=Wo, H=Ho,
                       cost=np.asarray(costs), n_iters=maxiter,
                       converged=False)
     return Result(fields=("W", "H", "cost"),
-                  W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
+                  W=unwrap_sources(W, blocks, 1, w_was_seq),
+                  H=unwrap_sources(H, blocks, 1, w_was_seq),
+                  cost=np.asarray(costs),
                   n_iters=maxiter, converged=False)
 
 

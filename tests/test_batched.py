@@ -297,3 +297,51 @@ def test_conv_encode_sharded_and_validation():
                        mesh=make_mesh(8))
     np.testing.assert_allclose(a.H, b.H, atol=1e-10)
     np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
+
+
+def test_encode_multisource_matches_single():
+    """A LIST of dictionaries (cell-array semantics) pins against the
+    multi-source single solver with every source fixed, and unwraps
+    W/H per source — the shape separate() consumes."""
+    rng = np.random.default_rng(17)
+    B, m, n, kA, kB, iters = 3, 16, 20, 3, 2, 10
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    WA = rng.uniform(size=(m, kA))
+    WB = rng.uniform(size=(m, kB))
+    H0 = rng.uniform(size=(B, kA + kB, n))
+    res = nt.nmf_encode(Vs, [WA, WB], H_init=H0, H_sparsity=[0.0, 0.2],
+                        maxiter=iters, dtype=np.float64)
+    assert isinstance(res.W, list) and isinstance(res.H, list)
+    assert res.W[0].shape == (m, kA) and res.H[1].shape == (B, kB, n)
+    for b in range(B):
+        ref = nt.nmf(Vs[b], [kA, kB], W_init=[WA, WB], W_fixed=True,
+                     H_init=[H0[b, :kA], H0[b, kA:]], H_sparsity=[0.0, 0.2],
+                     maxiter=iters, tolerance=1e-30, dtype=np.float64)
+        np.testing.assert_allclose(res.H[0][b], ref.H[0], atol=1e-9)
+        np.testing.assert_allclose(res.H[1][b], ref.H[1], atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+    # composes with separate(): per-source factor lists, estimates sum to V
+    est = np.asarray(nt.separate(Vs[0], res.W, [h[0] for h in res.H]))
+    np.testing.assert_allclose(est.sum(axis=0), Vs[0], rtol=1e-6)
+
+
+def test_conv_encode_multisource_matches_single():
+    rng = np.random.default_rng(18)
+    B, m, n, kA, kB, T, iters = 2, 12, 18, 2, 2, 3, 8
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    WA = rng.uniform(0.1, 1, (m, kA, T))
+    WB = rng.uniform(0.1, 1, (m, kB, T))
+    H0 = rng.uniform(size=(B, kA + kB, n))
+    res = nt.cnmf_encode(Vs, [WA, WB], H_init=H0, divergence="kl",
+                         maxiter=iters, dtype=np.float64)
+    assert isinstance(res.W, list) and res.W[1].shape == (m, kB, T)
+    for b in range(B):
+        ref = nt.cnmf(Vs[b], [kA, kB], T, W_init=[WA, WB], W_fixed=True,
+                      H_init=[H0[b, :kA], H0[b, kA:]], divergence="kl",
+                      maxiter=iters, tolerance=1e-30, dtype=np.float64)
+        np.testing.assert_allclose(res.H[0][b], ref.H[0], atol=1e-9)
+        np.testing.assert_allclose(res.H[1][b], ref.H[1], atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+    import pytest
+    with pytest.raises(ValueError, match="context length"):
+        nt.cnmf_encode(Vs, [WA, WB[:, :, :2]])
