@@ -33,7 +33,12 @@ __all__ = ["wiener_masks", "separate"]
 
 
 def _stack_models(W, H):
-    """Per-source reconstructions (S, m, n) from lists of (W_i, H_i)."""
+    """Per-source reconstructions (S, m, n) from lists of (W_i, H_i).
+
+    Each W_i may be 2-D (m, k_i) or a convolutive 3-D (m, k_i, T) basis
+    — reconstruction goes through ops.shift.reconstruct, so cnmf-family
+    factors (e.g. cnmf_encode output) separate directly."""
+    from ..ops.shift import reconstruct
     if not isinstance(W, (list, tuple)) or not isinstance(H, (list, tuple)):
         raise TypeError(
             "W and H must be lists of per-source factors (the multi-source "
@@ -41,7 +46,7 @@ def _stack_models(W, H):
     if len(W) != len(H) or not W:
         raise ValueError(f"need matching non-empty factor lists; got "
                          f"{len(W)} bases and {len(H)} encodings")
-    return jnp.stack([jnp.asarray(Wi) @ jnp.asarray(Hi)
+    return jnp.stack([reconstruct(jnp.asarray(Wi), jnp.asarray(Hi))
                       for Wi, Hi in zip(W, H)])
 
 

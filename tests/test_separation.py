@@ -100,3 +100,23 @@ def test_validation_errors():
     V_bad = np.zeros((3, 3), np.float32)
     with pytest.raises(ValueError, match="reconstruct"):
         nt.separate(V_bad, [WA, WB], [HA, HB])
+
+
+def test_separate_convolutive_factors():
+    """3-D (m, k, T) bases reconstruct through the convolutive sum, so
+    cnmf-family factors (e.g. cnmf_encode output) separate directly."""
+    from nmf_toolbox_tpu.ops.shift import reconstruct
+    rng = np.random.default_rng(7)
+    m, n, T = 24, 40, 3
+    WA = rng.gamma(2.0, 1.0, (m, 3, T)).astype(np.float32)
+    WB = rng.gamma(2.0, 1.0, (m, 2, T)).astype(np.float32)
+    HA = rng.gamma(0.5, 1.0, (3, n)).astype(np.float32)
+    HB = rng.gamma(0.5, 1.0, (2, n)).astype(np.float32)
+    V = (np.asarray(reconstruct(WA, HA)) + np.asarray(reconstruct(WB, HB))
+         + 0.2)
+    est = np.asarray(nt.separate(V, [WA, WB], [HA, HB], power=1.0))
+    assert est.shape == (2, m, n)
+    np.testing.assert_allclose(est.sum(axis=0), V, rtol=1e-5)
+    # mixed 2-D + 3-D factor lists also work (reconstruct handles each)
+    est2 = np.asarray(nt.separate(V, [WA, WB[:, :, 0]], [HA, HB]))
+    np.testing.assert_allclose(est2.sum(axis=0), V, rtol=1e-5)
