@@ -150,7 +150,6 @@ def main(argv=None):
             ("--k (the dictionary sets k)", args.k),
             ("--pick-rank", args.pick_rank),
             ("--w-sparsity", args.w_sparsity),
-            ("--alpha", args.alpha), ("--beta", args.beta),
             ("--resume", args.resume), ("--fix", args.fix),
             ("--checkpoint-every", args.checkpoint_every),
             ("--weights", args.weights),

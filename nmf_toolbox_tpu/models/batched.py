@@ -290,6 +290,8 @@ class _EncSpec(NamedTuple):
     iters: int
     eps: float
     div: str = "euclidean"
+    alpha: float = 1.0
+    beta: float = 1.0
 
 
 @functools.lru_cache(maxsize=None)
@@ -302,11 +304,13 @@ def _build_encode_solver(spec: _EncSpec):
     skips the W branch, so its per-iteration H update reads only
     loop-invariant W-products — which this engine hoists out of the
     scan.  Euclidean runs entirely in Gram space after a one-time
-    W'V per problem (iterations never touch V); KL re-reads V for the
-    ratio field each iteration (nmf.m:183-185) but hoists the
-    ones-field denominator W'1 (nmf.m:184).
+    W'V per problem (iterations never touch V); the field divergences
+    (kl/is/ab incl. the alpha=0 dual) re-read V for the ratio fields
+    each iteration (nmf.m:176-199) but hoist what is loop-invariant
+    (KL's ones-field denominator W'1, nmf.m:184).
     """
     euclid = spec.div == "euclidean"
+    a, b = spec.alpha, spec.beta
 
     @jax.jit
     def solve(Vs, W, H0, hsp):
@@ -337,15 +341,23 @@ def _build_encode_solver(spec: _EncSpec):
                 H, c = step_b(WtV, v_sq, H)
                 return H, c
         else:
+            # General field divergence (kl/is/ab + dual), mirroring the
+            # single solver's naive_step with w_any=False.
             from .nmf import _kl_ones_pos_h
             n = Vs.shape[-1]
-            pos = _kl_ones_pos_h(W, n) + hsp[:, None]      # loop-invariant
+            # KL's phi_pos is None (the implicit ones field): its H
+            # denominator W'1 is loop-invariant — hoist it.
+            kl_pos = _kl_ones_pos_h(W, n)
 
             def one_step(V, H):
                 V_hat = W @ H
-                phi_neg, _, _ = dv.fields("kl", V, V_hat)
-                Hn = H * ((W.T @ phi_neg) / jnp.maximum(pos, eps))
-                c = dv.cost("kl", V, W @ Hn)
+                phi_neg, phi_pos, power = dv.fields(spec.div, V, V_hat,
+                                                    a, b)
+                neg = dv.apply_power(W.T @ phi_neg, power)
+                pos = kl_pos if phi_pos is None else W.T @ phi_pos
+                pos = dv.apply_power(pos, power)
+                Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
+                c = dv.cost(spec.div, V, W @ Hn, a, b)
                 c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
                 return Hn, c
 
@@ -378,7 +390,9 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
     problem, each step is a (k, k) x (k, n) Gram-space update — the
     per-iteration cost is independent of the feature count m.
 
-    Parameters: divergence ('euclidean' | 'kl'), H_init (B, k, n),
+    Parameters: divergence ('euclidean' | 'kl' | 'is' | 'ab' — the full
+    nmf() family, incl. the alpha=0 AB dual), alpha/beta (AB),
+    H_init (B, k, n),
     H_sparsity (scalar-or-per-source L1 penalty on H — sparse coding
     against the dictionary, nmf.m:216-218 cost term), maxiter (100),
     seed, dtype, eps, data_dtype (bf16 V storage, euclid only), mesh
@@ -391,11 +405,10 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
     """
     cfg = merge_config(config, kwargs)
     div = dv.canon(cfg.get("divergence", "euclidean"))
-    if div not in ("euclidean", "kl"):
-        raise ValueError(
-            f"nmf_encode supports divergence 'euclidean' or 'kl'; got "
-            f"{cfg.get('divergence')!r} (use the single-matrix nmf() with "
-            "W_fixed=True for the IS/AB families)")
+    alpha = float(cfg.get("alpha", 1.0))
+    beta = float(cfg.get("beta", 1.0))
+    if div == "ab" and alpha == 0.0 and beta == 0.0:
+        raise ValueError("alpha = 0 and beta = 0 is not supported at this time.")
     for bad in ("W_fixed", "W_init", "W_sparsity"):
         if cfg.get(bad) is not None:
             raise ValueError(f"nmf_encode: {bad!r} does not apply — the "
@@ -450,7 +463,8 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
     Vs, W, H0 = apply_placements(cfg.get("mesh"), "nmf_encode",
                                  V=Vs, W=W, H=H0)
 
-    H, costs = _build_encode_solver(_EncSpec(maxiter, eps, div))(
+    H, costs = _build_encode_solver(_EncSpec(maxiter, eps, div,
+                                             alpha, beta))(
         Vs, W, H0, hsp)
     if cfg.get("device_output"):
         # Serving option: factors stay jax arrays (no host round trip);
@@ -472,6 +486,8 @@ class _ConvEncSpec(NamedTuple):
     eps: float
     div: str
     T: int
+    alpha: float = 1.0
+    beta: float = 1.0
 
 
 @functools.lru_cache(maxsize=None)
@@ -490,7 +506,11 @@ def _build_conv_encode_solver(spec: _ConvEncSpec):
     from ..ops.shift import (conv_reconstruct, conv_wt_phi, shift_left,
                              stack_shifts_right)
     T = spec.T
-    euclid = spec.div == "euclidean"
+    a, b = spec.alpha, spec.beta
+    euclid = spec.div == "euclidean" and a == 1.0 and b == 1.0
+    dual = a == 0.0
+    power = (1.0 / b) if dual else (None if a == 1.0 else 1.0 / a)
+    kl_fast = spec.div == "kl"
 
     @jax.jit
     def solve(Vs, W, H0, hsp):
@@ -523,17 +543,25 @@ def _build_conv_encode_solver(spec: _ConvEncSpec):
                 H, c = step_b(Gneg, v_sqs, H)
                 return H, c
         else:
-            # KL ones-field denominator (cnmf.py step kl_fast branch):
-            # sum_t W_t' @ ones = broadcast of sum(W) — loop-invariant.
+            # General AB field step mirroring cnmf.py's naive step with
+            # w_any=False.  KL's ones-field denominator (sum_t W_t' @
+            # ones = broadcast of sum(W), incl. the reference's no-shift
+            # quirk cnmf.m:220-224) is loop-invariant — hoist it.
             w_sum = jnp.sum(W, axis=(0, 2))  # (k,)
 
             def one_step(V, H):
                 V_hat = conv_reconstruct(W, H, None)
-                phi_neg, _, _ = dv.ab_fields(V, V_hat, 1.0, 0.0)
+                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b)
                 gneg = conv_wt_phi(W, phi_neg)
-                gpos = jnp.broadcast_to(w_sum[:, None], gneg.shape)
+                if kl_fast:
+                    gpos = jnp.broadcast_to(w_sum[:, None], gneg.shape)
+                else:
+                    gpos = conv_wt_phi(W, phi_pos)
+                gneg = dv.apply_power(gneg, power)
+                gpos = dv.apply_power(gpos, power)
                 Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
-                c = dv.cost("kl", V, conv_reconstruct(W, Hn, None))
+                c = dv.cost(spec.div, V, conv_reconstruct(W, Hn, None),
+                            a, b)
                 c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
                 return Hn, c
 
@@ -564,7 +592,8 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
     one-time conv_wt_phi(W, V) per problem, each step runs in
     (T, T, k, k) Gram space.
 
-    Parameters: divergence ('euclidean' | 'kl'), H_init (B, k, n),
+    Parameters: divergence ('euclidean' | 'kl' | 'is' | 'ab' — cnmf's
+    full AB family, cnmf.m:137-147), alpha/beta (AB), H_init (B, k, n),
     H_sparsity (scalar-or-per-source), maxiter (100), seed, dtype, eps,
     mesh (problems shard over the batch axis), device_output.  W may be
     a LIST of per-source dictionaries sharing one T (cell-array
@@ -573,11 +602,10 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
     """
     cfg = merge_config(config, kwargs)
     div = dv.canon(cfg.get("divergence", "euclidean"))
-    if div not in ("euclidean", "kl"):
-        raise ValueError(
-            f"cnmf_encode supports divergence 'euclidean' or 'kl'; got "
-            f"{cfg.get('divergence')!r} (use the single-matrix cnmf() with "
-            "W_fixed=True for the IS/AB families)")
+    alpha, beta = dv.ab_params(div, cfg.get("alpha", 1.0),
+                               cfg.get("beta", 1.0))
+    if div == "ab" and alpha == 0.0 and beta == 0.0:
+        raise ValueError("alpha = 0 and beta = 0 is not supported at this time.")
     for bad in ("W_fixed", "W_init", "W_sparsity"):
         if cfg.get(bad) is not None:
             raise ValueError(f"cnmf_encode: {bad!r} does not apply — the "
@@ -633,8 +661,8 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
     Vs, W, H0 = apply_placements(cfg.get("mesh"), "cnmf_encode",
                                  V=Vs, W=W, H=H0)
 
-    H, costs = _build_conv_encode_solver(_ConvEncSpec(maxiter, eps, div, T))(
-        Vs, W, H0, hsp)
+    H, costs = _build_conv_encode_solver(
+        _ConvEncSpec(maxiter, eps, div, T, alpha, beta))(Vs, W, H0, hsp)
     if cfg.get("device_output"):
         Wo = ([W[:, a:b] for a, b in blocks] if w_was_seq else W)
         Ho = ([H[:, a:b] for a, b in blocks] if w_was_seq else H)

@@ -229,8 +229,6 @@ def test_encode_validation_and_device_output():
         nt.nmf_encode(Vs, W.T)
     with pytest.raises(ValueError, match="W_fixed"):
         nt.nmf_encode(Vs, W, W_fixed=True)
-    with pytest.raises(ValueError, match="euclidean.*or.*kl"):
-        nt.nmf_encode(Vs, W, divergence="is")
     res = nt.nmf_encode(Vs, W, maxiter=8, seed=3, device_output=True)
     assert isinstance(res.H, jax.Array)
     assert np.all(np.isfinite(res.cost))
@@ -345,3 +343,45 @@ def test_conv_encode_multisource_matches_single():
     import pytest
     with pytest.raises(ValueError, match="context length"):
         nt.cnmf_encode(Vs, [WA, WB[:, :, :2]])
+
+
+def test_encode_is_and_ab_match_fixed_w_single():
+    """IS and AB (incl. the alpha=0 dual) encode trajectories pin against
+    the single solver's naive W_fixed path — the full nmf() divergence
+    family is available in serving (nmf.m:147-199)."""
+    rng = np.random.default_rng(19)
+    B, m, n, k, iters = 2, 12, 15, 3, 10
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    for div_kw in ({"divergence": "is"},
+                   {"divergence": "ab", "alpha": 0.5, "beta": 1.5},
+                   {"divergence": "ab", "alpha": 0.0, "beta": 2.0}):
+        res = nt.nmf_encode(Vs, W, H_init=H0, maxiter=iters,
+                            dtype=np.float64, **div_kw)
+        for b in range(B):
+            ref = nt.nmf(Vs[b], k, W_init=W, W_fixed=True, H_init=H0[b],
+                         maxiter=iters, tolerance=1e-30, dtype=np.float64,
+                         **div_kw)
+            np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9,
+                                       err_msg=str(div_kw))
+            np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9,
+                                       err_msg=str(div_kw))
+
+
+def test_conv_encode_is_matches_fixed_w_single():
+    """cnmf maps IS onto (alpha, beta) = (1, -1) (cnmf.m:137-147); the
+    convolutive encode engine pins against that path."""
+    rng = np.random.default_rng(20)
+    B, m, n, k, T, iters = 2, 10, 14, 2, 3, 8
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(0.1, 1, (m, k, T))
+    H0 = rng.uniform(size=(B, k, n))
+    res = nt.cnmf_encode(Vs, W, H_init=H0, divergence="is", maxiter=iters,
+                         dtype=np.float64)
+    for b in range(B):
+        ref = nt.cnmf(Vs[b], k, T, W_init=W, W_fixed=True, H_init=H0[b],
+                      divergence="is", maxiter=iters, tolerance=1e-30,
+                      dtype=np.float64)
+        np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
