@@ -77,42 +77,18 @@ def main(quick: bool, write: bool):
         "kl_f32": timed("kl_f32", divergence="kl"),
     }
 
-    # Fixed-dictionary encoding (nmf_encode): ONE shared trained W, H-only
-    # MU for the whole stack.  Euclid iterations are V-free (one-time W'V),
-    # so this is the serving fast path.
+    # Fixed-dictionary encoding (nmf_encode / cnmf_encode): ONE shared
+    # trained W, H-only MU for the whole stack.  Euclid iterations are
+    # V-free after the one-time W'V, so this is the serving fast path.
     Wd = jnp.asarray(bases[0] / np.sqrt((bases[0] ** 2).sum(0)))
-    Wd.block_until_ready()
-
-    def timed_encode(label, **cfg):
-        def call():
-            r = nt.nmf_encode(Vs, Wd, maxiter=iters, seed=1,
-                              device_output=True, **cfg)
-            return float(np.asarray(r.cost)[:, -1].sum())  # fence
-        t = time.perf_counter(); call(); compile_s = time.perf_counter() - t
-        ts = []
-        for _ in range(repeats):
-            t = time.perf_counter(); call()
-            ts.append(time.perf_counter() - t)
-        dev = statistics.median(ts)
-        row = {"device_s": round(dev, 4),
-               "ms_per_problem_device": round(1e3 * dev / B, 3),
-               "compile_s": round(compile_s, 1)}
-        print(f"{label}: {row}", flush=True)
-        return row
-
-    rows["encode_euclid_f32"] = timed_encode("encode_euclid_f32")
-    rows["encode_kl_f32"] = timed_encode("encode_kl_f32", divergence="kl")
-
-    # Convolutive dictionary (T=4): euclid iterations run in
-    # (T, T, k, k) Gram space after a one-time conv_wt_phi(W, V).
     T = 4
     Wc = jnp.asarray(rng.gamma(2.0, 1.0, (m, k, T)).astype(np.float32))
-    Wc.block_until_ready()
+    Wd.block_until_ready(); Wc.block_until_ready()
 
-    def timed_conv_encode(label, **cfg):
+    def timed_encode(label, engine, Wdict, extra_row=None, **cfg):
         def call():
-            r = nt.cnmf_encode(Vs, Wc, maxiter=iters, seed=1,
-                               device_output=True, **cfg)
+            r = engine(Vs, Wdict, maxiter=iters, seed=1,
+                       device_output=True, **cfg)
             return float(np.asarray(r.cost)[:, -1].sum())  # fence
         t = time.perf_counter(); call(); compile_s = time.perf_counter() - t
         ts = []
@@ -122,13 +98,18 @@ def main(quick: bool, write: bool):
         dev = statistics.median(ts)
         row = {"device_s": round(dev, 4),
                "ms_per_problem_device": round(1e3 * dev / B, 3),
-               "compile_s": round(compile_s, 1), "T": T}
+               "compile_s": round(compile_s, 1), **(extra_row or {})}
         print(f"{label}: {row}", flush=True)
         return row
 
-    rows["conv_encode_euclid_f32"] = timed_conv_encode("conv_encode_euclid_f32")
-    rows["conv_encode_kl_f32"] = timed_conv_encode("conv_encode_kl_f32",
-                                                   divergence="kl")
+    rows["encode_euclid_f32"] = timed_encode(
+        "encode_euclid_f32", nt.nmf_encode, Wd)
+    rows["encode_kl_f32"] = timed_encode(
+        "encode_kl_f32", nt.nmf_encode, Wd, divergence="kl")
+    rows["conv_encode_euclid_f32"] = timed_encode(
+        "conv_encode_euclid_f32", nt.cnmf_encode, Wc, {"T": T})
+    rows["conv_encode_kl_f32"] = timed_encode(
+        "conv_encode_kl_f32", nt.cnmf_encode, Wc, {"T": T}, divergence="kl")
     out = {"config": {"B": B, "m": m, "n": n, "k": k, "maxiter": iters,
                       "repeats": repeats, "quick": quick},
            "rows": rows, "device": str(jax.devices()[0])}

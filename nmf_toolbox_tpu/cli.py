@@ -142,6 +142,11 @@ def main(argv=None):
                      ("H_sparsity", args.h_sparsity), ("dtype", args.dtype)]:
         if val is not None:
             cfg[key] = val
+    if args.dictionary is not None and args.solver != "encode":
+        print("error: --dict only applies to the 'encode' solver (use "
+              "--resume + --fix W for single-matrix fixed-basis fits)",
+              file=sys.stderr)
+        return 2
     if args.solver == "encode":
         # Fixed-dictionary batched encoding (nmf_encode): a (B, m, n)
         # stack against one frozen W.  Its own branch — the generic
@@ -152,7 +157,6 @@ def main(argv=None):
             ("--w-sparsity", args.w_sparsity),
             ("--resume", args.resume), ("--fix", args.fix),
             ("--checkpoint-every", args.checkpoint_every),
-            ("--weights", args.weights),
             ("--init", args.init if args.init not in (None, "random")
              else None),
             ("--inner-iters", args.inner_iters),
@@ -181,6 +185,9 @@ def main(argv=None):
                     return 2
         else:
             W = load_matrix(args.dictionary)
+        if args.weights is not None:
+            # (m, n) shared across the batch or (B, m, n) per problem
+            cfg["weights"] = load_matrix(args.weights)
         if args.mesh:
             from nmf_toolbox_tpu.parallel import make_mesh
             cfg["mesh"] = make_mesh(args.mesh)

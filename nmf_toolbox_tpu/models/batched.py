@@ -184,6 +184,69 @@ def _data_dtype_of(cfg, div, name):
     return jnp.dtype(dd)
 
 
+def _encode_weights_of(cfg, B, m, n, mesh, solver, name, dtype):
+    """Validate + place the encode engines' optional per-entry weights:
+    (m, n) shared across the batch or (B, m, n) per problem; nonnegative
+    and NaN-free (weight 0 = missing entry).  Returns (weights, mode)
+    with mode in (None, 'shared', 'batched')."""
+    Mw = cfg.get("weights")
+    if Mw is None:
+        return None, None
+    Mw = jnp.asarray(Mw, dtype)
+    if Mw.shape == (m, n):
+        mode = "shared"
+    elif Mw.shape == (B, m, n):
+        mode = "batched"
+    else:
+        raise ValueError(
+            f"{name}: weights must be (m, n) = {(m, n)} shared across the "
+            f"batch or (B, m, n) = {(B, m, n)} per problem; got {Mw.shape}")
+    if bool(jnp.any(Mw < 0) | jnp.any(jnp.isnan(Mw))):
+        raise ValueError(
+            "weights must be nonnegative and NaN-free; to down-weight or "
+            "drop an entry use weight 0 (padding.prepare_weights contract)")
+    if mesh is not None:
+        from ..parallel import replicate
+        # batched weights shard like V (problems over the sample axis);
+        # shared weights replicate like the dictionary.
+        Mw = (apply_placements(mesh, solver, V=Mw) if mode == "batched"
+              else jax.device_put(Mw, replicate(mesh)))
+    return Mw, mode
+
+
+def _check_batch_mesh(B, mesh, name):
+    """Friendly divisibility error (mirrors nmf_multiseed's S check)."""
+    if mesh is None:
+        return
+    _, nmul = mesh_multiples(mesh)
+    if B % nmul:
+        raise ValueError(
+            f"{name}: batch size B={B} must be a multiple of the mesh's "
+            f"sample axis ({nmul}): problems shard over it. Pad the batch "
+            "or use a smaller mesh.")
+
+
+def _reject_encode_config(cfg, name):
+    """The encode engines fit H only, for a fixed iteration count; error
+    rather than silently ignore options that cannot apply (the CLI's
+    convention)."""
+    msgs = {
+        "W_fixed": "the dictionary W is the positional argument and is "
+                   "always fixed",
+        "W_init": "the dictionary W is the positional argument and is "
+                  "always fixed",
+        "W_sparsity": "the dictionary W is the positional argument and is "
+                      "always fixed",
+        "H_fixed": "encoding fits H — with H also fixed there is nothing "
+                   "to solve",
+        "inner_iters": "accelerated MU repeats the W phase, which encode "
+                       "does not run",
+    }
+    for key, why in msgs.items():
+        if cfg.get(key) is not None:
+            raise ValueError(f"{name}: {key!r} does not apply — {why}")
+
+
 def _inner_of(cfg, div, name):
     """Validate inner_iters (accelerated MU is euclid-Gram-only,
     matching nmf()'s contract)."""
@@ -292,6 +355,7 @@ class _EncSpec(NamedTuple):
     div: str = "euclidean"
     alpha: float = 1.0
     beta: float = 1.0
+    weighted: str | None = None   # None | 'shared' (m, n) | 'batched' (B, m, n)
 
 
 @functools.lru_cache(maxsize=None)
@@ -311,6 +375,41 @@ def _build_encode_solver(spec: _EncSpec):
     """
     euclid = spec.div == "euclidean"
     a, b = spec.alpha, spec.beta
+
+    if spec.weighted is not None:
+        # Per-entry weighted objective: every divergence goes through the
+        # field form with both fields weight-scaled (ops/divergence.py),
+        # exactly like nmf(weights=) under W_fixed (which forces
+        # method='naive' for euclid too — the Gram hoist is invalid since
+        # the weighted positive field moves with V_hat each iteration).
+        mw_axis = 0 if spec.weighted == "batched" else None
+
+        @jax.jit
+        def solve_w(Vs, W, H0, hsp, Mw):
+            cdt = jnp.promote_types(W.dtype, jnp.float32)
+            eps = jnp.asarray(spec.eps, cdt)
+
+            def one_step(V, Mwi, H):
+                V_hat = W @ H
+                phi_neg, phi_pos, power = dv.fields(spec.div, V, V_hat,
+                                                    a, b, weights=Mwi)
+                neg = dv.apply_power(W.T @ phi_neg, power)
+                pos = dv.apply_power(W.T @ phi_pos, power)
+                Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
+                c = dv.cost(spec.div, V, W @ Hn, a, b, weights=Mwi)
+                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+                return Hn, c
+
+            step_b = jax.vmap(one_step, in_axes=(0, mw_axis, 0))
+
+            def body(H, _):
+                H, c = step_b(Vs, Mw, H)
+                return H, c
+
+            H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+            return H, costs.T  # (B, iters)
+
+        return solve_w
 
     @jax.jit
     def solve(Vs, W, H0, hsp):
@@ -409,11 +508,7 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
     beta = float(cfg.get("beta", 1.0))
     if div == "ab" and alpha == 0.0 and beta == 0.0:
         raise ValueError("alpha = 0 and beta = 0 is not supported at this time.")
-    for bad in ("W_fixed", "W_init", "W_sparsity"):
-        if cfg.get(bad) is not None:
-            raise ValueError(f"nmf_encode: {bad!r} does not apply — the "
-                             "dictionary W is the positional argument and "
-                             "is always fixed")
+    _reject_encode_config(cfg, "nmf_encode")
     dtype = resolve_dtype(Vs, cfg.get("dtype"))
     Vs = jnp.asarray(Vs, dtype)
     if Vs.ndim != 3:
@@ -421,6 +516,7 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
                          f"{Vs.shape} (encode a single matrix with "
                          "nmf(V, k, W_init=W, W_fixed=True))")
     B, m, n = Vs.shape
+    _check_batch_mesh(B, cfg.get("mesh"), "nmf_encode")
     # Multi-source dictionary (MATLAB cell-array semantics, nmf.m:114-116):
     # a list of per-source dictionaries concatenates along the basis axis
     # and H unwraps to per-source blocks on return — the shape separate()
@@ -456,16 +552,24 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
 
     dd = _data_dtype_of(cfg, div, "nmf_encode")
     if dd is not None:
+        if cfg.get("weights") is not None:
+            raise ValueError("nmf_encode: data_dtype is not supported with "
+                             "weights= (the weighted fields read V at "
+                             "compute precision, matching nmf()'s contract)")
         Vs = Vs.astype(dd)  # storage dtype; factors stay at compute dtype
 
     # mesh: problems shard over the batch axis; the dictionary and its
     # (k, k) Gram are replicated (k is small).
-    Vs, W, H0 = apply_placements(cfg.get("mesh"), "nmf_encode",
-                                 V=Vs, W=W, H=H0)
+    mesh = cfg.get("mesh")
+    Vs, W, H0 = apply_placements(mesh, "nmf_encode", V=Vs, W=W, H=H0)
+    Mw, mw_mode = _encode_weights_of(cfg, B, m, n, mesh, "nmf_encode",
+                                     "nmf_encode", dtype)
 
-    H, costs = _build_encode_solver(_EncSpec(maxiter, eps, div,
-                                             alpha, beta))(
-        Vs, W, H0, hsp)
+    spec = _EncSpec(maxiter, eps, div, alpha, beta, mw_mode)
+    if Mw is None:
+        H, costs = _build_encode_solver(spec)(Vs, W, H0, hsp)
+    else:
+        H, costs = _build_encode_solver(spec)(Vs, W, H0, hsp, Mw)
     if cfg.get("device_output"):
         # Serving option: factors stay jax arrays (no host round trip);
         # multi-source unwrap slices without fetching.
@@ -488,6 +592,7 @@ class _ConvEncSpec(NamedTuple):
     T: int
     alpha: float = 1.0
     beta: float = 1.0
+    weighted: str | None = None   # None | 'shared' | 'batched'
 
 
 @functools.lru_cache(maxsize=None)
@@ -507,10 +612,46 @@ def _build_conv_encode_solver(spec: _ConvEncSpec):
                              stack_shifts_right)
     T = spec.T
     a, b = spec.alpha, spec.beta
-    euclid = spec.div == "euclidean" and a == 1.0 and b == 1.0
+    weighted = spec.weighted is not None
+    euclid = spec.div == "euclidean" and a == 1.0 and b == 1.0 and not weighted
     dual = a == 0.0
     power = (1.0 / b) if dual else (None if a == 1.0 else 1.0 / a)
-    kl_fast = spec.div == "kl"
+    # The KL ones-field shortcut (and the reference's no-shift quirk it
+    # encodes, cnmf.m:220-224) is a property of the position-independent
+    # ones field only: with weights the positive field is the weight
+    # matrix and must be treated like any other field (cnmf.py step).
+    kl_fast = spec.div == "kl" and not weighted
+
+    if weighted:
+        mw_axis = 0 if spec.weighted == "batched" else None
+
+        @jax.jit
+        def solve_w(Vs, W, H0, hsp, Mw):
+            dt = W.dtype
+            eps = jnp.asarray(spec.eps, dt)
+
+            def one_step(V, Mwi, H):
+                V_hat = conv_reconstruct(W, H, None)
+                phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b,
+                                                   weights=Mwi)
+                gneg = dv.apply_power(conv_wt_phi(W, phi_neg), power)
+                gpos = dv.apply_power(conv_wt_phi(W, phi_pos), power)
+                Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+                c = dv.cost(spec.div, V, conv_reconstruct(W, Hn, None),
+                            a, b, weights=Mwi)
+                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+                return Hn, c
+
+            step_b = jax.vmap(one_step, in_axes=(0, mw_axis, 0))
+
+            def body(H, _):
+                H, c = step_b(Vs, Mw, H)
+                return H, c
+
+            H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+            return H, costs.T  # (B, iters)
+
+        return solve_w
 
     @jax.jit
     def solve(Vs, W, H0, hsp):
@@ -606,11 +747,11 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
                                cfg.get("beta", 1.0))
     if div == "ab" and alpha == 0.0 and beta == 0.0:
         raise ValueError("alpha = 0 and beta = 0 is not supported at this time.")
-    for bad in ("W_fixed", "W_init", "W_sparsity"):
-        if cfg.get(bad) is not None:
-            raise ValueError(f"cnmf_encode: {bad!r} does not apply — the "
-                             "dictionary W is the positional argument and "
-                             "is always fixed")
+    _reject_encode_config(cfg, "cnmf_encode")
+    if cfg.get("data_dtype") is not None:
+        raise ValueError("cnmf_encode: data_dtype is not supported — the "
+                         "one-time conv_wt_phi and the field paths read V "
+                         "at compute precision")
     dtype = resolve_dtype(Vs, cfg.get("dtype"))
     Vs = jnp.asarray(Vs, dtype)
     if Vs.ndim != 3:
@@ -618,6 +759,7 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
                          f"{Vs.shape} (encode a single matrix with "
                          "cnmf(V, k, T, W_init=W, W_fixed=True))")
     B, m, n = Vs.shape
+    _check_batch_mesh(B, cfg.get("mesh"), "cnmf_encode")
     # Multi-source convolutive dictionary: list concatenates along the
     # basis axis (all sources share T), H unwraps per source on return.
     w_list, w_was_seq = as_list(W)
@@ -651,18 +793,22 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
     # Entry cross-frame normalization with norm transfer into every
     # problem's H init (cnmf.m:157-166; cnmf.py applies this
     # unconditionally, W_fixed included — identity for trained dicts).
-    norms = jnp.sqrt(jnp.sum(W * W, axis=(0, 2))) / T  # (k,)
-    W = W / norms[None, :, None]
-    H0 = H0 * norms[None, :, None]
+    from ..ops.normalize import cross_frame_norm
+    W, H0 = cross_frame_norm(W, H0, T)
     h_sp = [max(float(v), 0.0) for v in
             promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)]
     hsp = per_column(h_sp, ks, dtype)
 
-    Vs, W, H0 = apply_placements(cfg.get("mesh"), "cnmf_encode",
-                                 V=Vs, W=W, H=H0)
+    mesh = cfg.get("mesh")
+    Vs, W, H0 = apply_placements(mesh, "cnmf_encode", V=Vs, W=W, H=H0)
+    Mw, mw_mode = _encode_weights_of(cfg, B, m, n, mesh, "cnmf_encode",
+                                     "cnmf_encode", dtype)
 
-    H, costs = _build_conv_encode_solver(
-        _ConvEncSpec(maxiter, eps, div, T, alpha, beta))(Vs, W, H0, hsp)
+    spec = _ConvEncSpec(maxiter, eps, div, T, alpha, beta, mw_mode)
+    if Mw is None:
+        H, costs = _build_conv_encode_solver(spec)(Vs, W, H0, hsp)
+    else:
+        H, costs = _build_conv_encode_solver(spec)(Vs, W, H0, hsp, Mw)
     if cfg.get("device_output"):
         Wo = ([W[:, a:b] for a, b in blocks] if w_was_seq else W)
         Ho = ([H[:, a:b] for a, b in blocks] if w_was_seq else H)
@@ -700,6 +846,7 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
     if Vs.ndim != 3:
         raise ValueError(f"nmf_batched expects (B, m, n); got {Vs.shape}")
     B, m, n = Vs.shape
+    _check_batch_mesh(B, cfg.get("mesh"), "nmf_batched")
     k = int(num_basis_elems)
     maxiter, _, eps, key = common_scalars(cfg)
     kw, kh = jax.random.split(key)

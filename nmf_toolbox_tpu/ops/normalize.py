@@ -42,5 +42,7 @@ def cross_frame_norm(W, H=None, context_len: int | None = None):
     norms = jnp.sqrt(jnp.sum(W * W, axis=(0, 2))) / T  # (k,)
     W = W / norms[None, :, None]
     if H is not None:
-        H = H * norms[:, None]
+        # H may carry a leading batch axis (the encode engines transfer
+        # the norms into every problem's init).
+        H = H * (norms[:, None] if H.ndim == 2 else norms[None, :, None])
     return W, H

@@ -385,3 +385,95 @@ def test_conv_encode_is_matches_fixed_w_single():
                       dtype=np.float64)
         np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9)
         np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+
+
+def test_encode_weighted_matches_fixed_w_single():
+    """weights= (missing-data masks — the matrix-completion serving
+    scorer, DESIGN.md section 13) pins against nmf(..., W_fixed=True,
+    weights=M): shared (m, n) and per-problem (B, m, n) forms."""
+    import pytest
+    rng = np.random.default_rng(21)
+    B, m, n, k, iters = 2, 14, 18, 3, 10
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    M_shared = (rng.uniform(size=(m, n)) < 0.8).astype(float)
+    M_batched = (rng.uniform(size=(B, m, n)) < 0.8).astype(float)
+    for div in ("euclidean", "kl"):
+        for Mw, pick in ((M_shared, lambda b: M_shared),
+                         (M_batched, lambda b: M_batched[b])):
+            res = nt.nmf_encode(Vs, W, H_init=H0, weights=Mw,
+                                divergence=div, maxiter=iters,
+                                dtype=np.float64)
+            for b in range(B):
+                ref = nt.nmf(Vs[b], k, W_init=W, W_fixed=True,
+                             H_init=H0[b], weights=pick(b), divergence=div,
+                             maxiter=iters, tolerance=1e-30,
+                             dtype=np.float64)
+                np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9,
+                                           err_msg=div)
+                np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9,
+                                           err_msg=div)
+    with pytest.raises(ValueError, match="nonnegative"):
+        nt.nmf_encode(Vs, W, weights=-M_shared, maxiter=2)
+    with pytest.raises(ValueError, match="weights must be"):
+        nt.nmf_encode(Vs, W, weights=np.ones((3, 3)), maxiter=2)
+    with pytest.raises(ValueError, match="data_dtype"):
+        nt.nmf_encode(Vs, W, weights=M_shared, data_dtype="bfloat16",
+                      maxiter=2)
+
+
+def test_conv_encode_weighted_matches_fixed_w_single():
+    """Weighted convolutive encode uses the paper-correct SHIFTED
+    positive field (the KL no-shift quirk is ones-field-only), matching
+    cnmf(..., W_fixed=True, weights=M)."""
+    rng = np.random.default_rng(22)
+    B, m, n, k, T, iters = 2, 11, 15, 2, 3, 8
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(0.1, 1, (m, k, T))
+    H0 = rng.uniform(size=(B, k, n))
+    M = (rng.uniform(size=(m, n)) < 0.85).astype(float)
+    for div in ("euclidean", "kl"):
+        res = nt.cnmf_encode(Vs, W, H_init=H0, weights=M, divergence=div,
+                             maxiter=iters, dtype=np.float64)
+        for b in range(B):
+            ref = nt.cnmf(Vs[b], k, T, W_init=W, W_fixed=True, H_init=H0[b],
+                          weights=M, divergence=div, maxiter=iters,
+                          tolerance=1e-30, dtype=np.float64)
+            np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9,
+                                       err_msg=div)
+            np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9,
+                                       err_msg=div)
+
+
+def test_encode_rejects_inapplicable_config():
+    """Silently-ignored config is a bug class (review finding): the
+    encode engines error on options that cannot apply."""
+    import pytest
+    rng = np.random.default_rng(23)
+    Vs = rng.uniform(0.1, 1, (2, 8, 10)).astype(np.float32)
+    W = rng.uniform(size=(8, 2)).astype(np.float32)
+    Wc = rng.uniform(size=(8, 2, 2)).astype(np.float32)
+    for bad in ({"H_fixed": True}, {"inner_iters": 3}, {"W_sparsity": 0.1}):
+        with pytest.raises(ValueError, match="does not apply"):
+            nt.nmf_encode(Vs, W, maxiter=2, **bad)
+        with pytest.raises(ValueError, match="does not apply"):
+            nt.cnmf_encode(Vs, Wc, maxiter=2, **bad)
+    with pytest.raises(ValueError, match="data_dtype"):
+        nt.cnmf_encode(Vs, Wc, data_dtype="bfloat16", maxiter=2)
+
+
+def test_encode_mesh_divisibility_error():
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nmf_toolbox_tpu.parallel import make_mesh
+    rng = np.random.default_rng(24)
+    Vs = rng.uniform(0.1, 1, (3, 8, 10)).astype(np.float32)
+    W = rng.uniform(size=(8, 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        nt.nmf_encode(Vs, W, maxiter=2, mesh=make_mesh(8))
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        nt.cnmf_encode(Vs, rng.uniform(size=(8, 2, 2)).astype(np.float32),
+                       maxiter=2, mesh=make_mesh(8))

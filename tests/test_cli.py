@@ -398,3 +398,33 @@ def test_cli_encode_convolutive(tmp_path):
     with np.load(out) as z:
         assert z["H"].shape == (B, k, n)
         assert z["W"].shape == (m, k, T)
+
+
+def test_cli_dict_rejected_for_other_solvers(tmp_path):
+    rng = np.random.default_rng(15)
+    v = str(tmp_path / "V.npy")
+    np.save(v, rng.uniform(0.1, 1, (8, 10)).astype(np.float32))
+    w = str(tmp_path / "W.npy")
+    np.save(w, rng.uniform(size=(8, 2)).astype(np.float32))
+    r = run_cli(["nmf", v, "--k", "2", "--dict", w,
+                 "--out", str(tmp_path / "o.npz")])
+    assert r.returncode == 2 and "--dict only applies" in r.stderr
+
+
+def test_cli_encode_weights(tmp_path):
+    """--weights on encode: masked batch encoding (matrix-completion
+    scoring)."""
+    rng = np.random.default_rng(16)
+    B, m, n, k = 2, 10, 12, 2
+    vs = str(tmp_path / "Vs.npy")
+    np.save(vs, rng.uniform(0.1, 1, (B, m, n)).astype(np.float32))
+    w = str(tmp_path / "W.npy")
+    np.save(w, rng.uniform(size=(m, k)).astype(np.float32))
+    mw = str(tmp_path / "M.npy")
+    np.save(mw, (rng.uniform(size=(m, n)) < 0.8).astype(np.float32))
+    out = str(tmp_path / "enc.npz")
+    r = run_cli(["encode", vs, "--dict", w, "--weights", mw,
+                 "--maxiter", "6", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    with np.load(out) as z:
+        assert z["H"].shape == (B, k, n)
