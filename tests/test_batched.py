@@ -477,3 +477,24 @@ def test_encode_mesh_divisibility_error():
     with pytest.raises(ValueError, match="multiple of the mesh"):
         nt.cnmf_encode(Vs, rng.uniform(size=(8, 2, 2)).astype(np.float32),
                        maxiter=2, mesh=make_mesh(8))
+
+
+def test_encode_weighted_sharded_matches_single_device():
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nmf_toolbox_tpu.parallel import make_mesh
+    rng = np.random.default_rng(25)
+    B, m, n, k = 8, 10, 14, 2
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    for Mw in ((rng.uniform(size=(m, n)) < 0.8).astype(float),
+               (rng.uniform(size=(B, m, n)) < 0.8).astype(float)):
+        a = nt.nmf_encode(Vs, W, H_init=H0, weights=Mw, divergence="kl",
+                          maxiter=8, dtype=np.float64)
+        b = nt.nmf_encode(Vs, W, H_init=H0, weights=Mw, divergence="kl",
+                          maxiter=8, dtype=np.float64, mesh=make_mesh(8))
+        np.testing.assert_allclose(a.H, b.H, atol=1e-10)
+        np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
