@@ -106,12 +106,15 @@ def main(argv=None):
 
     shape = tuple(int(x) for x in args.shape.split(",")) if args.shape else None
     if args.streaming:
-        if args.solver != "nmf" or not args.input.endswith(".npy"):
-            print("error: --streaming supports the nmf solver with .npy input",
-                  file=sys.stderr)
+        if args.solver not in ("nmf", "encode") or not args.input.endswith(".npy"):
+            print("error: --streaming supports the nmf and encode solvers "
+                  "with .npy input", file=sys.stderr)
             return 2
-        # The streaming path is euclidean-only with a reduced config; error
-        # rather than silently ignore options it cannot honor.
+    if args.streaming and args.solver == "nmf":
+        # The streaming TRAINING path is euclidean-only with a reduced
+        # config; error rather than silently ignore options it cannot
+        # honor.  (Streaming ENCODE supports the full encode config and
+        # is handled in the encode branch below.)
         unsupported = [flag for flag, val in [
             ("--divergence", args.divergence if args.divergence
              not in (None, "euclidean") else None),
@@ -131,6 +134,8 @@ def main(argv=None):
             print("error: --streaming (euclidean out-of-core) does not "
                   f"support: {', '.join(unsupported)}", file=sys.stderr)
             return 2
+        V = np.load(args.input, mmap_mode="r")
+    elif args.streaming:  # encode: memory-map, blocks staged by the engine
         V = np.load(args.input, mmap_mode="r")
     else:
         V = load_matrix(args.input, shape=shape, dtype=args.input_dtype)
@@ -192,6 +197,29 @@ def main(argv=None):
             from nmf_toolbox_tpu.parallel import make_mesh
             cfg["mesh"] = make_mesh(args.mesh)
         cfg.pop("tolerance", None)  # fixed-iteration batched engine
+        if args.streaming:
+            # Out-of-core: ONE wide (m, n) matrix streamed in column
+            # blocks against a 2-D dictionary (exact; H is column-local).
+            if np.ndim(W) == 3:
+                print("error: --streaming encode supports 2-D dictionaries",
+                      file=sys.stderr)
+                return 2
+            try:
+                res = nt.nmf_encode_streaming(V, W,
+                                              block_size=args.block_size,
+                                              **cfg)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            save_factors(args.out, res)
+            if not args.quiet:
+                print(json.dumps({
+                    "solver": "encode", "streaming": True,
+                    "shape": list(V.shape), "k": int(W.shape[1]),
+                    "iterations": int(res.n_iters),
+                    "final_cost": float(np.asarray(res.cost)[-1]),
+                    "out": args.out}))
+            return 0
         # A 3-D dictionary (m, k, T) selects the convolutive engine.
         engine = nt.cnmf_encode if np.ndim(W) == 3 else nt.nmf_encode
         try:

@@ -195,3 +195,77 @@ def nmf_streaming(V, num_basis_elems: int, config: dict | None = None,
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W)[:m], H=H, cost=np.asarray(cost),
                   n_iters=len(cost), converged=len(cost) < epochs)
+
+
+def nmf_encode_streaming(V, W, config: dict | None = None, **kwargs):
+    """EXACT out-of-core encoding of one wide matrix against a frozen
+    dictionary — the streaming counterpart of ``nmf_encode``.
+
+    With W fixed, every MU H update is COLUMN-LOCAL (the denominator
+    fields of nmf.m:178-199 touch each column of H independently), so
+    encoding column blocks separately reproduces the in-memory
+    ``nmf(V, k, W_init=W, W_fixed=True)`` trajectory exactly — unlike
+    streaming TRAINING (``nmf_streaming``), which is an online
+    approximation.  Only (m, block) slices ever touch the device; V can
+    be a memory-mapped .npy.
+
+    Parameters: block_size (4096), divergence (full nmf family),
+    alpha/beta, H_sparsity, H_init ((k, n) indexable, sliced per block;
+    default per-block uniform from ``seed``), weights ((m, n) indexable,
+    sliced per block), maxiter (100), seed, dtype, eps, out (optional
+    (k, n) writable array — e.g. an np.memmap — H blocks are written in
+    place and the Result carries ``H=out``).  Returns Result with
+    W (m, k, normalized), H (k, n) (or the ``out`` array), and
+    cost (maxiter,) — the per-iteration objective summed over blocks,
+    equal to the in-memory trace up to summation order.
+    """
+    from .batched import nmf_encode
+
+    cfg = merge_config(config, kwargs)
+    block = int(cfg.pop("block_size", 4096) or 4096)
+    out = cfg.pop("out", None)
+    if cfg.get("mesh") is not None:
+        raise ValueError("nmf_encode_streaming is the single-device "
+                         "out-of-core path; use nmf_encode(mesh=) for "
+                         "in-memory multi-chip encoding")
+    m, n = V.shape
+    dtype = resolve_dtype(np.asarray(V[:, :1]), cfg.get("dtype"))
+    W = jnp.asarray(W, dtype)
+    if W.ndim != 2 or W.shape[0] != m:
+        raise ValueError(f"dictionary W must be (m, k) = ({m}, k); got "
+                         f"{W.shape}")
+    k = W.shape[1]
+    W = unit_l2_columns(W)  # idempotent with nmf_encode's own entry norm
+    H_init = cfg.pop("H_init", None)
+    weights = cfg.pop("weights", None)
+    maxiter, _, _, key = common_scalars(cfg)
+    cfg.pop("tolerance", None)  # fixed-iteration engine, like nmf_encode
+
+    if out is not None and np.shape(out) != (k, n):
+        raise ValueError(f"out must be a writable (k, n) = {(k, n)} array; "
+                         f"got {np.shape(out)}")
+    parts = [] if out is None else None
+    cost = np.zeros(maxiter, np.float64)
+    starts = list(range(0, n, block))
+    for bi, a in enumerate(starts):
+        b = min(a + block, n)
+        Vb = np.asarray(V[:, a:b])
+        if H_init is not None:
+            Hb0 = np.asarray(H_init[:, a:b])[None]
+        else:
+            Hb0 = np.asarray(uniform_init(
+                jax.random.fold_in(key, bi), (1, k, b - a), dtype))
+        bcfg = dict(cfg)
+        bcfg.pop("maxiter", None)  # passed explicitly below
+        if weights is not None:
+            bcfg["weights"] = np.asarray(weights[:, a:b])
+        res = nmf_encode(Vb[None], W, H_init=Hb0, maxiter=maxiter, **bcfg)
+        cost += np.asarray(res.cost[0], np.float64)
+        if out is None:
+            parts.append(np.asarray(res.H[0]))
+        else:
+            out[:, a:b] = np.asarray(res.H[0])
+    H = out if out is not None else np.concatenate(parts, axis=1)
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=H, cost=cost,
+                  n_iters=maxiter, converged=False)

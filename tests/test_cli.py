@@ -428,3 +428,22 @@ def test_cli_encode_weights(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     with np.load(out) as z:
         assert z["H"].shape == (B, k, n)
+
+
+def test_cli_encode_streaming(tmp_path):
+    """encode --streaming: one wide memory-mapped matrix, exact
+    block-wise encoding against the dictionary."""
+    rng = np.random.default_rng(17)
+    m, n, k = 12, 50, 2
+    v = str(tmp_path / "V.npy")
+    np.save(v, rng.uniform(0.1, 1, (m, n)).astype(np.float32))
+    w = str(tmp_path / "W.npy")
+    np.save(w, rng.uniform(size=(m, k)).astype(np.float32))
+    out = str(tmp_path / "enc.npz")
+    r = run_cli(["encode", v, "--dict", w, "--streaming",
+                 "--block-size", "16", "--maxiter", "6", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["streaming"] is True and summary["k"] == k
+    with np.load(out) as z:
+        assert z["H"].shape == (k, n)

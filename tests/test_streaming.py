@@ -83,3 +83,71 @@ def test_streaming_mesh_matches_single_device(tmp_path):
         np.testing.assert_allclose(b.H, a.H, atol=1e-10)
         np.testing.assert_allclose(np.asarray(b.cost), np.asarray(a.cost),
                                    rtol=1e-10)
+
+
+def test_encode_streaming_exact_vs_in_memory():
+    """Streaming encode is EXACT (H columns are independent given W):
+    block results equal the in-memory fixed-W run, any divergence."""
+    import nmf_toolbox_tpu as nt
+    rng = np.random.default_rng(30)
+    m, n, k = 16, 53, 3  # n deliberately not a block multiple
+    V = rng.uniform(0.1, 1, (m, n))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(k, n))
+    for div in ("euclidean", "kl"):
+        res = nt.nmf_encode_streaming(V, W, H_init=H0, block_size=17,
+                                      divergence=div, maxiter=9,
+                                      dtype=np.float64)
+        ref = nt.nmf(V, k, W_init=W, W_fixed=True, H_init=H0,
+                     divergence=div, maxiter=9, tolerance=1e-30,
+                     dtype=np.float64)
+        np.testing.assert_allclose(res.H, ref.H, atol=1e-9, err_msg=div)
+        np.testing.assert_allclose(res.cost, ref.cost, rtol=1e-9,
+                                   err_msg=div)
+
+
+def test_encode_streaming_mmap_and_out(tmp_path):
+    """Memory-mapped input + in-place memmap output: nothing larger than
+    a block materializes."""
+    import nmf_toolbox_tpu as nt
+    rng = np.random.default_rng(31)
+    m, n, k = 12, 40, 2
+    V = rng.uniform(0.1, 1, (m, n)).astype(np.float32)
+    p = tmp_path / "V.npy"
+    np.save(p, V)
+    Vmm = np.load(p, mmap_mode="r")
+    W = rng.uniform(size=(m, k)).astype(np.float32)
+    out = np.lib.format.open_memmap(tmp_path / "H.npy", mode="w+",
+                                    dtype=np.float32, shape=(k, n))
+    res = nt.nmf_encode_streaming(Vmm, W, block_size=16, maxiter=8,
+                                  seed=2, out=out)
+    assert res.H is out
+    out.flush()
+    H = np.load(tmp_path / "H.npy")
+    assert np.all(np.isfinite(H)) and H.shape == (k, n)
+    rel = np.linalg.norm(V - np.asarray(res.W) @ H) / np.linalg.norm(V)
+    assert rel < 0.6  # random dictionary: just sanity
+
+
+def test_encode_streaming_weighted_and_validation():
+    import pytest
+    import nmf_toolbox_tpu as nt
+    rng = np.random.default_rng(32)
+    m, n, k = 10, 30, 2
+    V = rng.uniform(0.1, 1, (m, n))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(k, n))
+    M = (rng.uniform(size=(m, n)) < 0.8).astype(float)
+    res = nt.nmf_encode_streaming(V, W, H_init=H0, weights=M,
+                                  block_size=13, divergence="kl",
+                                  maxiter=6, dtype=np.float64)
+    ref = nt.nmf(V, k, W_init=W, W_fixed=True, H_init=H0, weights=M,
+                 divergence="kl", maxiter=6, tolerance=1e-30,
+                 dtype=np.float64)
+    np.testing.assert_allclose(res.H, ref.H, atol=1e-9)
+    np.testing.assert_allclose(res.cost, ref.cost, rtol=1e-9)
+    with pytest.raises(ValueError, match="out must be"):
+        nt.nmf_encode_streaming(V, W, out=np.zeros((k, n + 1)), maxiter=2)
+    with pytest.raises(ValueError, match="single-device"):
+        from nmf_toolbox_tpu.parallel import make_mesh
+        nt.nmf_encode_streaming(V, W, mesh=make_mesh(1), maxiter=2)
