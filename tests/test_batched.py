@@ -477,6 +477,8 @@ def test_encode_mesh_divisibility_error():
     with pytest.raises(ValueError, match="multiple of the mesh"):
         nt.cnmf_encode(Vs, rng.uniform(size=(8, 2, 2)).astype(np.float32),
                        maxiter=2, mesh=make_mesh(8))
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        nt.nmf_batched(Vs, 2, maxiter=2, mesh=make_mesh(8))
 
 
 def test_encode_weighted_sharded_matches_single_device():
