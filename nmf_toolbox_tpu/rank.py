@@ -83,15 +83,28 @@ def _consensus_metrics(consensus: np.ndarray) -> tuple[float, float]:
 
 
 def estimate_rank_svd(V, energy: float = 0.90, max_rank: int = 64,
-                      seed: int = 0, dtype=None):
+                      seed: int = 0, dtype=None, block_size=None):
     """Smallest k capturing ``energy`` of ||V||_F^2, from a randomized SVD.
 
     Returns (rank, energy_curve) where energy_curve[i] is the fraction
     captured by the top i+1 singular values.  If even ``max_rank``
     components fall short (heavy-tailed spectrum), returns ``max_rank``.
+
+    ``block_size``: OUT-OF-CORE mode — V (e.g. a memory-mapped .npy) is
+    streamed in column blocks and only (m, p) / (p, p) arrays ever exist
+    on device or host (p = max_rank + oversampling): the range sketch
+    and every power iteration accumulate blockwise, orthonormalization
+    runs through (p, p) Gram Cholesky-QR, and the spectrum comes from
+    the accumulated (p, p) Gram of Q'V — the n axis is never
+    materialized.  Completes the out-of-core workflow: estimate the
+    rank, then `nmf_streaming` to train and `nmf_encode_streaming` to
+    encode, all without V in memory.
     """
     if not (0.0 < energy <= 1.0):
         raise ValueError(f"energy must be in (0, 1]; got {energy}")
+    if block_size is not None:
+        return _estimate_rank_svd_streaming(V, energy, max_rank, seed,
+                                            dtype, int(block_size))
     dtype = resolve_dtype(V, dtype)
     V = jnp.asarray(V, dtype)
     m, n = V.shape
@@ -105,6 +118,69 @@ def estimate_rank_svd(V, energy: float = 0.90, max_rank: int = 64,
     # Clip at 1: the randomized spectrum can overestimate individual
     # singular values by O(eps * s_1), pushing the cumulative sum a hair
     # past the exact ||V||_F^2.
+    curve = np.minimum(np.cumsum(s ** 2)
+                       / max(total, np.finfo(np.float64).tiny), 1.0)
+    hit = np.nonzero(curve >= energy)[0]
+    rank = int(hit[0]) + 1 if hit.size else k
+    return rank, curve
+
+
+def _estimate_rank_svd_streaming(V, energy, max_rank, seed, dtype,
+                                 block, oversample=10, power_iters=2):
+    """Blockwise randomized spectrum (Halko 2011 structure, one column-
+    block stream per stage).  The (n, p) sketch of the in-memory path is
+    replaced by its (p, p) Gram: with Z = V'Q accumulated per block,
+    qr(Z) = Z R^{-1} where R'R = Z'Z (Cholesky), so the next range
+    sketch V (Z R^{-1}) = (sum_b V_b Z_b) R^{-1} needs only the blockwise
+    products — nothing n-sized exists anywhere."""
+    from jax.scipy.linalg import solve_triangular
+    from .utils.init import _cholesky_qr, _working_eps
+
+    m, n = V.shape
+    dtype = resolve_dtype(np.asarray(V[:, :1]), dtype)
+    k = int(min(max_rank, m, n))
+    p = int(min(k + oversample, m, n))
+    eps = jnp.asarray(_working_eps(jnp.dtype(dtype)), dtype)
+    key = jax.random.PRNGKey(seed)
+    starts = list(range(0, n, block))
+
+    def blocks():
+        for bi, a in enumerate(starts):
+            yield bi, jnp.asarray(np.asarray(V[:, a:min(a + block, n)]),
+                                  dtype)
+
+    # Range sketch Y = V @ Omega, Omega rows drawn per block (fold_in
+    # keeps the stream independent of the block partition's seed use).
+    Y = jnp.zeros((m, p), dtype)
+    total = 0.0
+    for bi, Vb in blocks():
+        Om_b = jax.random.normal(jax.random.fold_in(key, bi),
+                                 (Vb.shape[1], p), dtype)
+        Y = Y + Vb @ Om_b
+        total += float(jnp.sum(jnp.square(Vb)))  # exact ||V||_F^2
+    Q = _cholesky_qr(Y, eps)
+
+    for _ in range(power_iters):
+        # One pass accumulates P = V (V'Q) and the Gram S = (V'Q)'(V'Q);
+        # the orthonormalized step is P R^{-1} with R = chol(S).
+        P = jnp.zeros((m, p), dtype)
+        S = jnp.zeros((p, p), dtype)
+        for _, Vb in blocks():
+            Zb = Vb.T @ Q
+            P = P + Vb @ Zb
+            S = S + Zb.T @ Zb
+        R = jnp.linalg.cholesky(
+            S + eps * jnp.trace(S) * jnp.eye(p, dtype=dtype)).T
+        Q = _cholesky_qr(solve_triangular(R, P.T, lower=False,
+                                          trans="T").T, eps)
+
+    # Spectrum from M = (Q'V)(Q'V)' accumulated blockwise (p, p).
+    M = jnp.zeros((p, p), dtype)
+    for _, Vb in blocks():
+        Bb = Q.T @ Vb
+        M = M + Bb @ Bb.T
+    vals = jnp.linalg.eigh(M)[0][::-1]
+    s = np.sqrt(np.maximum(np.asarray(vals[:k], np.float64), 0.0))
     curve = np.minimum(np.cumsum(s ** 2)
                        / max(total, np.finfo(np.float64).tiny), 1.0)
     hit = np.nonzero(curve >= energy)[0]
