@@ -125,9 +125,12 @@ def main(argv=None):
             ("--init", args.init if args.init not in (None, "random")
              else None),
             ("--inner-iters", args.inner_iters),
-            # the sweep would np.asarray the memory-map (materializing
-            # the out-of-core matrix in RAM) and upload it whole
-            ("--pick-rank", args.pick_rank),
+            # the consensus sweep would np.asarray the memory-map
+            # (materializing the out-of-core matrix in RAM); the svd
+            # estimator streams (estimate_rank_svd block_size=) and is
+            # allowed
+            ("--pick-rank (consensus mode)",
+             args.pick_rank if args.pick_rank not in (None, "svd") else None),
             ("--fix", args.fix),
         ] if val is not None]
         if unsupported:
@@ -319,9 +322,13 @@ def main(argv=None):
             return 2
         try:
             if args.pick_rank == "svd":
+                # out-of-core inputs (--streaming) stream the estimate in
+                # column blocks; in-memory inputs keep the one-shot path
                 k, curve = nt.estimate_rank_svd(
-                    np.asarray(V), energy=args.rank_energy,
-                    dtype=args.dtype, seed=args.seed)
+                    V if args.streaming else np.asarray(V),
+                    energy=args.rank_energy,
+                    dtype=args.dtype, seed=args.seed,
+                    block_size=args.block_size if args.streaming else None)
                 rank_info = {"method": "svd", "recommended": int(k),
                              "energy_curve": np.round(curve, 6).tolist()}
             else:

@@ -447,3 +447,25 @@ def test_cli_encode_streaming(tmp_path):
     assert summary["streaming"] is True and summary["k"] == k
     with np.load(out) as z:
         assert z["H"].shape == (k, n)
+
+
+def test_cli_streaming_pick_rank_svd(tmp_path):
+    """--streaming --pick-rank svd: the rank estimate streams the
+    memory-mapped input in blocks, then streaming training proceeds."""
+    rng = np.random.default_rng(18)
+    m, n, r = 24, 120, 3
+    V = (rng.gamma(2.0, 1.0, (m, r)) @ rng.gamma(0.5, 1.0, (r, n))
+         ).astype(np.float32)
+    v = str(tmp_path / "V.npy")
+    np.save(v, V)
+    out = str(tmp_path / "o.npz")
+    r_ = run_cli(["nmf", v, "--streaming", "--pick-rank", "svd",
+                  "--rank-energy", "0.999", "--block-size", "40",
+                  "--maxiter", "3", "--out", out])
+    assert r_.returncode == 0, r_.stderr[-500:]
+    summary = json.loads(r_.stdout.strip().splitlines()[-1])
+    assert 2 <= summary["k"] <= 4
+    # consensus mode stays rejected out-of-core
+    r_ = run_cli(["nmf", v, "--streaming", "--pick-rank", "2,3,4",
+                  "--out", out])
+    assert r_.returncode == 2 and "consensus" in r_.stderr
