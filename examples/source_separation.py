@@ -1,10 +1,12 @@
-"""Two-source magnitude-spectrogram separation with multi-source NMF.
+"""End-to-end audio source separation: waveform -> STFT -> multi-source
+NMF -> Wiener masks -> iSTFT -> waveform.
 
-Builds a synthetic mixture of a 'tonal' source (harmonic combs) and a
-'percussive' source (broadband pulses), learns per-source bases from
-solo passages with nmf, then separates the mixture with both bases fixed
-— the reference toolbox's flagship use case (multi-source W_fixed
-workflow, nmf.m:51-60).
+Builds a synthetic mixture of a 'tonal' source (steady sines) and a
+'percussive' source (decaying noise bursts), learns per-source bases
+from solo passages with nmf, separates the mixture with both bases
+fixed — the reference toolbox's flagship use case (multi-source
+W_fixed workflow, nmf.m:51-60) — and reconstructs time-domain
+estimates whose sum equals the mixture exactly.
 
 Run: python examples/source_separation.py  (CPU-friendly, ~seconds)
 """
@@ -15,65 +17,72 @@ import sys as _sys
 _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import nmf_toolbox_tpu as nt
 
+SR = 8000
 
-def tonal(rng, m, n, n_tones=4):
-    S = np.zeros((m, n))
+
+def tonal(t, rng, n_tones=3):
+    x = np.zeros_like(t)
     for _ in range(n_tones):
-        f0 = rng.integers(4, m // 8)
-        env = np.clip(rng.normal(0.5, 0.4, n), 0, None)
-        for h in range(1, m // f0):
-            S[h * f0, :] += env / h
-    return S
+        f0 = rng.uniform(200, 900)
+        x += rng.uniform(0.3, 0.7) * np.sin(2 * np.pi * f0 * t)
+    return x
 
 
-def percussive(rng, m, n, n_hits=25):
-    S = np.zeros((m, n))
-    decay = np.exp(-np.arange(m) / (m / 3))
-    for _ in range(n_hits):
-        t = rng.integers(0, n)
-        S[:, t] += decay * rng.uniform(0.5, 1.5)
-    return S
+def percussive(t, rng, n_hits=8):
+    x = np.zeros_like(t)
+    burst_len = 400
+    decay = np.exp(-np.arange(burst_len) / 60.0)
+    for onset in rng.uniform(0.05, 0.9, n_hits):
+        i = int(onset * len(t))
+        hit = rng.normal(size=burst_len) * decay
+        x[i: i + burst_len] += 0.8 * hit[: len(x) - i]
+    return x
 
 
 def main():
     rng = np.random.default_rng(0)
-    m, n = 257, 600
-    A = tonal(rng, m, n) + 0.01
-    B = percussive(rng, m, n) + 0.01
-    mix = A + B
+    t = np.arange(int(1.5 * SR)) / SR
+    a, b = tonal(t, rng), percussive(t, rng)
+    mix = a + b
 
-    # 1) learn a basis per source from solo material
-    kA, kB = 16, 8
-    WA, _, _ = nt.nmf(A.astype(np.float32), kA, maxiter=150, seed=1)
-    WB, _, _ = nt.nmf(B.astype(np.float32), kB, maxiter=150, seed=2)
+    # 1) spectrograms on device (librosa-convention centered STFT)
+    n_fft, hop = 256, 64
+    Za = nt.stft(a, n_fft=n_fft, hop_length=hop)
+    Zb = nt.stft(b, n_fft=n_fft, hop_length=hop)
+    Zm = nt.stft(mix, n_fft=n_fft, hop_length=hop)
 
-    # 2) separate the mixture: both bases fixed, encodings free
-    res = nt.nmf(mix.astype(np.float32), [kA, kB], W_init=[WA, WB],
-                 W_fixed=True, maxiter=200, seed=3)
+    # 2) learn a magnitude basis per source from solo material
+    kA, kB = 6, 6
+    WA = np.asarray(nt.nmf(np.abs(np.asarray(Za)), kA, maxiter=120, seed=1).W)
+    WB = np.asarray(nt.nmf(np.abs(np.asarray(Zb)), kB, maxiter=120, seed=2).W)
+
+    # 3) separate the mixture: both bases fixed, encodings free
+    res = nt.nmf(np.abs(np.asarray(Zm)), [kA, kB], W_init=[WA, WB],
+                 W_fixed=True, maxiter=150, seed=3)
     HA, HB = res.H
-    est_A = WA @ HA
-    est_B = WB @ HB
 
-    def sdr(ref, est):
-        return 10 * np.log10(np.sum(ref**2) / np.sum((ref - est) ** 2))
+    # 4) Wiener masks on the COMPLEX mixture (masks are real: the
+    # estimates reuse the mixture phase and sum to Zm exactly)
+    est = nt.separate(Zm, [WA, WB], [HA, HB])
 
-    print(f"converged in {res.n_iters} iterations, final cost {res.cost[-1]:.3e}")
-    print(f"SDR tonal:      {sdr(A, est_A):6.2f} dB")
-    print(f"SDR percussive: {sdr(B, est_B):6.2f} dB")
-    assert sdr(A, est_A) > 5 and sdr(B, est_B) > 5
+    # 5) back to waveforms
+    ya = np.asarray(nt.istft(est[0], hop_length=hop, length=len(mix)))
+    yb = np.asarray(nt.istft(est[1], hop_length=hop, length=len(mix)))
 
-    # 3) soft-mask the mixture instead of trusting the models outright:
-    #    nt.separate builds per-source ratio masks from the fitted models
-    #    and multiplies the MIXTURE by them, so the estimates sum to the
-    #    mixture exactly and unmodeled energy is shared proportionally
-    #    (power=1 because these synthetic magnitudes add; use the default
-    #    power=2 Wiener masks on complex STFT bins, where power adds).
-    W_list = [np.asarray(w) for w in res.W]
-    masked = np.asarray(nt.separate(mix.astype(np.float32), W_list,
-                                    [HA, HB], power=1.0))
-    np.testing.assert_allclose(masked.sum(axis=0), mix, rtol=1e-4)
-    print(f"SDR tonal (ratio-masked):      {sdr(A, masked[0]):6.2f} dB")
-    print(f"SDR percussive (ratio-masked): {sdr(B, masked[1]):6.2f} dB")
+    def sdr(ref, sig):
+        return 10 * np.log10(np.sum(ref**2) / np.sum((ref - sig) ** 2))
+
+    print(f"converged in {res.n_iters} iterations, "
+          f"final cost {res.cost[-1]:.3e}")
+    print(f"signal SDR tonal:      {sdr(a, ya):6.2f} dB "
+          f"(mixture baseline {sdr(a, mix):6.2f} dB)")
+    print(f"signal SDR percussive: {sdr(b, yb):6.2f} dB "
+          f"(mixture baseline {sdr(b, mix):6.2f} dB)")
+    rel = np.linalg.norm(mix - (ya + yb)) / np.linalg.norm(mix)
+    print(f"mixture reconstruction rel err: {rel:.2e}  (exact by "
+          "construction: masks sum to 1, iSTFT is linear)")
+    assert rel < 1e-5
+    assert sdr(a, ya) > sdr(a, mix) and sdr(b, yb) > sdr(b, mix)
 
 
 if __name__ == "__main__":

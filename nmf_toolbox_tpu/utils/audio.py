@@ -1,0 +1,164 @@
+"""On-device STFT / iSTFT front-end for the audio workflows.
+
+The reference toolbox factorizes spectrograms but leaves producing them
+to MATLAB built-ins (`spectrogram`/`stft` — every cited application
+paper, e.g. cnmf.m:107-113 / cmfwisa.m:88-91, operates on STFTs of
+speech or music).  This module closes the loop on device: signal ->
+complex STFT -> {nmf family, cmfwisa, encode engines} -> wiener masks
+(utils/separation.py) -> iSTFT -> signal, with no host round trip in
+the middle.
+
+Conventions follow the de-facto Python standard (librosa-style):
+periodic Hann window, ``center=True`` reflect-pads by n_fft//2 so frame
+``t`` is centered on sample ``t*hop_length``, spectrograms are laid out
+``(freq, time)`` = the toolbox's (m, n) orientation, and
+``istft(stft(x))`` reconstructs ``x`` exactly (up to fp rounding)
+whenever the window/hop pair satisfies NOLA — true for hann at any
+hop <= n_fft//2.
+
+TPU notes: ``jnp.fft.rfft``/``irfft`` lower to XLA's native FFT; the
+framing gather and the overlap-add scatter are one-time front-end ops,
+off every solver's hot loop.  Both transforms are shape-static, jit
+cleanly, and batch over any leading dims (channels, batch of clips),
+so a serving pipeline can stft a whole batch in one dispatch.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["hann_window", "stft", "istft", "magnitude"]
+
+
+def hann_window(n_fft: int, dtype=jnp.float32):
+    """Periodic Hann window (the DFT-even form used for spectral
+    analysis; scipy's ``get_window('hann', n, fftbins=True)``)."""
+    # cos form keeps it exact at the endpoints: w[0] == 0.
+    t = jnp.arange(n_fft, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * t / n_fft)
+
+
+def _resolve_window(window, n_fft, dtype):
+    if isinstance(window, str):
+        if window == "hann":
+            return hann_window(n_fft, dtype)
+        if window in ("rect", "boxcar", "ones"):
+            return jnp.ones((n_fft,), dtype)
+        raise ValueError(f"unknown window {window!r}; pass 'hann', "
+                         "'rect', or an (n_fft,) array")
+    w = jnp.asarray(window, dtype)
+    if w.shape != (n_fft,):
+        raise ValueError(f"window has shape {w.shape}; need ({n_fft},)")
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length",
+                                             "window", "center"))
+def stft(x, n_fft: int = 512, hop_length: int | None = None,
+         window="hann", center: bool = True):
+    """Short-time Fourier transform of a real signal.
+
+    ``x``: real array ``(..., length)``; leading dims batch.
+    Returns the complex spectrogram ``(..., n_fft//2 + 1, n_frames)``
+    — (freq, time), ready to feed ``cmfwisa`` directly or ``abs()`` it
+    for the magnitude solvers.
+
+    ``center=True`` (default) reflect-pads by ``n_fft // 2`` so frames
+    are centered on multiples of ``hop_length`` and istft can
+    reconstruct the full signal including the edges; ``center=False``
+    frames the raw signal (first frame starts at sample 0) and istft
+    then only reconstructs the NOLA-covered interior exactly.
+    """
+    hop = n_fft // 4 if hop_length is None else int(hop_length)
+    if hop <= 0:
+        raise ValueError(f"hop_length must be positive, got {hop}")
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        raise TypeError("stft expects a real signal; factorize complex "
+                        "spectrograms directly instead")
+    w = _resolve_window(window, n_fft, x.dtype)
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, pad, mode="reflect")
+    length = x.shape[-1]
+    if length < n_fft:
+        raise ValueError(f"signal length {length} (after centering) is "
+                         f"shorter than n_fft={n_fft}")
+    n_frames = 1 + (length - n_fft) // hop
+    # Frame via one gather: (n_frames, n_fft) index plane.  A one-time
+    # front-end op — data volume is ~n_fft/hop x the signal.
+    idx = (jnp.arange(n_frames) * hop)[:, None] + jnp.arange(n_fft)[None, :]
+    frames = x[..., idx] * w  # (..., n_frames, n_fft)
+    Z = jnp.fft.rfft(frames, axis=-1)  # (..., n_frames, n_fft//2+1)
+    return jnp.swapaxes(Z, -1, -2)  # (..., freq, time)
+
+
+@functools.partial(jax.jit, static_argnames=("hop_length", "window",
+                                             "center", "length"))
+def istft(Z, hop_length: int | None = None, window="hann",
+          center: bool = True, length: int | None = None):
+    """Inverse STFT by windowed overlap-add (Griffin & Lim LSEE-MSTFT:
+    the least-squares signal for the given frames).
+
+    ``Z``: complex spectrogram ``(..., n_fft//2 + 1, n_frames)`` as
+    produced by :func:`stft` (n_fft is inferred as ``2*(F-1)``).
+    ``length``: trim/zero-pad the output to this many samples (pass the
+    original signal length to undo stft's frame quantization).
+
+    Exact inverse of :func:`stft` for the same window/hop wherever the
+    squared-window overlap-add is positive (NOLA); bins where it is
+    ~zero (only the outermost samples of a ``center=False`` frame with
+    w[0] == 0) are returned as 0.
+    """
+    Z = jnp.asarray(Z)
+    if Z.ndim < 2:
+        raise ValueError(f"Z must be (..., freq, frames); got {Z.shape}")
+    F, n_frames = Z.shape[-2], Z.shape[-1]
+    n_fft = 2 * (F - 1)
+    if n_fft <= 0:
+        raise ValueError(f"need at least 2 frequency rows, got {F}")
+    hop = n_fft // 4 if hop_length is None else int(hop_length)
+    real_dtype = jnp.zeros((), Z.dtype).real.dtype
+    w = _resolve_window(window, n_fft, real_dtype)
+
+    frames = jnp.fft.irfft(jnp.swapaxes(Z, -1, -2), n=n_fft, axis=-1)
+    frames = frames * w  # synthesis window (..., n_frames, n_fft)
+
+    out_len = n_fft + hop * (n_frames - 1)
+    idx = ((jnp.arange(n_frames) * hop)[:, None]
+           + jnp.arange(n_fft)[None, :]).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (n_frames * n_fft,))
+    x = jnp.zeros(frames.shape[:-2] + (out_len,), real_dtype)
+    x = x.at[..., idx].add(flat)
+    # NOLA normalization: overlap-added squared window.
+    wsq = jnp.zeros((out_len,), real_dtype).at[idx].add(
+        jnp.tile(w * w, n_frames))
+    tiny = jnp.asarray(np.finfo(np.dtype(real_dtype)).tiny ** 0.5,
+                       real_dtype)
+    x = jnp.where(wsq > tiny, x / jnp.maximum(wsq, tiny), 0.0)
+    if center:
+        # Trim the analysis padding.  With an explicit length keep the
+        # right-hand tail: the final frames extend past length-1 into
+        # the reflect padding, and OLA/wsq is exact at every covered
+        # sample — a symmetric trim would zero the last samples of any
+        # signal whose length is not a multiple of hop.
+        hi = out_len if length is not None else out_len - n_fft // 2
+        x = x[..., n_fft // 2: hi]
+    if length is not None:
+        have = x.shape[-1]
+        if have >= length:
+            x = x[..., :length]
+        else:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, length - have)]
+            x = jnp.pad(x, pad)
+    return x
+
+
+def magnitude(Z, power: float = 1.0):
+    """|Z|**power — the nonnegative spectrogram the magnitude solvers
+    factorize (power=1 magnitude, 2 power spectrogram)."""
+    mag = jnp.abs(jnp.asarray(Z))
+    return mag if power == 1.0 else mag ** power
