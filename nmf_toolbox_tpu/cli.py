@@ -3,6 +3,7 @@
     nmf-tpu nmf V.npy --k 32 --divergence kl --maxiter 200 --out factors.npz
     nmf-tpu cnmf spec.npy --k 64 --context-len 8 --out factors.npz
     nmf-tpu encode batch.npy --dict factors.npz --out enc.npz
+    nmf-tpu separate mix.wav --solos piano.wav,drums.wav --ks 16,8 --out stem
     python -m nmf_toolbox_tpu ...   (equivalent)
 
 Input: .npy (or raw binary with --shape/--dtype); output: an .npz
@@ -21,7 +22,7 @@ import numpy as np
 
 SOLVERS = ("nmf", "nmf_hals", "nmfsc", "cnmf", "cnmfsc", "cmfwisa", "lnmf",
            "convexnmf", "seminmf", "chnmf", "chcnmf", "constrainednmf",
-           "encode")
+           "encode", "separate")
 
 
 def build_parser():
@@ -92,13 +93,191 @@ def build_parser():
                    help="frozen dictionary for the 'encode' solver: a .npy "
                         "W matrix or an .npz checkpoint from a training run "
                         "(multi-source W blocks are concatenated)")
-    p.add_argument("--out", required=True, help="output .npz checkpoint")
+    p.add_argument("--dicts", default=None, metavar="W1.npz,W2.npz,...",
+                   help="'separate' solver: per-source frozen dictionaries "
+                        "(.npy W or .npz checkpoints, one per source)")
+    p.add_argument("--solos", default=None, metavar="a.wav,b.wav,...",
+                   help="'separate' solver: learn each source's dictionary "
+                        "from a solo recording instead of --dicts")
+    p.add_argument("--ks", default=None, metavar="16,8,...",
+                   help="per-source ranks for --solos (one int reuses it "
+                        "for all sources)")
+    p.add_argument("--n-fft", type=int, default=1024,
+                   help="STFT size for .wav / 1-D signal input (separate)")
+    p.add_argument("--hop", type=int, default=None,
+                   help="STFT hop (default n_fft // 4)")
+    p.add_argument("--power", type=float, default=2.0,
+                   help="soft-mask exponent (2 = Wiener, 1 = ratio masks)")
+    p.add_argument("--out", required=True,
+                   help="output .npz checkpoint (solvers) or stem path "
+                        "prefix ('separate')")
     p.add_argument("--quiet", action="store_true")
     return p
 
 
+def _load_dictionary(path):
+    """A frozen W from a .npy matrix or an .npz training checkpoint
+    (multi-source W blocks are concatenated)."""
+    from nmf_toolbox_tpu.utils.io import load_matrix
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            if "W" in z:
+                return z["W"]
+            if "W__len" in z:
+                return np.concatenate(
+                    [z[f"W__{s}"] for s in range(int(z["W__len"]))], axis=1)
+            raise ValueError(f"{path} has no W factor")
+    return load_matrix(path)
+
+
+def _read_signal(path):
+    """(signal float64 1-D, sample_rate | None).  .wav via scipy (ints
+    normalized to [-1, 1], multi-channel averaged to mono); .npy 1-D."""
+    if path.endswith(".wav"):
+        from scipy.io import wavfile
+        rate, data = wavfile.read(path)
+        x = np.asarray(data, np.float64)
+        if np.issubdtype(data.dtype, np.integer):
+            x = x / float(np.iinfo(data.dtype).max)
+        if x.ndim == 2:
+            x = x.mean(axis=1)
+        return x, int(rate)
+    x = np.load(path)
+    if x.ndim != 1:
+        raise ValueError(f"{path}: expected a 1-D signal or .wav; a 2-D "
+                         ".npy mixture is treated as a spectrogram")
+    return np.asarray(x, np.float64), None
+
+
+def _cmd_separate(args):
+    """Source separation: mixture (wav / 1-D signal / 2-D spectrogram)
+    -> per-source dictionaries (--dicts, or learned from --solos) ->
+    W_fixed multi-source encode -> soft masks -> stems.
+
+    Wav / signal input goes through the on-device STFT and the stems
+    come back through iSTFT (utils/audio.py); spectrogram input skips
+    the transform and stems are written as .npy."""
+    import nmf_toolbox_tpu as nt
+
+    bad = [f for f, v in [
+        ("--k (ranks come from the dictionaries / --ks)", args.k),
+        ("--pick-rank", args.pick_rank), ("--resume", args.resume),
+        ("--fix", args.fix), ("--checkpoint-every", args.checkpoint_every),
+        ("--weights", args.weights), ("--streaming",
+                                      args.streaming or None),
+        ("--context-len", args.context_len), ("--labels", args.labels),
+        ("--w-sparsity", args.w_sparsity),
+        ("--init", args.init if args.init not in (None, "random") else None),
+        ("--inner-iters", args.inner_iters),
+        ("--dict (use --dicts for separate)", args.dictionary),
+    ] if v is not None]
+    if bad:
+        print(f"error: separate does not support: {', '.join(bad)}",
+              file=sys.stderr)
+        return 2
+    if (args.dicts is None) == (args.solos is None):
+        print("error: separate requires exactly one of --dicts (frozen "
+              "per-source dictionaries) or --solos (learn them from solo "
+              "recordings)", file=sys.stderr)
+        return 2
+
+    hop = args.hop if args.hop is not None else args.n_fft // 4
+    is_wav = args.input.endswith(".wav")
+    rate = None
+    if is_wav or np.load(args.input, mmap_mode="r").ndim == 1:
+        sig, rate = _read_signal(args.input)
+        Zm = nt.stft(sig, n_fft=args.n_fft, hop_length=hop)
+        length = len(sig)
+    else:
+        Zm = np.load(args.input)  # precomputed spectrogram (mag or complex)
+        sig = length = None
+
+    cfg = {"maxiter": args.maxiter, "tolerance": args.tolerance,
+           "seed": args.seed}
+    for key, val in [("divergence", args.divergence),
+                     ("H_sparsity", args.h_sparsity), ("dtype", args.dtype)]:
+        if val is not None:
+            cfg[key] = val
+    if args.mesh:
+        from nmf_toolbox_tpu.parallel import make_mesh
+        cfg["mesh"] = make_mesh(args.mesh)
+
+    try:
+        if args.dicts is not None:
+            Ws = [np.asarray(_load_dictionary(p))
+                  for p in args.dicts.split(",")]
+        else:
+            solos = args.solos.split(",")
+            if args.ks is None:
+                print("error: --solos requires --ks (per-source ranks)",
+                      file=sys.stderr)
+                return 2
+            ks = [int(x) for x in args.ks.split(",")]
+            if len(ks) == 1:
+                ks = ks * len(solos)
+            if len(ks) != len(solos):
+                print(f"error: --ks gives {len(ks)} ranks for "
+                      f"{len(solos)} solos", file=sys.stderr)
+                return 2
+            Ws = []
+            for i, (path, k) in enumerate(zip(solos, ks)):
+                if path.endswith(".wav") or np.load(
+                        path, mmap_mode="r").ndim == 1:
+                    s, _ = _read_signal(path)
+                    S = np.abs(np.asarray(
+                        nt.stft(s, n_fft=args.n_fft, hop_length=hop)))
+                else:
+                    S = np.abs(np.load(path))
+                Ws.append(np.asarray(
+                    nt.nmf(S, k, **{**cfg, "seed": args.seed + i}).W))
+        m = np.asarray(Zm).shape[0]
+        for i, W in enumerate(Ws):
+            if W.ndim != 2 or W.shape[0] != m:
+                print(f"error: dictionary {i} has shape {W.shape}; the "
+                      f"mixture spectrogram has {m} rows", file=sys.stderr)
+                return 2
+        res = nt.nmf(np.abs(np.asarray(Zm)), [W.shape[1] for W in Ws],
+                     W_init=Ws, W_fixed=True, **cfg)
+        Hs = list(res.H) if isinstance(res.H, (list, tuple)) else [res.H]
+        est = np.asarray(nt.separate(Zm, Ws, Hs, power=args.power))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    stems = []
+    for i in range(est.shape[0]):
+        if sig is not None:
+            y = np.asarray(nt.istft(est[i], hop_length=hop, length=length))
+            if is_wav:
+                from scipy.io import wavfile
+                path = f"{args.out}_source{i}.wav"
+                wavfile.write(path, rate, y.astype(np.float32))
+            else:
+                path = f"{args.out}_source{i}.npy"
+                np.save(path, y)
+        else:
+            path = f"{args.out}_source{i}.npy"
+            np.save(path, est[i])
+        stems.append(path)
+    if not args.quiet:
+        print(json.dumps({
+            "solver": "separate", "sources": len(stems),
+            "spectrogram_shape": list(np.asarray(Zm).shape),
+            "ranks": [int(W.shape[1]) for W in Ws],
+            "iterations": int(res.n_iters), "power": args.power,
+            **({"sample_rate": rate} if rate else {}),
+            "stems": stems}))
+    return 0
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.solver == "separate":
+        return _cmd_separate(args)
+    if args.dicts is not None or args.solos is not None or args.ks is not None:
+        print("error: --dicts/--solos/--ks only apply to the 'separate' "
+              "solver", file=sys.stderr)
+        return 2
     import nmf_toolbox_tpu as nt
     from nmf_toolbox_tpu.utils.io import load_matrix
     from nmf_toolbox_tpu.utils.checkpoint import (save_factors, load_factors,
@@ -179,20 +358,11 @@ def main(argv=None):
             print("error: encode requires --dict (the frozen dictionary)",
                   file=sys.stderr)
             return 2
-        if args.dictionary.endswith(".npz"):
-            with np.load(args.dictionary) as z:
-                if "W" in z:
-                    W = z["W"]
-                elif "W__len" in z:  # multi-source checkpoint: stack blocks
-                    W = np.concatenate(
-                        [z[f"W__{s}"] for s in range(int(z["W__len"]))],
-                        axis=1)
-                else:
-                    print(f"error: {args.dictionary} has no W factor",
-                          file=sys.stderr)
-                    return 2
-        else:
-            W = load_matrix(args.dictionary)
+        try:
+            W = _load_dictionary(args.dictionary)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         if args.weights is not None:
             # (m, n) shared across the batch or (B, m, n) per problem
             cfg["weights"] = load_matrix(args.weights)

@@ -469,3 +469,103 @@ def test_cli_streaming_pick_rank_svd(tmp_path):
     r_ = run_cli(["nmf", v, "--streaming", "--pick-rank", "2,3,4",
                   "--out", out])
     assert r_.returncode == 2 and "consensus" in r_.stderr
+
+
+def _make_mixture(tmp_path, sr=4000, dur=0.8):
+    """Two synthetic sources + mixture as wav files; returns paths + arrays."""
+    from scipy.io import wavfile
+    rng = np.random.default_rng(21)
+    t = np.arange(int(sr * dur)) / sr
+    a = 0.5 * np.sin(2 * np.pi * 330 * t) + 0.3 * np.sin(2 * np.pi * 495 * t)
+    b = np.zeros_like(t)
+    for i in range(0, len(t) - 200, 450):
+        b[i: i + 200] += rng.normal(size=200) * np.exp(-np.arange(200) / 40.0)
+    mix = a + b
+    paths = {}
+    for name, x in [("a", a), ("b", b), ("mix", mix)]:
+        p = str(tmp_path / f"{name}.wav")
+        wavfile.write(p, sr, (x / 2.0).astype(np.float32))
+        paths[name] = p
+    return paths, {"a": a, "b": b, "mix": mix, "sr": sr}
+
+
+def test_cli_separate_solos_wav(tmp_path):
+    """wav mixture + solo recordings -> learned dictionaries -> wav stems
+    that sum to the mixture."""
+    from scipy.io import wavfile
+    paths, sig = _make_mixture(tmp_path)
+    out = str(tmp_path / "stem")
+    r = run_cli(["separate", paths["mix"], "--solos",
+                 f"{paths['a']},{paths['b']}", "--ks", "4",
+                 "--n-fft", "256", "--hop", "64", "--maxiter", "60",
+                 "--out", out])
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["sources"] == 2 and summary["ranks"] == [4, 4]
+    assert summary["sample_rate"] == sig["sr"]
+    rate0, y0 = wavfile.read(summary["stems"][0])
+    rate1, y1 = wavfile.read(summary["stems"][1])
+    assert rate0 == rate1 == sig["sr"]
+    mix = sig["mix"] / 2.0
+    # masks sum to 1 and istft is linear: stems sum to the mixture
+    np.testing.assert_allclose(y0 + y1, mix, atol=1e-4)
+    # each stem matches its source better than the raw mixture does
+    for y, ref in [(y0, sig["a"] / 2.0), (y1, sig["b"] / 2.0)]:
+        assert np.sum((y - ref) ** 2) < 0.5 * np.sum((mix - ref) ** 2)
+
+
+def test_cli_separate_dicts_spectrogram(tmp_path):
+    """2-D .npy mixture = precomputed magnitude spectrogram; frozen
+    dictionaries from training checkpoints; .npy stems."""
+    rng = np.random.default_rng(22)
+    m, n = 48, 90
+    A = rng.gamma(2.0, 1.0, (m, 3)) @ rng.gamma(0.7, 1.0, (3, n))
+    B = rng.gamma(2.0, 1.0, (m, 3)) @ rng.gamma(0.7, 1.0, (3, n))
+    for name, S in [("A", A), ("B", B)]:
+        np.save(tmp_path / f"{name}.npy", S.astype(np.float32))
+        r = run_cli([
+            "nmf", str(tmp_path / f"{name}.npy"), "--k", "3",
+            "--maxiter", "80", "--out", str(tmp_path / f"d{name}.npz")])
+        assert r.returncode == 0, r.stderr[-500:]
+    mixp = str(tmp_path / "mix.npy")
+    np.save(mixp, (A + B).astype(np.float32))
+    out = str(tmp_path / "sep")
+    r = run_cli(["separate", mixp, "--dicts",
+                 f"{tmp_path / 'dA.npz'},{tmp_path / 'dB.npz'}",
+                 "--maxiter", "80", "--power", "1.0", "--out", out])
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    est = [np.load(p) for p in summary["stems"]]
+    np.testing.assert_allclose(est[0] + est[1], A + B, rtol=1e-4, atol=1e-4)
+    assert np.sum((est[0] - A) ** 2) < 0.3 * np.sum((A + B - A) ** 2)
+
+
+def test_cli_separate_validation(tmp_path):
+    np.save(tmp_path / "V.npy", np.random.default_rng(0).uniform(
+        0.1, 1, (20, 30)).astype(np.float32))
+    v = str(tmp_path / "V.npy")
+    np.save(tmp_path / "W.npy", np.random.default_rng(1).uniform(
+        size=(20, 3)).astype(np.float32))
+    w = str(tmp_path / "W.npy")
+    out = str(tmp_path / "s")
+    # neither --dicts nor --solos
+    r = run_cli(["separate", v, "--out", out])
+    assert r.returncode == 2 and "exactly one of" in r.stderr
+    # both
+    r = run_cli(["separate", v, "--dicts", w, "--solos", v, "--out", out])
+    assert r.returncode == 2 and "exactly one of" in r.stderr
+    # unsupported flags
+    r = run_cli(["separate", v, "--dicts", w, "--k", "3", "--out", out])
+    assert r.returncode == 2 and "--k" in r.stderr
+    # --solos without --ks
+    r = run_cli(["separate", v, "--solos", v, "--out", out])
+    assert r.returncode == 2
+    # dictionary row mismatch
+    np.save(tmp_path / "Wbad.npy", np.random.default_rng(2).uniform(
+        size=(9, 3)).astype(np.float32))
+    r = run_cli(["separate", v, "--dicts", str(tmp_path / "Wbad.npy"),
+                 "--out", out])
+    assert r.returncode == 2 and "rows" in r.stderr
+    # separate-only flags rejected elsewhere
+    r = run_cli(["nmf", v, "--k", "3", "--ks", "4", "--out", out + ".npz"])
+    assert r.returncode == 2 and "separate" in r.stderr
