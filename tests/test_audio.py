@@ -174,3 +174,40 @@ def test_end_to_end_signal_separation():
     # a wide margin on both sources
     assert sdr(a, ya) > sdr(a, mix) + 6.0
     assert sdr(b, yb) > sdr(b, mix) + 6.0
+
+
+def test_cmfwisa_signal_level():
+    """Phase-aware path: complex STFT -> cmfwisa (per-source phases) ->
+    iSTFT.  The per-source complex estimates (W_i H_i) * P_i sum to the
+    model's V_hat, and the reconstructed waveforms separate better than
+    the mixture baseline."""
+    sr = 8000
+    t = np.arange(int(0.8 * sr)) / sr
+    rng = np.random.default_rng(11)
+    a = 0.6 * np.sin(2 * np.pi * 523 * t)
+    b = np.zeros_like(t)
+    for i in range(300, len(t) - 300, 1100):
+        b[i: i + 250] += 0.7 * rng.normal(size=250) * np.exp(
+            -np.arange(250) / 50.0)
+    mix = a + b
+
+    n_fft, hop = 256, 64
+    Zm = np.asarray(nt.stft(mix, n_fft=n_fft, hop_length=hop))
+    WA = np.asarray(nt.nmf(np.abs(np.asarray(
+        nt.stft(a, n_fft=n_fft, hop_length=hop))), 3, maxiter=60, seed=1).W)
+    WB = np.asarray(nt.nmf(np.abs(np.asarray(
+        nt.stft(b, n_fft=n_fft, hop_length=hop))), 3, maxiter=60, seed=2).W)
+    res = nt.cmfwisa(Zm, [3, 3], W_init=[WA, WB], W_fixed=True,
+                     maxiter=60, tolerance=1e-12, seed=3)
+    (HA, HB), (PA, PB) = res.H, res.P
+    estA = (WA @ np.asarray(HA)) * np.asarray(PA)
+    estB = (WB @ np.asarray(HB)) * np.asarray(PB)
+    ya = np.asarray(nt.istft(estA, hop_length=hop, length=len(mix)))
+    yb = np.asarray(nt.istft(estB, hop_length=hop, length=len(mix)))
+    assert np.isrealobj(ya) and np.all(np.isfinite(ya + yb))
+
+    def sdr(ref, sig):
+        return 10 * np.log10(np.sum(ref ** 2) / np.sum((ref - sig) ** 2))
+
+    assert sdr(a, ya) > sdr(a, mix) + 3.0
+    assert sdr(b, yb) > sdr(b, mix) + 3.0
