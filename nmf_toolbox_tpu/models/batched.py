@@ -878,3 +878,197 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
     return Result(fields=("W", "H", "cost"),
                   W=np.asarray(W), H=np.asarray(H), cost=np.asarray(costs),
                   n_iters=maxiter, converged=False)
+
+
+class _CmfEncSpec(NamedTuple):
+    iters: int
+    eps: float
+    blocks: tuple
+    p_fixed: tuple
+
+
+@functools.lru_cache(maxsize=None)
+def _build_cmf_encode_solver(spec: _CmfEncSpec):
+    """H/P-only complex MU against one shared real dictionary W — the
+    phase-aware serving decode (cmfwisa trains the magnitude
+    dictionaries once; each incoming complex spectrogram fits its
+    encodings and per-source phases).
+
+    Trajectories pin against cmfwisa(V_i, ks, W_init=[W_s],
+    W_fixed=True) per problem (tests/test_batched.py): with W frozen the
+    H denominator's (W_new' W_stale) H collapses to (W'W) H with a
+    loop-invariant (k, k) Gram — hoisted out of the scan.  The
+    per-iteration V_bar/beta/G fields (cmfwisa.m:177-188) are nonlinear
+    in H and stay in the loop.  Complex data and phases cross the jit
+    boundary as real planes (models/cmfwisa.py relay constraint); all
+    complex arithmetic lives inside the one compiled program.
+    """
+    blocks = spec.blocks
+    S = len(blocks)
+
+    @jax.jit
+    def solve(V_re, V_im, W, H0, P_re, P_im, hsp):
+        rdt = W.dtype
+        eps = jnp.asarray(spec.eps, rdt)
+        Vs = jax.lax.complex(V_re, V_im)       # (B, m, n)
+        P0 = jax.lax.complex(P_re, P_im)       # (B, S, m, n)
+        WtW = W.T @ W                          # loop-invariant (k, k)
+
+        def per_source_wh(H):
+            return jnp.stack([W[:, a:b] @ H[a:b, :] for a, b in blocks])
+
+        def one_step(V, H, P):
+            WH = per_source_wh(H)              # (S, m, n) real
+            V_hat = jnp.sum(WH * P, axis=0)
+            R = jnp.sum(WH, axis=0)            # stale W_all H_all
+            beta = WH / R                      # cmfwisa.m:178
+            V_bar = WH * P + beta * (V - V_hat)
+            P_new = jnp.exp(1j * jnp.angle(V_bar)).astype(P.dtype)
+            if any(spec.p_fixed):
+                P_new = jnp.stack([P[s] if spec.p_fixed[s] else P_new[s]
+                                   for s in range(S)])
+            G = jnp.abs(V_bar) / beta          # (S, m, n) real
+            M = WtW @ H                        # cmfwisa.m:200 with W fixed
+            rows = [H[a:b] * ((W[:, a:b].T @ G[s])
+                              / jnp.maximum(M[a:b] + hsp[a:b, None], eps))
+                    for s, (a, b) in enumerate(blocks)]
+            Hn = jnp.concatenate(rows, axis=0)
+            diff = V - jnp.sum(per_source_wh(Hn) * P_new, axis=0)
+            c = jnp.sum(jnp.real(diff * jnp.conj(diff)))
+            c = c + jnp.sum(hsp * jnp.sum(Hn, axis=1))
+            return Hn, P_new, c
+
+        step_b = jax.vmap(one_step, in_axes=(0, 0, 0))
+
+        def body(carry, _):
+            H, P = carry
+            H, P, c = step_b(Vs, H, P)
+            return (H, P), c
+
+        (H, P), costs = jax.lax.scan(body, (H0, P0), None,
+                                     length=spec.iters)
+        # complex -> real planes for the transfer back
+        return H, jnp.real(P), jnp.imag(P), costs.T  # costs (B, iters)
+
+    return solve
+
+
+def cmfwisa_encode(Vs, W, config: dict | None = None, **kwargs):
+    """Encode a complex batch Vs (B, m, n) against frozen magnitude
+    dictionaries — phase-aware serving (King 2012's CMF with the W
+    update disabled): per problem it fits the per-source encodings H
+    and unit-modulus phase matrices P with V_i ~ sum_s (W_s H_s) .* P_s.
+
+    Per-problem trajectories are exactly ``cmfwisa(V_i, ks,
+    W_init=[W_s], W_fixed=True)`` — including the entry unit-L2 column
+    normalization of W (cmfwisa.m:154; identity for trained
+    dictionaries) and the default phase init exp(1j angle(V_i))
+    (cmfwisa.m:119).  All B problems run as one fused device program.
+
+    Parameters: W — one (m, k) array or a LIST of per-source magnitude
+    dictionaries (e.g. from per-source nmf/cmfwisa training runs);
+    H_init (B, k, n) or per-source list; P_init (B, S, m, n) complex or
+    per-source list of (B, m, n) (default exp(1j angle(V)) per source);
+    P_fixed (scalar-or-per-source — freeze known phases); H_sparsity
+    (scalar-or-per-source); maxiter (100); seed; dtype; eps; mesh
+    (problems shard over the batch axis).  device_output is NOT
+    supported: the phases are complex and complex buffers cannot cross
+    the device boundary on relay-attached rigs (models/cmfwisa.py), so
+    P is always assembled on host.  Returns Result with W (m, k,
+    normalized), H (B, k, n), P (B, S, m, n) — per-source lists when W
+    was a list — and cost (B, maxiter).
+    """
+    from ..core import real_dtype_of
+    cfg = merge_config(config, kwargs)
+    for key_, why in [
+            ("divergence", "cmfwisa is complex-euclidean only "
+                           "(cmfwisa.m:214-217)"),
+            ("data_dtype", "the complex fields read V at compute "
+                           "precision"),
+            ("weights", "the complex objective has no weighted form "
+                        "here"),
+            ("device_output", "P is complex and complex buffers cannot "
+                              "cross the device boundary on relay rigs "
+                              "(models/cmfwisa.py)")]:
+        # truthiness, not None-ness: device_output=False is a no-op
+        if cfg.get(key_):
+            raise ValueError(f"cmfwisa_encode: {key_!r} does not apply — "
+                             f"{why}")
+    _reject_encode_config(cfg, "cmfwisa_encode")
+    cdt = resolve_dtype(Vs, cfg.get("dtype"))
+    if not jnp.issubdtype(cdt, jnp.complexfloating):
+        cdt = (jnp.dtype(np.complex128) if cdt == jnp.float64
+               else jnp.dtype(np.complex64))
+    rdt = real_dtype_of(cdt)
+    Vs = np.asarray(Vs, cdt)  # host; only real planes ship to device
+    if Vs.ndim != 3:
+        raise ValueError(f"cmfwisa_encode expects Vs of shape (B, m, n); "
+                         f"got {Vs.shape} (encode a single matrix with "
+                         "cmfwisa(V, ks, W_init=W, W_fixed=True))")
+    B, m, n = Vs.shape
+    _check_batch_mesh(B, cfg.get("mesh"), "cmfwisa_encode")
+    w_list, w_was_seq = as_list(W)
+    w_list = [jnp.asarray(w, rdt) for w in w_list]
+    S = len(w_list)
+    for s, w in enumerate(w_list):
+        if w.ndim != 2 or w.shape[0] != m:
+            raise ValueError(f"dictionary W[{s}] must be (m, k) = ({m}, k); "
+                             f"got {w.shape}")
+    ks = [w.shape[1] for w in w_list]
+    blocks = source_blocks(ks)
+    W = unit_l2_columns(jnp.concatenate(w_list, axis=1))  # cmfwisa.m:154
+    k = W.shape[1]
+    maxiter, _, eps, key = common_scalars(cfg)
+
+    H0 = cfg.get("H_init")
+    if H0 is None:
+        H0 = uniform_init(key, (B, k, n), rdt)
+    elif isinstance(H0, (list, tuple)):
+        if len(H0) != S:
+            raise ValueError(f"Requested {S} sources. Given {len(H0)} "
+                             "initial encoding matrices.")
+        H0 = jnp.concatenate([jnp.asarray(h, rdt) for h in H0], axis=1)
+    H0 = jnp.asarray(H0, rdt)
+    if H0.shape != (B, k, n):
+        raise ValueError(f"H_init must be {(B, k, n)}; got {H0.shape}")
+
+    P0 = cfg.get("P_init")
+    if P0 is None:
+        P0 = np.broadcast_to(np.exp(1j * np.angle(Vs)).astype(cdt)[:, None],
+                             (B, S, m, n))  # cmfwisa.m:119 per problem
+    elif isinstance(P0, (list, tuple)):
+        if len(P0) != S:
+            raise ValueError(f"Requested {S} sources. Given {len(P0)} "
+                             "initial phase matrices.")
+        P0 = np.stack([np.asarray(p, cdt) for p in P0], axis=1)
+    P0 = np.asarray(P0, cdt)
+    if P0.shape != (B, S, m, n):
+        raise ValueError(f"P_init must be {(B, S, m, n)} (or a list of S "
+                         f"(B, m, n) per-source arrays); got {P0.shape}")
+    p_fx = tuple(bool(x) for x in
+                 promote_per_source(cfg.get("P_fixed"), S, "P_fixed", False))
+    h_sp = [max(float(v), 0.0) for v in
+            promote_per_source(cfg.get("H_sparsity"), S, "H_sparsity", 0.0)]
+    hsp = per_column(h_sp, ks, rdt)
+
+    # Complex arrays cross the device boundary as real planes.
+    V_re, V_im = jnp.asarray(Vs.real, rdt), jnp.asarray(Vs.imag, rdt)
+    P_re, P_im = jnp.asarray(P0.real, rdt), jnp.asarray(P0.imag, rdt)
+    mesh = cfg.get("mesh")
+    V_re, W, H0, P_re = apply_placements(mesh, "cmfwisa_encode",
+                                         V=V_re, W=W, H=H0, P=P_re)
+    if mesh is not None:
+        V_im = apply_placements(mesh, "cmfwisa_encode", V=V_im)
+        P_im = apply_placements(mesh, "cmfwisa_encode", P=P_im)
+
+    spec = _CmfEncSpec(maxiter, eps, blocks, p_fx)
+    H, P_re_o, P_im_o, costs = _build_cmf_encode_solver(spec)(
+        V_re, V_im, W, H0, P_re, P_im, hsp)
+    P = np.asarray(P_re_o) + 1j * np.asarray(P_im_o)  # (B, S, m, n)
+    P_parts = [P[:, s] for s in range(S)]
+    return Result(fields=("W", "H", "P", "cost"),
+                  W=unwrap_sources(W, blocks, 1, w_was_seq),
+                  H=unwrap_sources(H, blocks, 1, w_was_seq),
+                  P=P_parts if w_was_seq else P_parts[0],
+                  cost=np.asarray(costs),
+                  n_iters=maxiter, converged=False)

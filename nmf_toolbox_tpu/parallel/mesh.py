@@ -111,6 +111,11 @@ def placements_for(solver: str, mesh: Mesh) -> dict:
                        "H": P(n_ax, None, None)},
         "cnmf_encode": {"V": P(n_ax, None, None), "W": P(None, None, None),
                         "H": P(n_ax, None, None)},
+        # complex encode: V/P ship as real planes (B, m, n)/(B, S, m, n);
+        # problems shard over the batch axis like the other encodes.
+        "cmfwisa_encode": {"V": P(n_ax, None, None), "W": P(None, None),
+                           "H": P(n_ax, None, None),
+                           "P": P(n_ax, None, None, None)},
         # multi-restart (rank selection): the SHARED V shards over
         # features only (every restart reads all of it), restarts
         # shard over the sample axis — pure data parallelism, the only

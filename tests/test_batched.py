@@ -500,3 +500,90 @@ def test_encode_weighted_sharded_matches_single_device():
                           maxiter=8, dtype=np.float64, mesh=make_mesh(8))
         np.testing.assert_allclose(a.H, b.H, atol=1e-10)
         np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
+
+
+def test_cmfwisa_encode_matches_fixed_w_single():
+    """cmfwisa_encode per-problem trajectories pin against
+    cmfwisa(V, ks, W_init=[W_s], W_fixed=True) — H, P, and cost."""
+    rng = np.random.default_rng(30)
+    B, m, n, iters = 3, 10, 14, 12
+    ks = [2, 3]
+    Vs = (rng.uniform(0.1, 1, (B, m, n))
+          * np.exp(1j * rng.uniform(-np.pi, np.pi, (B, m, n))))
+    Ws = [rng.uniform(size=(m, k)) for k in ks]
+    H0 = rng.uniform(size=(B, sum(ks), n))
+    res = nt.cmfwisa_encode(Vs, Ws, H_init=H0, maxiter=iters,
+                            dtype=np.complex128)
+    assert res.H[0].shape == (B, ks[0], n) and res.cost.shape == (B, iters)
+    assert res.P[0].shape == (B, m, n)
+    for b in range(B):
+        ref = nt.cmfwisa(Vs[b], ks, W_init=Ws, W_fixed=True,
+                         H_init=[H0[b, :ks[0]], H0[b, ks[0]:]],
+                         maxiter=iters, tolerance=1e-30,
+                         dtype=np.complex128)
+        for s in range(2):
+            np.testing.assert_allclose(res.W[s], ref.W[s], atol=1e-12)
+            np.testing.assert_allclose(res.H[s][b], ref.H[s], atol=1e-9)
+            np.testing.assert_allclose(res.P[s][b], ref.P[s], atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+
+
+def test_cmfwisa_encode_sparsity_and_pfixed():
+    """H_sparsity and per-source P_fixed pin against the single solver."""
+    rng = np.random.default_rng(31)
+    B, m, n, iters = 2, 8, 12, 10
+    ks = [2, 2]
+    Vs = (rng.uniform(0.1, 1, (B, m, n))
+          * np.exp(1j * rng.uniform(-np.pi, np.pi, (B, m, n))))
+    Ws = [rng.uniform(size=(m, k)) for k in ks]
+    H0 = rng.uniform(size=(B, 4, n))
+    P0 = [np.exp(1j * rng.uniform(-np.pi, np.pi, (B, m, n))),
+          np.exp(1j * rng.uniform(-np.pi, np.pi, (B, m, n)))]
+    res = nt.cmfwisa_encode(Vs, Ws, H_init=H0, P_init=P0,
+                            P_fixed=[True, False], H_sparsity=[0.2, 0.0],
+                            maxiter=iters, dtype=np.complex128)
+    # fixed phase source really stays fixed
+    np.testing.assert_allclose(res.P[0], P0[0], atol=1e-12)
+    for b in range(B):
+        ref = nt.cmfwisa(Vs[b], ks, W_init=Ws, W_fixed=True,
+                         H_init=[H0[b, :2], H0[b, 2:]],
+                         P_init=[P0[0][b], P0[1][b]],
+                         P_fixed=[True, False], H_sparsity=[0.2, 0.0],
+                         maxiter=iters, tolerance=1e-30,
+                         dtype=np.complex128)
+        for s in range(2):
+            np.testing.assert_allclose(res.H[s][b], ref.H[s], atol=1e-9)
+            np.testing.assert_allclose(res.P[s][b], ref.P[s], atol=1e-9)
+        np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9)
+
+
+def test_cmfwisa_encode_sharded_and_validation():
+    import jax
+    import pytest
+    rng = np.random.default_rng(32)
+    B, m, n, k = 8, 8, 10, 2
+    Vs = (rng.uniform(0.1, 1, (B, m, n))
+          * np.exp(1j * rng.uniform(-np.pi, np.pi, (B, m, n))))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    a = nt.cmfwisa_encode(Vs, W, H_init=H0, maxiter=8, dtype=np.complex128)
+    assert a.P.shape == (B, m, n)  # single source: unwrapped
+    # MU with a fixed basis stays monotone non-increasing
+    assert np.all(np.diff(a.cost, axis=1) <= 1e-6 * np.abs(a.cost[:, :-1]))
+    if len(jax.devices()) >= 8:
+        from nmf_toolbox_tpu.parallel import make_mesh
+        b = nt.cmfwisa_encode(Vs, W, H_init=H0, maxiter=8,
+                              dtype=np.complex128, mesh=make_mesh(8))
+        np.testing.assert_allclose(a.H, b.H, atol=1e-10)
+        np.testing.assert_allclose(a.P, b.P, atol=1e-10)
+        np.testing.assert_allclose(a.cost, b.cost, rtol=1e-10)
+    with pytest.raises(ValueError, match="B, m, n"):
+        nt.cmfwisa_encode(Vs[0], W)
+    with pytest.raises(ValueError, match="W_fixed"):
+        nt.cmfwisa_encode(Vs, W, W_fixed=True)
+    with pytest.raises(ValueError, match="device_output"):
+        nt.cmfwisa_encode(Vs, W, device_output=True)
+    with pytest.raises(ValueError, match="divergence"):
+        nt.cmfwisa_encode(Vs, W, divergence="kl")
+    with pytest.raises(ValueError, match="P_init"):
+        nt.cmfwisa_encode(Vs, W, P_init=np.ones((B, m, n)))
