@@ -115,19 +115,26 @@ def build_parser():
     return p
 
 
-def _load_dictionary(path):
-    """A frozen W from a .npy matrix or an .npz training checkpoint
-    (multi-source W blocks are concatenated)."""
+def _load_dictionary_list(path):
+    """A frozen dictionary as a LIST of per-source W blocks — one block
+    for a .npy matrix or a single-source .npz checkpoint, the saved
+    per-source blocks for a multi-source checkpoint."""
     from nmf_toolbox_tpu.utils.io import load_matrix
     if path.endswith(".npz"):
         with np.load(path) as z:
             if "W" in z:
-                return z["W"]
+                return [z["W"]]
             if "W__len" in z:
-                return np.concatenate(
-                    [z[f"W__{s}"] for s in range(int(z["W__len"]))], axis=1)
+                return [z[f"W__{s}"] for s in range(int(z["W__len"]))]
             raise ValueError(f"{path} has no W factor")
-    return load_matrix(path)
+    return [load_matrix(path)]
+
+
+def _load_dictionary(path):
+    """A frozen W from a .npy matrix or an .npz training checkpoint
+    (multi-source W blocks are concatenated)."""
+    parts = _load_dictionary_list(path)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
 
 
 def _read_signal(path):
@@ -377,6 +384,11 @@ def main(argv=None):
                 print("error: --streaming encode supports 2-D dictionaries",
                       file=sys.stderr)
                 return 2
+            if np.iscomplexobj(V):
+                print("error: --streaming encode supports real magnitude "
+                      "input (complex batches use the in-memory "
+                      "phase-aware engine)", file=sys.stderr)
+                return 2
             try:
                 res = nt.nmf_encode_streaming(V, W,
                                               block_size=args.block_size,
@@ -393,7 +405,34 @@ def main(argv=None):
                     "final_cost": float(np.asarray(res.cost)[-1]),
                     "out": args.out}))
             return 0
-        # A 3-D dictionary (m, k, T) selects the convolutive engine.
+        # Engine selection: complex batch -> phase-aware cmfwisa_encode
+        # (per-source dictionary blocks preserved — the beta ratios are
+        # per source); 3-D dictionary (m, k, T) -> convolutive engine.
+        if np.iscomplexobj(V):
+            if np.ndim(W) == 3:
+                print("error: complex input takes magnitude dictionaries; "
+                      "a convolutive (m, k, T) dictionary is not supported",
+                      file=sys.stderr)
+                return 2
+            parts = _load_dictionary_list(args.dictionary)
+            try:
+                # single-source dict -> plain factors (matching the real
+                # encode engines); multi-source keeps per-source blocks
+                res = nt.cmfwisa_encode(
+                    V, parts[0] if len(parts) == 1 else parts, **cfg)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            save_factors(args.out, res)
+            if not args.quiet:
+                print(json.dumps({
+                    "solver": "encode", "engine": "cmfwisa_encode",
+                    "shape": list(V.shape), "k": int(W.shape[1]),
+                    "iterations": int(res.n_iters),
+                    "final_cost_sum": float(
+                        np.asarray(res.cost)[:, -1].sum()),
+                    "out": args.out}))
+            return 0
         engine = nt.cnmf_encode if np.ndim(W) == 3 else nt.nmf_encode
         try:
             res = engine(V, W, **cfg)

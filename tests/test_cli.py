@@ -569,3 +569,38 @@ def test_cli_separate_validation(tmp_path):
     # separate-only flags rejected elsewhere
     r = run_cli(["nmf", v, "--k", "3", "--ks", "4", "--out", out + ".npz"])
     assert r.returncode == 2 and "separate" in r.stderr
+
+
+def test_cli_encode_complex_phase_aware(tmp_path):
+    """A complex (B, m, n) batch routes to cmfwisa_encode, preserving the
+    checkpoint's per-source dictionary blocks."""
+    rng = np.random.default_rng(33)
+    m, n, B = 16, 20, 3
+    # multi-source training checkpoint (two W blocks)
+    A1 = rng.gamma(2.0, 1.0, (m, 2)) @ rng.gamma(0.7, 1.0, (2, n))
+    A2 = rng.gamma(2.0, 1.0, (m, 2)) @ rng.gamma(0.7, 1.0, (2, n))
+    np.save(tmp_path / "mix.npy", (A1 + A2).astype(np.float32))
+    r = run_cli(["nmf", str(tmp_path / "mix.npy"), "--k", "4",
+                 "--maxiter", "40", "--out", str(tmp_path / "d.npz")])
+    assert r.returncode == 0, r.stderr[-500:]
+    # rewrite as a 2-source checkpoint to exercise the block path
+    from nmf_toolbox_tpu.utils.checkpoint import save_factors, load_factors
+    W = load_factors(str(tmp_path / "d.npz"))["W_init"]
+    save_factors(str(tmp_path / "d2.npz"), {"W": [W[:, :2], W[:, 2:]]})
+    Vs = (rng.uniform(0.1, 1, (B, m, n))
+          * np.exp(1j * rng.uniform(-np.pi, np.pi, (B, m, n))))
+    np.save(tmp_path / "batch.npy", Vs.astype(np.complex64))
+    out = str(tmp_path / "enc.npz")
+    r = run_cli(["encode", str(tmp_path / "batch.npy"), "--dict",
+                 str(tmp_path / "d2.npz"), "--maxiter", "12", "--out", out])
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["engine"] == "cmfwisa_encode" and summary["k"] == 4
+    with np.load(out) as z:
+        assert z["H__len"] == 2 and z["H__0"].shape == (B, 2, n)
+        assert z["P__0"].shape == (B, m, n)
+        assert np.iscomplexobj(z["P__0"])
+    # complex + --streaming rejected cleanly
+    r = run_cli(["encode", str(tmp_path / "batch.npy"), "--dict",
+                 str(tmp_path / "d2.npz"), "--streaming", "--out", out])
+    assert r.returncode == 2 and "phase-aware" in r.stderr
