@@ -85,9 +85,12 @@ def main(quick: bool, write: bool):
     Wc = jnp.asarray(rng.gamma(2.0, 1.0, (m, k, T)).astype(np.float32))
     Wd.block_until_ready(); Wc.block_until_ready()
 
-    def timed_encode(label, engine, Wdict, extra_row=None, **cfg):
+    def timed_encode(label, engine, Wdict, extra_row=None, data=None,
+                     **cfg):
+        Vin = Vs if data is None else data
+
         def call():
-            r = engine(Vs, Wdict, maxiter=iters, seed=1,
+            r = engine(Vin, Wdict, maxiter=iters, seed=1,
                        device_output=True, **cfg)
             return float(np.asarray(r.cost)[:, -1].sum())  # fence
         t = time.perf_counter(); call(); compile_s = time.perf_counter() - t
@@ -110,6 +113,16 @@ def main(quick: bool, write: bool):
         "conv_encode_euclid_f32", nt.cnmf_encode, Wc, {"T": T})
     rows["conv_encode_kl_f32"] = timed_encode(
         "conv_encode_kl_f32", nt.cnmf_encode, Wc, {"T": T}, divergence="kl")
+    # Phase-aware complex encode (cmfwisa_encode): H + per-source phases
+    # against the frozen magnitude dictionary.  device_output keeps the
+    # (B, S, m, n) phase planes on device (a host fetch of ~2 B*m*n*4
+    # bytes through the relay tunnel would dominate the solve).
+    phase = rng.uniform(-np.pi, np.pi, Vs.shape)
+    Vc_re = jnp.asarray((np.asarray(Vs) * np.cos(phase)).astype(np.float32))
+    Vc_im = jnp.asarray((np.asarray(Vs) * np.sin(phase)).astype(np.float32))
+    Vc_re.block_until_ready(); Vc_im.block_until_ready()
+    rows["cmf_encode_c64"] = timed_encode(
+        "cmf_encode_c64", nt.cmfwisa_encode, Wd, data=(Vc_re, Vc_im))
     out = {"config": {"B": B, "m": m, "n": n, "k": k, "maxiter": iters,
                       "repeats": repeats, "quick": quick},
            "rows": rows, "device": str(jax.devices()[0])}

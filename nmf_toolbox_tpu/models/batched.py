@@ -971,12 +971,14 @@ def cmfwisa_encode(Vs, W, config: dict | None = None, **kwargs):
     per-source list of (B, m, n) (default exp(1j angle(V)) per source);
     P_fixed (scalar-or-per-source — freeze known phases); H_sparsity
     (scalar-or-per-source); maxiter (100); seed; dtype; eps; mesh
-    (problems shard over the batch axis).  device_output is NOT
-    supported: the phases are complex and complex buffers cannot cross
-    the device boundary on relay-attached rigs (models/cmfwisa.py), so
-    P is always assembled on host.  Returns Result with W (m, k,
-    normalized), H (B, k, n), P (B, S, m, n) — per-source lists when W
-    was a list — and cost (B, maxiter).
+    (problems shard over the batch axis); device_output (True keeps the
+    factors on device — P then comes back as a (P_re, P_im) pair of
+    REAL device arrays, each (B, S, m, n), because complex buffers
+    cannot cross the device boundary on relay-attached rigs
+    (models/cmfwisa.py); reassemble with jax.lax.complex inside a
+    jitted consumer).  Returns Result with W (m, k, normalized),
+    H (B, k, n), P (B, S, m, n) — per-source lists when W was a list —
+    and cost (B, maxiter).
     """
     from ..core import real_dtype_of
     cfg = merge_config(config, kwargs)
@@ -986,26 +988,46 @@ def cmfwisa_encode(Vs, W, config: dict | None = None, **kwargs):
             ("data_dtype", "the complex fields read V at compute "
                            "precision"),
             ("weights", "the complex objective has no weighted form "
-                        "here"),
-            ("device_output", "P is complex and complex buffers cannot "
-                              "cross the device boundary on relay rigs "
-                              "(models/cmfwisa.py)")]:
-        # truthiness, not None-ness: device_output=False is a no-op
+                        "here")]:
         if cfg.get(key_):
             raise ValueError(f"cmfwisa_encode: {key_!r} does not apply — "
                              f"{why}")
     _reject_encode_config(cfg, "cmfwisa_encode")
-    cdt = resolve_dtype(Vs, cfg.get("dtype"))
-    if not jnp.issubdtype(cdt, jnp.complexfloating):
-        cdt = (jnp.dtype(np.complex128) if cdt == jnp.float64
+    # Device-resident ingestion: a (V_re, V_im) pair of real (B, m, n)
+    # arrays is taken as the complex batch's planes, already (or about
+    # to be) on device — the repeat-serving path that skips the host
+    # complex array and its per-call upload entirely.
+    planes_in = (isinstance(Vs, tuple) and len(Vs) == 2
+                 and not hasattr(Vs[0], "keys"))
+    if planes_in:
+        V_re_in = jnp.asarray(Vs[0])
+        V_im_in = jnp.asarray(Vs[1], V_re_in.dtype)
+        rdt = jnp.dtype(cfg.get("dtype") or V_re_in.dtype)
+        if jnp.issubdtype(rdt, jnp.complexfloating):
+            rdt = real_dtype_of(rdt)
+        cdt = (jnp.dtype(np.complex128) if rdt == jnp.float64
                else jnp.dtype(np.complex64))
-    rdt = real_dtype_of(cdt)
-    Vs = np.asarray(Vs, cdt)  # host; only real planes ship to device
-    if Vs.ndim != 3:
-        raise ValueError(f"cmfwisa_encode expects Vs of shape (B, m, n); "
-                         f"got {Vs.shape} (encode a single matrix with "
-                         "cmfwisa(V, ks, W_init=W, W_fixed=True))")
-    B, m, n = Vs.shape
+        V_re_in = V_re_in.astype(rdt)
+        V_im_in = V_im_in.astype(rdt)
+        if V_re_in.ndim != 3 or V_re_in.shape != V_im_in.shape:
+            raise ValueError(
+                f"cmfwisa_encode plane inputs must both be (B, m, n); got "
+                f"{V_re_in.shape} and {V_im_in.shape}")
+        B, m, n = V_re_in.shape
+        Vs = None
+    else:
+        cdt = resolve_dtype(Vs, cfg.get("dtype"))
+        if not jnp.issubdtype(cdt, jnp.complexfloating):
+            cdt = (jnp.dtype(np.complex128) if cdt == jnp.float64
+                   else jnp.dtype(np.complex64))
+        rdt = real_dtype_of(cdt)
+        Vs = np.asarray(Vs, cdt)  # host; only real planes ship to device
+        if Vs.ndim != 3:
+            raise ValueError(f"cmfwisa_encode expects Vs of shape (B, m, n) "
+                             f"or a (V_re, V_im) plane pair; got {Vs.shape} "
+                             "(encode a single matrix with "
+                             "cmfwisa(V, ks, W_init=W, W_fixed=True))")
+        B, m, n = Vs.shape
     _check_batch_mesh(B, cfg.get("mesh"), "cmfwisa_encode")
     w_list, w_was_seq = as_list(W)
     w_list = [jnp.asarray(w, rdt) for w in w_list]
@@ -1033,18 +1055,32 @@ def cmfwisa_encode(Vs, W, config: dict | None = None, **kwargs):
         raise ValueError(f"H_init must be {(B, k, n)}; got {H0.shape}")
 
     P0 = cfg.get("P_init")
-    if P0 is None:
-        P0 = np.broadcast_to(np.exp(1j * np.angle(Vs)).astype(cdt)[:, None],
-                             (B, S, m, n))  # cmfwisa.m:119 per problem
-    elif isinstance(P0, (list, tuple)):
-        if len(P0) != S:
-            raise ValueError(f"Requested {S} sources. Given {len(P0)} "
-                             "initial phase matrices.")
-        P0 = np.stack([np.asarray(p, cdt) for p in P0], axis=1)
-    P0 = np.asarray(P0, cdt)
-    if P0.shape != (B, S, m, n):
-        raise ValueError(f"P_init must be {(B, S, m, n)} (or a list of S "
-                         f"(B, m, n) per-source arrays); got {P0.shape}")
+    if P0 is None and planes_in:
+        # default exp(1j angle(V)) computed on device from the planes
+        # (cmfwisa.m:119); np.angle(0) == 0 -> P == 1 matches arctan2.
+        @jax.jit
+        def _unit_phase(re, im):
+            ang = jnp.arctan2(im, re)
+            return jnp.cos(ang), jnp.sin(ang)
+        pr, pi = _unit_phase(V_re_in, V_im_in)
+        P_re0 = jnp.broadcast_to(pr[:, None], (B, S, m, n))
+        P_im0 = jnp.broadcast_to(pi[:, None], (B, S, m, n))
+    else:
+        if P0 is None:
+            P0 = np.broadcast_to(
+                np.exp(1j * np.angle(Vs)).astype(cdt)[:, None],
+                (B, S, m, n))  # cmfwisa.m:119 per problem
+        elif isinstance(P0, (list, tuple)):
+            if len(P0) != S:
+                raise ValueError(f"Requested {S} sources. Given {len(P0)} "
+                                 "initial phase matrices.")
+            P0 = np.stack([np.asarray(p, cdt) for p in P0], axis=1)
+        P0 = np.asarray(P0, cdt)
+        if P0.shape != (B, S, m, n):
+            raise ValueError(f"P_init must be {(B, S, m, n)} (or a list of "
+                             f"S (B, m, n) per-source arrays); got "
+                             f"{P0.shape}")
+        P_re0, P_im0 = (jnp.asarray(P0.real, rdt), jnp.asarray(P0.imag, rdt))
     p_fx = tuple(bool(x) for x in
                  promote_per_source(cfg.get("P_fixed"), S, "P_fixed", False))
     h_sp = [max(float(v), 0.0) for v in
@@ -1052,8 +1088,11 @@ def cmfwisa_encode(Vs, W, config: dict | None = None, **kwargs):
     hsp = per_column(h_sp, ks, rdt)
 
     # Complex arrays cross the device boundary as real planes.
-    V_re, V_im = jnp.asarray(Vs.real, rdt), jnp.asarray(Vs.imag, rdt)
-    P_re, P_im = jnp.asarray(P0.real, rdt), jnp.asarray(P0.imag, rdt)
+    if planes_in:
+        V_re, V_im = V_re_in, V_im_in
+    else:
+        V_re, V_im = jnp.asarray(Vs.real, rdt), jnp.asarray(Vs.imag, rdt)
+    P_re, P_im = P_re0, P_im0
     mesh = cfg.get("mesh")
     V_re, W, H0, P_re = apply_placements(mesh, "cmfwisa_encode",
                                          V=V_re, W=W, H=H0, P=P_re)
@@ -1064,6 +1103,17 @@ def cmfwisa_encode(Vs, W, config: dict | None = None, **kwargs):
     spec = _CmfEncSpec(maxiter, eps, blocks, p_fx)
     H, P_re_o, P_im_o, costs = _build_cmf_encode_solver(spec)(
         V_re, V_im, W, H0, P_re, P_im, hsp)
+    if cfg.get("device_output"):
+        # Serving option: factors stay jax arrays.  Because complex
+        # buffers cannot cross the device boundary on relay rigs
+        # (models/cmfwisa.py), P is returned as a (P_re, P_im) pair of
+        # REAL device arrays, each (B, S, m, n) — reassemble inside your
+        # own jitted consumer with jax.lax.complex(P_re, P_im).
+        Wo = ([W[:, a:b] for a, b in blocks] if w_was_seq else W)
+        Ho = ([H[:, a:b] for a, b in blocks] if w_was_seq else H)
+        return Result(fields=("W", "H", "P", "cost"), W=Wo, H=Ho,
+                      P=(P_re_o, P_im_o), cost=np.asarray(costs),
+                      n_iters=maxiter, converged=False)
     P = np.asarray(P_re_o) + 1j * np.asarray(P_im_o)  # (B, S, m, n)
     P_parts = [P[:, s] for s in range(S)]
     return Result(fields=("W", "H", "P", "cost"),

@@ -581,9 +581,35 @@ def test_cmfwisa_encode_sharded_and_validation():
         nt.cmfwisa_encode(Vs[0], W)
     with pytest.raises(ValueError, match="W_fixed"):
         nt.cmfwisa_encode(Vs, W, W_fixed=True)
-    with pytest.raises(ValueError, match="device_output"):
-        nt.cmfwisa_encode(Vs, W, device_output=True)
+    # device_output: P comes back as real planes (relay-safe contract)
+    d = nt.cmfwisa_encode(Vs, W, H_init=H0, maxiter=8,
+                          dtype=np.complex128, device_output=True)
+    assert isinstance(d.H, jax.Array)
+    P_re, P_im = d.P
+    np.testing.assert_allclose(np.asarray(P_re)[:, 0] +
+                               1j * np.asarray(P_im)[:, 0], a.P, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.H), a.H, atol=1e-12)
     with pytest.raises(ValueError, match="divergence"):
         nt.cmfwisa_encode(Vs, W, divergence="kl")
     with pytest.raises(ValueError, match="P_init"):
         nt.cmfwisa_encode(Vs, W, P_init=np.ones((B, m, n)))
+
+
+def test_cmfwisa_encode_plane_ingest_matches_complex():
+    """The device-resident (V_re, V_im) plane ingest produces the same
+    trajectories as the complex host-array path (incl. the on-device
+    default phase init)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(33)
+    B, m, n, k = 3, 8, 10, 2
+    Vs = (rng.uniform(0.1, 1, (B, m, n))
+          * np.exp(1j * rng.uniform(-np.pi, np.pi, (B, m, n))))
+    W = rng.uniform(size=(m, k))
+    H0 = rng.uniform(size=(B, k, n))
+    a = nt.cmfwisa_encode(Vs, W, H_init=H0, maxiter=10, dtype=np.complex128)
+    planes = (jnp.asarray(Vs.real), jnp.asarray(Vs.imag))
+    b = nt.cmfwisa_encode(planes, W, H_init=H0, maxiter=10,
+                          dtype=np.float64)
+    np.testing.assert_allclose(a.H, b.H, atol=1e-12)
+    np.testing.assert_allclose(a.P, b.P, atol=1e-12)
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-12)
