@@ -108,6 +108,11 @@ def build_parser():
                    help="STFT hop (default n_fft // 4)")
     p.add_argument("--power", type=float, default=2.0,
                    help="soft-mask exponent (2 = Wiener, 1 = ratio masks)")
+    p.add_argument("--phase-aware", action="store_true",
+                   help="'separate': fit the complex mixture with cmfwisa "
+                        "(per-source phases, King 2012) instead of "
+                        "magnitude NMF + Wiener masks; needs complex/wav "
+                        "input")
     p.add_argument("--out", required=True,
                    help="output .npz checkpoint (solvers) or stem path "
                         "prefix ('separate')")
@@ -243,10 +248,30 @@ def _cmd_separate(args):
                 print(f"error: dictionary {i} has shape {W.shape}; the "
                       f"mixture spectrogram has {m} rows", file=sys.stderr)
                 return 2
-        res = nt.nmf(np.abs(np.asarray(Zm)), [W.shape[1] for W in Ws],
-                     W_init=Ws, W_fixed=True, **cfg)
-        Hs = list(res.H) if isinstance(res.H, (list, tuple)) else [res.H]
-        est = np.asarray(nt.separate(Zm, Ws, Hs, power=args.power))
+        Zm = np.asarray(Zm)
+        if args.phase_aware:
+            # cmfwisa fit (per-source phases); the per-source estimates
+            # are the model's final targets V_bar_s = (W_s H_s) P_s +
+            # beta_s (V - V_hat) (cmfwisa.m:179): phase-aware AND summing
+            # to the mixture exactly (sum_s beta_s = 1).
+            if not np.iscomplexobj(Zm):
+                print("error: --phase-aware needs phase information — a "
+                      ".wav / 1-D signal input or a complex spectrogram",
+                      file=sys.stderr)
+                return 2
+            res = nt.cmfwisa(Zm, [W.shape[1] for W in Ws], W_init=Ws,
+                             W_fixed=True, **cfg)
+            Hs = list(res.H) if isinstance(res.H, (list, tuple)) else [res.H]
+            Ps = list(res.P) if isinstance(res.P, (list, tuple)) else [res.P]
+            WH = np.stack([W_ @ np.asarray(H_) for W_, H_ in zip(Ws, Hs)])
+            V_hat = np.sum(WH * np.stack(Ps), axis=0)
+            R = np.maximum(np.sum(WH, axis=0), nt.EPS)
+            est = WH * np.stack(Ps) + (WH / R) * (Zm - V_hat)[None]
+        else:
+            res = nt.nmf(np.abs(Zm), [W.shape[1] for W in Ws],
+                         W_init=Ws, W_fixed=True, **cfg)
+            Hs = list(res.H) if isinstance(res.H, (list, tuple)) else [res.H]
+            est = np.asarray(nt.separate(Zm, Ws, Hs, power=args.power))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -271,7 +296,9 @@ def _cmd_separate(args):
             "solver": "separate", "sources": len(stems),
             "spectrogram_shape": list(np.asarray(Zm).shape),
             "ranks": [int(W.shape[1]) for W in Ws],
-            "iterations": int(res.n_iters), "power": args.power,
+            "iterations": int(res.n_iters),
+            **({"phase_aware": True} if args.phase_aware
+               else {"power": args.power}),
             **({"sample_rate": rate} if rate else {}),
             "stems": stems}))
     return 0
@@ -281,9 +308,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.solver == "separate":
         return _cmd_separate(args)
-    if args.dicts is not None or args.solos is not None or args.ks is not None:
-        print("error: --dicts/--solos/--ks only apply to the 'separate' "
-              "solver", file=sys.stderr)
+    if (args.dicts is not None or args.solos is not None
+            or args.ks is not None or args.phase_aware):
+        print("error: --dicts/--solos/--ks/--phase-aware only apply to the "
+              "'separate' solver", file=sys.stderr)
         return 2
     import nmf_toolbox_tpu as nt
     from nmf_toolbox_tpu.utils.io import load_matrix

@@ -604,3 +604,36 @@ def test_cli_encode_complex_phase_aware(tmp_path):
     r = run_cli(["encode", str(tmp_path / "batch.npy"), "--dict",
                  str(tmp_path / "d2.npz"), "--streaming", "--out", out])
     assert r.returncode == 2 and "phase-aware" in r.stderr
+
+
+def test_cli_separate_phase_aware(tmp_path):
+    """--phase-aware: cmfwisa fit; stems sum to the mixture exactly and
+    beat the mask-free mixture baseline."""
+    from scipy.io import wavfile
+    paths, sig = _make_mixture(tmp_path)
+    out = str(tmp_path / "pa")
+    r = run_cli(["separate", paths["mix"], "--solos",
+                 f"{paths['a']},{paths['b']}", "--ks", "4",
+                 "--n-fft", "256", "--hop", "64", "--maxiter", "50",
+                 "--phase-aware", "--out", out])
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["phase_aware"] is True and summary["sources"] == 2
+    _, y0 = wavfile.read(summary["stems"][0])
+    _, y1 = wavfile.read(summary["stems"][1])
+    mix = sig["mix"] / 2.0
+    np.testing.assert_allclose(y0 + y1, mix, atol=1e-4)
+    for y, ref in [(y0, sig["a"] / 2.0), (y1, sig["b"] / 2.0)]:
+        assert np.sum((y - ref) ** 2) < 0.6 * np.sum((mix - ref) ** 2)
+    # magnitude-only spectrogram input rejected
+    np.save(tmp_path / "mag.npy", np.abs(
+        np.random.default_rng(0).normal(size=(20, 30))).astype(np.float32))
+    np.save(tmp_path / "Wm.npy", np.random.default_rng(1).uniform(
+        size=(20, 3)).astype(np.float32))
+    r = run_cli(["separate", str(tmp_path / "mag.npy"), "--dicts",
+                 str(tmp_path / "Wm.npy"), "--phase-aware", "--out", out])
+    assert r.returncode == 2 and "phase information" in r.stderr
+    # separate-only flag rejected elsewhere
+    r = run_cli(["nmf", str(tmp_path / "mag.npy"), "--k", "3",
+                 "--phase-aware", "--out", str(tmp_path / "x.npz")])
+    assert r.returncode == 2 and "separate" in r.stderr
