@@ -5,11 +5,11 @@ from .checkpoint_orbax import (save_factors_orbax, load_factors_orbax,
                                wait_for_saves)
 from .io import load_matrix, save_matrix
 from .separation import wiener_masks, separate
-from .audio import stft, istft, hann_window, magnitude
+from .audio import stft, istft, hann_window, magnitude, griffinlim
 
 __all__ = ["kmeans", "kmeans_indicator_h", "convex_hull_anchors", "nndsvd",
            "sort_dictionary", "view_dictionary", "view_consensus",
            "save_factors", "load_factors", "run_checkpointed",
            "save_factors_orbax", "load_factors_orbax", "wait_for_saves",
            "load_matrix", "save_matrix", "wiener_masks", "separate",
-           "stft", "istft", "hann_window", "magnitude"]
+           "stft", "istft", "hann_window", "magnitude", "griffinlim"]

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["hann_window", "stft", "istft", "magnitude"]
+__all__ = ["hann_window", "stft", "istft", "magnitude", "griffinlim"]
 
 
 def hann_window(n_fft: int, dtype=jnp.float32):
@@ -162,3 +162,62 @@ def magnitude(Z, power: float = 1.0):
     factorize (power=1 magnitude, 2 power spectrogram)."""
     mag = jnp.abs(jnp.asarray(Z))
     return mag if power == 1.0 else mag ** power
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "hop_length",
+                                             "window", "momentum",
+                                             "length"))
+def griffinlim(mag, n_iter: int = 32, hop_length: int | None = None,
+               window="hann", momentum: float = 0.99,
+               length: int | None = None, key=None):
+    """Waveform from a MAGNITUDE spectrogram by Griffin-Lim phase
+    reconstruction (fast accelerated variant, Perraudin 2013).
+
+    The magnitude-NMF synthesis companion: a model magnitude
+    ``W_s @ H_s`` has no phase of its own — when no mixture phase is
+    available to reuse (utils/separation.py) and no phase model was fit
+    (cmfwisa), this iterates stft(istft(.)) projections to find a
+    signal whose STFT magnitude matches ``mag``.
+
+    ``mag``: nonnegative (..., n_fft//2 + 1, n_frames) (stft layout;
+    leading dims batch).  ``momentum``: 0 = classic Griffin & Lim 1984,
+    0.99 (default) = accelerated.  ``key``: PRNG key for the random
+    phase init; the default uses a FIXED internal key (deterministic) —
+    random phases measurably out-converge a zero-phase start, whose
+    all-frames-in-phase symmetry is a poor local minimum.  Runs as one
+    compiled on-device loop (lax.fori_loop over the jitted
+    stft/istft pair).  Returns the real waveform (..., length).
+    """
+    mag = jnp.asarray(mag)
+    if jnp.iscomplexobj(mag):
+        raise TypeError("griffinlim takes a magnitude (real, nonnegative) "
+                        "spectrogram; complex STFTs already carry phase — "
+                        "use istft directly")
+    F = mag.shape[-2]
+    n_fft = 2 * (F - 1)
+    hop = n_fft // 4 if hop_length is None else int(hop_length)
+    cdt = jnp.complex128 if mag.dtype == jnp.float64 else jnp.complex64
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ang = jax.random.uniform(key, mag.shape, mag.dtype, -jnp.pi, jnp.pi)
+    angles = jnp.exp(1j * ang).astype(cdt)
+    mom = jnp.asarray(momentum / (1.0 + momentum), mag.dtype)
+    tiny = jnp.asarray(np.finfo(np.dtype(mag.dtype)).tiny, mag.dtype)
+
+    def project(c):
+        # istft -> stft round trip preserves the frame count for
+        # center=True (hop * (n_frames - 1) samples come back).
+        y = istft(c, hop_length=hop, window=window)
+        return stft(y, n_fft=n_fft, hop_length=hop, window=window)
+
+    def body(_, carry):
+        angles, tprev = carry
+        rebuilt = project(mag * angles)
+        t = rebuilt - mom * tprev
+        angles = t / jnp.maximum(jnp.abs(t), tiny)
+        return angles, rebuilt
+
+    angles, _ = jax.lax.fori_loop(0, n_iter, body,
+                                  (angles, jnp.zeros_like(angles)))
+    return istft(mag * angles, hop_length=hop, window=window,
+                 length=length)

@@ -211,3 +211,53 @@ def test_cmfwisa_signal_level():
 
     assert sdr(a, ya) > sdr(a, mix) + 3.0
     assert sdr(b, yb) > sdr(b, mix) + 3.0
+
+
+def test_griffinlim_spectral_convergence():
+    """Phase reconstruction from magnitude alone: the reconstructed
+    signal's STFT magnitude must approach the target (and beat the
+    zero-iteration start by a wide margin)."""
+    from nmf_toolbox_tpu.utils.audio import griffinlim
+    sr = 8000
+    t = np.arange(6000) / sr
+    x = (0.7 * np.sin(2 * np.pi * 440 * t)
+         + 0.3 * np.sin(2 * np.pi * 1250 * t + 0.4))
+    n_fft, hop = 256, 64
+    mag = np.abs(np.asarray(nt.stft(x, n_fft=n_fft, hop_length=hop)))
+
+    def sc(y):
+        M = np.abs(np.asarray(nt.stft(np.asarray(y), n_fft=n_fft,
+                                      hop_length=hop)))
+        return np.linalg.norm(M - mag) / np.linalg.norm(mag)
+
+    y0 = griffinlim(mag, n_iter=0, hop_length=hop, length=len(x))
+    y = griffinlim(mag, n_iter=48, hop_length=hop, length=len(x))
+    assert y.shape == (len(x),) and np.isrealobj(np.asarray(y))
+    # GL plateaus around ~0.07-0.11 spectral convergence on clean tones
+    # (local-minimum character of the projections; librosa comparable)
+    assert sc(y) < 0.12, sc(y)
+    assert sc(y) < 0.3 * sc(y0)
+    # an explicit key reproduces deterministically
+    import jax
+    yr = griffinlim(mag, n_iter=48, hop_length=hop, length=len(x),
+                    key=jax.random.PRNGKey(7))
+    assert sc(yr) < 0.15, sc(yr)
+    # classic (momentum=0) is slower but still converges
+    yc = griffinlim(mag, n_iter=48, hop_length=hop, momentum=0.0,
+                    length=len(x))
+    assert sc(yc) < 0.3, sc(yc)
+    # more iterations keep improving
+    y200 = griffinlim(mag, n_iter=200, hop_length=hop, length=len(x))
+    assert sc(y200) < sc(y) + 1e-9
+
+
+def test_griffinlim_batched_and_errors():
+    from nmf_toolbox_tpu.utils.audio import griffinlim
+    import pytest
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(2, 2000))
+    mag = np.abs(np.asarray(nt.stft(x, n_fft=128, hop_length=32)))
+    y = griffinlim(mag, n_iter=8, hop_length=32, length=2000)
+    assert y.shape == (2, 2000) and np.all(np.isfinite(np.asarray(y)))
+    with pytest.raises(TypeError):
+        griffinlim(mag.astype(np.complex64), n_iter=4)
