@@ -106,8 +106,9 @@ def build_parser():
                    help="STFT size for .wav / 1-D signal input (separate)")
     p.add_argument("--hop", type=int, default=None,
                    help="STFT hop (default n_fft // 4)")
-    p.add_argument("--power", type=float, default=2.0,
-                   help="soft-mask exponent (2 = Wiener, 1 = ratio masks)")
+    p.add_argument("--power", type=float, default=None,
+                   help="soft-mask exponent (default 2 = Wiener, 1 = ratio "
+                        "masks; mask mode only)")
     p.add_argument("--phase-aware", action="store_true",
                    help="'separate': fit the complex mixture with cmfwisa "
                         "(per-source phases, King 2012) instead of "
@@ -143,14 +144,20 @@ def _load_dictionary(path):
 
 
 def _read_signal(path):
-    """(signal float64 1-D, sample_rate | None).  .wav via scipy (ints
-    normalized to [-1, 1], multi-channel averaged to mono); .npy 1-D."""
+    """(signal float64 1-D, sample_rate | None).  .wav via scipy (PCM
+    normalized to [-1, 1] — unsigned formats like uint8 are re-centered
+    on their midpoint; multi-channel averaged to mono); .npy 1-D."""
     if path.endswith(".wav"):
         from scipy.io import wavfile
         rate, data = wavfile.read(path)
         x = np.asarray(data, np.float64)
         if np.issubdtype(data.dtype, np.integer):
-            x = x / float(np.iinfo(data.dtype).max)
+            info = np.iinfo(data.dtype)
+            span = float(info.max) + 1.0  # 32768 for int16, 128 for uint8
+            if info.min == 0:  # unsigned PCM: silence sits at span/2
+                x = (x - span / 2.0) / (span / 2.0)
+            else:
+                x = x / span
         if x.ndim == 2:
             x = x.mean(axis=1)
         return x, int(rate)
@@ -193,20 +200,39 @@ def _cmd_separate(args):
               "recordings)", file=sys.stderr)
         return 2
 
+    if args.phase_aware:
+        # cmfwisa is complex-euclidean with no mask exponent: error
+        # rather than silently ignore (the CLI's convention).
+        pa_bad = [f for f, v in [("--divergence", args.divergence),
+                                 ("--alpha", args.alpha),
+                                 ("--beta", args.beta),
+                                 ("--power", args.power)] if v is not None]
+        if pa_bad:
+            print("error: --phase-aware (cmfwisa fit, complex euclidean) "
+                  f"does not support: {', '.join(pa_bad)}", file=sys.stderr)
+            return 2
+
     hop = args.hop if args.hop is not None else args.n_fft // 4
     is_wav = args.input.endswith(".wav")
     rate = None
-    if is_wav or np.load(args.input, mmap_mode="r").ndim == 1:
-        sig, rate = _read_signal(args.input)
-        Zm = nt.stft(sig, n_fft=args.n_fft, hop_length=hop)
-        length = len(sig)
-    else:
-        Zm = np.load(args.input)  # precomputed spectrogram (mag or complex)
-        sig = length = None
+    try:
+        if is_wav or np.load(args.input, mmap_mode="r").ndim == 1:
+            sig, rate = _read_signal(args.input)
+            Zm = nt.stft(sig, n_fft=args.n_fft, hop_length=hop)
+            length = len(sig)
+        else:
+            Zm = np.load(args.input)  # precomputed spectrogram
+            sig = length = None
+    except (ValueError, OSError, AttributeError, KeyError) as e:
+        print(f"error: cannot read mixture {args.input!r}: {e} "
+              "(separate takes a .wav, a 1-D signal .npy, or a 2-D "
+              "spectrogram .npy)", file=sys.stderr)
+        return 2
 
     cfg = {"maxiter": args.maxiter, "tolerance": args.tolerance,
            "seed": args.seed}
     for key, val in [("divergence", args.divergence),
+                     ("alpha", args.alpha), ("beta", args.beta),
                      ("H_sparsity", args.h_sparsity), ("dtype", args.dtype)]:
         if val is not None:
             cfg[key] = val
@@ -235,20 +261,28 @@ def _cmd_separate(args):
             for i, (path, k) in enumerate(zip(solos, ks)):
                 if path.endswith(".wav") or np.load(
                         path, mmap_mode="r").ndim == 1:
-                    s, _ = _read_signal(path)
+                    s, solo_rate = _read_signal(path)
+                    if rate is not None and solo_rate is not None \
+                            and solo_rate != rate:
+                        print(f"error: solo {path!r} is sampled at "
+                              f"{solo_rate} Hz but the mixture is {rate} "
+                              "Hz — their frequency axes do not line up; "
+                              "resample first", file=sys.stderr)
+                        return 2
                     S = np.abs(np.asarray(
                         nt.stft(s, n_fft=args.n_fft, hop_length=hop)))
                 else:
                     S = np.abs(np.load(path))
                 Ws.append(np.asarray(
                     nt.nmf(S, k, **{**cfg, "seed": args.seed + i}).W))
-        m = np.asarray(Zm).shape[0]
+        Zm = np.asarray(Zm)
+        m = Zm.shape[0]
         for i, W in enumerate(Ws):
             if W.ndim != 2 or W.shape[0] != m:
                 print(f"error: dictionary {i} has shape {W.shape}; the "
                       f"mixture spectrogram has {m} rows", file=sys.stderr)
                 return 2
-        Zm = np.asarray(Zm)
+        ks_out = [W.shape[1] for W in Ws]
         if args.phase_aware:
             # cmfwisa fit (per-source phases); the per-source estimates
             # are the model's final targets V_bar_s = (W_s H_s) P_s +
@@ -259,19 +293,25 @@ def _cmd_separate(args):
                       ".wav / 1-D signal input or a complex spectrogram",
                       file=sys.stderr)
                 return 2
-            res = nt.cmfwisa(Zm, [W.shape[1] for W in Ws], W_init=Ws,
-                             W_fixed=True, **cfg)
+            res = nt.cmfwisa(Zm, ks_out, W_init=Ws, W_fixed=True, **cfg)
             Hs = list(res.H) if isinstance(res.H, (list, tuple)) else [res.H]
             Ps = list(res.P) if isinstance(res.P, (list, tuple)) else [res.P]
-            WH = np.stack([W_ @ np.asarray(H_) for W_, H_ in zip(Ws, Hs)])
+            # the solver unit-L2-normalizes W at entry (cmfwisa.m:154) and
+            # H was fit against THAT basis — rebuild from res.W, not Ws
+            Wn = list(res.W) if isinstance(res.W, (list, tuple)) else [res.W]
+            WH = np.stack([np.asarray(W_) @ np.asarray(H_)
+                           for W_, H_ in zip(Wn, Hs)])
             V_hat = np.sum(WH * np.stack(Ps), axis=0)
             R = np.maximum(np.sum(WH, axis=0), nt.EPS)
             est = WH * np.stack(Ps) + (WH / R) * (Zm - V_hat)[None]
         else:
-            res = nt.nmf(np.abs(Zm), [W.shape[1] for W in Ws],
-                         W_init=Ws, W_fixed=True, **cfg)
+            res = nt.nmf(np.abs(Zm), ks_out, W_init=Ws, W_fixed=True, **cfg)
             Hs = list(res.H) if isinstance(res.H, (list, tuple)) else [res.H]
-            est = np.asarray(nt.separate(Zm, Ws, Hs, power=args.power))
+            # res.W: the entry-normalized basis the encodings were fit to
+            Wn = list(res.W) if isinstance(res.W, (list, tuple)) else [res.W]
+            est = np.asarray(nt.separate(
+                Zm, Wn, Hs,
+                power=2.0 if args.power is None else args.power))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -295,10 +335,10 @@ def _cmd_separate(args):
         print(json.dumps({
             "solver": "separate", "sources": len(stems),
             "spectrogram_shape": list(np.asarray(Zm).shape),
-            "ranks": [int(W.shape[1]) for W in Ws],
+            "ranks": [int(k_) for k_ in ks_out],
             "iterations": int(res.n_iters),
             **({"phase_aware": True} if args.phase_aware
-               else {"power": args.power}),
+               else {"power": 2.0 if args.power is None else args.power}),
             **({"sample_rate": rate} if rate else {}),
             "stems": stems}))
     return 0

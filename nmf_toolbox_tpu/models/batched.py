@@ -917,8 +917,12 @@ def _build_cmf_encode_solver(spec: _CmfEncSpec):
         def per_source_wh(H):
             return jnp.stack([W[:, a:b] @ H[a:b, :] for a, b in blocks])
 
-        def one_step(V, H, P):
-            WH = per_source_wh(H)              # (S, m, n) real
+        def one_step(V, H, P, WH):
+            # WH = per_source_wh(H) rides the scan carry (the single
+            # solver's pattern, models/cmfwisa.py): XLA cannot CSE
+            # across scan iterations, so recomputing it at step entry
+            # would pay the full (S, m, k)x(k, n) stack twice per
+            # iteration.
             V_hat = jnp.sum(WH * P, axis=0)
             R = jnp.sum(WH, axis=0)            # stale W_all H_all
             beta = WH / R                      # cmfwisa.m:178
@@ -933,20 +937,22 @@ def _build_cmf_encode_solver(spec: _CmfEncSpec):
                               / jnp.maximum(M[a:b] + hsp[a:b, None], eps))
                     for s, (a, b) in enumerate(blocks)]
             Hn = jnp.concatenate(rows, axis=0)
-            diff = V - jnp.sum(per_source_wh(Hn) * P_new, axis=0)
+            WH_new = per_source_wh(Hn)
+            diff = V - jnp.sum(WH_new * P_new, axis=0)
             c = jnp.sum(jnp.real(diff * jnp.conj(diff)))
             c = c + jnp.sum(hsp * jnp.sum(Hn, axis=1))
-            return Hn, P_new, c
+            return Hn, P_new, WH_new, c
 
-        step_b = jax.vmap(one_step, in_axes=(0, 0, 0))
+        step_b = jax.vmap(one_step, in_axes=(0, 0, 0, 0))
 
         def body(carry, _):
-            H, P = carry
-            H, P, c = step_b(Vs, H, P)
-            return (H, P), c
+            H, P, WH = carry
+            H, P, WH, c = step_b(Vs, H, P, WH)
+            return (H, P, WH), c
 
-        (H, P), costs = jax.lax.scan(body, (H0, P0), None,
-                                     length=spec.iters)
+        WH0 = jax.vmap(per_source_wh)(H0)
+        (H, P, _), costs = jax.lax.scan(body, (H0, P0, WH0), None,
+                                        length=spec.iters)
         # complex -> real planes for the transfer back
         return H, jnp.real(P), jnp.imag(P), costs.T  # costs (B, iters)
 

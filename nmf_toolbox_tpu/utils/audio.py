@@ -55,23 +55,18 @@ def _resolve_window(window, n_fft, dtype):
     return w
 
 
+def _canon_window(window):
+    """Window arrays are jit-static arguments of the transforms (the
+    window's values shape the compiled program), and arrays are
+    unhashable — canonicalize to a hashable tuple of floats."""
+    if isinstance(window, (str, tuple)):
+        return window
+    return tuple(float(v) for v in np.asarray(window).reshape(-1))
+
+
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length",
                                              "window", "center"))
-def stft(x, n_fft: int = 512, hop_length: int | None = None,
-         window="hann", center: bool = True):
-    """Short-time Fourier transform of a real signal.
-
-    ``x``: real array ``(..., length)``; leading dims batch.
-    Returns the complex spectrogram ``(..., n_fft//2 + 1, n_frames)``
-    — (freq, time), ready to feed ``cmfwisa`` directly or ``abs()`` it
-    for the magnitude solvers.
-
-    ``center=True`` (default) reflect-pads by ``n_fft // 2`` so frames
-    are centered on multiples of ``hop_length`` and istft can
-    reconstruct the full signal including the edges; ``center=False``
-    frames the raw signal (first frame starts at sample 0) and istft
-    then only reconstructs the NOLA-covered interior exactly.
-    """
+def _stft_jit(x, n_fft, hop_length, window, center):
     hop = n_fft // 4 if hop_length is None else int(hop_length)
     if hop <= 0:
         raise ValueError(f"hop_length must be positive, got {hop}")
@@ -96,23 +91,31 @@ def stft(x, n_fft: int = 512, hop_length: int | None = None,
     return jnp.swapaxes(Z, -1, -2)  # (..., freq, time)
 
 
+def stft(x, n_fft: int = 512, hop_length: int | None = None,
+         window="hann", center: bool = True):
+    """Short-time Fourier transform of a real signal.
+
+    ``x``: real array ``(..., length)``; leading dims batch.
+    Returns the complex spectrogram ``(..., n_fft//2 + 1, n_frames)``
+    — (freq, time), ready to feed ``cmfwisa`` directly or ``abs()`` it
+    for the magnitude solvers.
+
+    ``center=True`` (default) reflect-pads by ``n_fft // 2`` so frames
+    are centered on multiples of ``hop_length`` and istft can
+    reconstruct the full signal including the edges; ``center=False``
+    frames the raw signal (first frame starts at sample 0) and istft
+    then only reconstructs the NOLA-covered interior exactly.
+    """
+    if n_fft % 2 or n_fft < 2:
+        # istft/griffinlim infer n_fft = 2*(F-1) from the row count; an
+        # odd n_fft would silently reconstruct with the wrong size.
+        raise ValueError(f"n_fft must be even and >= 2; got {n_fft}")
+    return _stft_jit(x, n_fft, hop_length, _canon_window(window), center)
+
+
 @functools.partial(jax.jit, static_argnames=("hop_length", "window",
                                              "center", "length"))
-def istft(Z, hop_length: int | None = None, window="hann",
-          center: bool = True, length: int | None = None):
-    """Inverse STFT by windowed overlap-add (Griffin & Lim LSEE-MSTFT:
-    the least-squares signal for the given frames).
-
-    ``Z``: complex spectrogram ``(..., n_fft//2 + 1, n_frames)`` as
-    produced by :func:`stft` (n_fft is inferred as ``2*(F-1)``).
-    ``length``: trim/zero-pad the output to this many samples (pass the
-    original signal length to undo stft's frame quantization).
-
-    Exact inverse of :func:`stft` for the same window/hop wherever the
-    squared-window overlap-add is positive (NOLA); bins where it is
-    ~zero (only the outermost samples of a ``center=False`` frame with
-    w[0] == 0) are returned as 0.
-    """
+def _istft_jit(Z, hop_length, window, center, length):
     Z = jnp.asarray(Z)
     if Z.ndim < 2:
         raise ValueError(f"Z must be (..., freq, frames); got {Z.shape}")
@@ -157,6 +160,24 @@ def istft(Z, hop_length: int | None = None, window="hann",
     return x
 
 
+def istft(Z, hop_length: int | None = None, window="hann",
+          center: bool = True, length: int | None = None):
+    """Inverse STFT by windowed overlap-add (Griffin & Lim LSEE-MSTFT:
+    the least-squares signal for the given frames).
+
+    ``Z``: complex spectrogram ``(..., n_fft//2 + 1, n_frames)`` as
+    produced by :func:`stft` (n_fft is inferred as ``2*(F-1)``).
+    ``length``: trim/zero-pad the output to this many samples (pass the
+    original signal length to undo stft's frame quantization).
+
+    Exact inverse of :func:`stft` for the same window/hop wherever the
+    squared-window overlap-add is positive (NOLA); bins where it is
+    ~zero (only the outermost samples of a ``center=False`` frame with
+    w[0] == 0) are returned as 0.
+    """
+    return _istft_jit(Z, hop_length, _canon_window(window), center, length)
+
+
 def magnitude(Z, power: float = 1.0):
     """|Z|**power — the nonnegative spectrogram the magnitude solvers
     factorize (power=1 magnitude, 2 power spectrogram)."""
@@ -167,6 +188,37 @@ def magnitude(Z, power: float = 1.0):
 @functools.partial(jax.jit, static_argnames=("n_iter", "hop_length",
                                              "window", "momentum",
                                              "length"))
+def _griffinlim_jit(mag, n_iter, hop_length, window, momentum, length,
+                    key):
+    F = mag.shape[-2]
+    n_fft = 2 * (F - 1)
+    hop = n_fft // 4 if hop_length is None else int(hop_length)
+    cdt = jnp.complex128 if mag.dtype == jnp.float64 else jnp.complex64
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ang = jax.random.uniform(key, mag.shape, mag.dtype, -jnp.pi, jnp.pi)
+    angles = jnp.exp(1j * ang).astype(cdt)
+    mom = jnp.asarray(momentum / (1.0 + momentum), mag.dtype)
+    tiny = jnp.asarray(np.finfo(np.dtype(mag.dtype)).tiny, mag.dtype)
+
+    def project(c):
+        # istft -> stft round trip preserves the frame count for
+        # center=True (hop * (n_frames - 1) samples come back).
+        y = _istft_jit(c, hop, window, True, None)
+        return _stft_jit(y, n_fft, hop, window, True)
+
+    def body(_, carry):
+        angles, tprev = carry
+        rebuilt = project(mag * angles)
+        t = rebuilt - mom * tprev
+        angles = t / jnp.maximum(jnp.abs(t), tiny)
+        return angles, rebuilt
+
+    angles, _ = jax.lax.fori_loop(0, n_iter, body,
+                                  (angles, jnp.zeros_like(angles)))
+    return _istft_jit(mag * angles, hop, window, True, length)
+
+
 def griffinlim(mag, n_iter: int = 32, hop_length: int | None = None,
                window="hann", momentum: float = 0.99,
                length: int | None = None, key=None):
@@ -193,31 +245,5 @@ def griffinlim(mag, n_iter: int = 32, hop_length: int | None = None,
         raise TypeError("griffinlim takes a magnitude (real, nonnegative) "
                         "spectrogram; complex STFTs already carry phase — "
                         "use istft directly")
-    F = mag.shape[-2]
-    n_fft = 2 * (F - 1)
-    hop = n_fft // 4 if hop_length is None else int(hop_length)
-    cdt = jnp.complex128 if mag.dtype == jnp.float64 else jnp.complex64
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    ang = jax.random.uniform(key, mag.shape, mag.dtype, -jnp.pi, jnp.pi)
-    angles = jnp.exp(1j * ang).astype(cdt)
-    mom = jnp.asarray(momentum / (1.0 + momentum), mag.dtype)
-    tiny = jnp.asarray(np.finfo(np.dtype(mag.dtype)).tiny, mag.dtype)
-
-    def project(c):
-        # istft -> stft round trip preserves the frame count for
-        # center=True (hop * (n_frames - 1) samples come back).
-        y = istft(c, hop_length=hop, window=window)
-        return stft(y, n_fft=n_fft, hop_length=hop, window=window)
-
-    def body(_, carry):
-        angles, tprev = carry
-        rebuilt = project(mag * angles)
-        t = rebuilt - mom * tprev
-        angles = t / jnp.maximum(jnp.abs(t), tiny)
-        return angles, rebuilt
-
-    angles, _ = jax.lax.fori_loop(0, n_iter, body,
-                                  (angles, jnp.zeros_like(angles)))
-    return istft(mag * angles, hop_length=hop, window=window,
-                 length=length)
+    return _griffinlim_jit(mag, n_iter, hop_length, _canon_window(window),
+                           momentum, length, key)

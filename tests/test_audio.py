@@ -92,9 +92,14 @@ def test_rect_window_and_custom_array():
     blocks = x.reshape(8, 64)
     np.testing.assert_allclose(np.asarray(Zr), np.fft.rfft(blocks, axis=1).T,
                                atol=1e-10)
-    w = np.hamming(64)  # symmetric custom window as raw array
-    Zc = nt.stft(x, n_fft=64, hop_length=16, window=tuple(w))
-    assert np.all(np.isfinite(np.asarray(Zc)))
+    # custom window as a RAW ARRAY (canonicalized to a hashable tuple
+    # before the jit-static boundary) and as a tuple: identical
+    w = np.hamming(64)
+    Zc = nt.stft(x, n_fft=64, hop_length=16, window=w)
+    Zt = nt.stft(x, n_fft=64, hop_length=16, window=tuple(w))
+    np.testing.assert_allclose(np.asarray(Zc), np.asarray(Zt), atol=0)
+    y = nt.istft(Zc, hop_length=16, window=w, length=512)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-8)
 
 
 def test_dtype_and_errors():
@@ -111,6 +116,8 @@ def test_dtype_and_errors():
         nt.stft(np.zeros(10), n_fft=64, center=False)  # too short
     with pytest.raises(ValueError):
         nt.stft(x32, n_fft=64, window="blackman")
+    with pytest.raises(ValueError, match="even"):
+        nt.stft(x32, n_fft=65)  # odd n_fft would break istft's inference
     with pytest.raises(ValueError):
         nt.istft(jnp.zeros((1,), jnp.complex64))
 

@@ -637,3 +637,64 @@ def test_cli_separate_phase_aware(tmp_path):
     r = run_cli(["nmf", str(tmp_path / "mag.npy"), "--k", "3",
                  "--phase-aware", "--out", str(tmp_path / "x.npz")])
     assert r.returncode == 2 and "separate" in r.stderr
+
+
+def test_cli_separate_review_fixes(tmp_path):
+    """Round-3 review findings: unnormalized dictionaries use the
+    solver's normalized basis, --phase-aware rejects mask/divergence
+    flags, solo rate mismatches error, unreadable input errors cleanly."""
+    from scipy.io import wavfile
+    rng = np.random.default_rng(40)
+    m, n = 24, 40
+    A = rng.gamma(2.0, 1.0, (m, 2)) @ rng.gamma(0.7, 1.0, (2, n))
+    B = rng.gamma(2.0, 1.0, (m, 2)) @ rng.gamma(0.7, 1.0, (2, n))
+    np.save(tmp_path / "mix.npy", (A + B).astype(np.float32))
+    # UNNORMALIZED dictionaries (column norms far from 1)
+    WA = (rng.uniform(0.5, 1.0, (m, 2)) * 37.0).astype(np.float32)
+    WB = (rng.uniform(0.5, 1.0, (m, 2)) * 0.02).astype(np.float32)
+    np.save(tmp_path / "WA.npy", WA)
+    np.save(tmp_path / "WB.npy", WB)
+    out = str(tmp_path / "s")
+    r = run_cli(["separate", str(tmp_path / "mix.npy"), "--dicts",
+                 f"{tmp_path / 'WA.npy'},{tmp_path / 'WB.npy'}",
+                 "--maxiter", "30", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    est = [np.load(p) for p in summary["stems"]]
+    # masks from the normalized basis the fit used: sum is exact AND the
+    # mask split must not be distorted by the raw column scales (the
+    # 37x-vs-0.02x dictionaries would grossly skew a Ws-based split)
+    np.testing.assert_allclose(est[0] + est[1], A + B, rtol=1e-4,
+                               atol=1e-4)
+    assert 0.05 < np.sum(est[0]) / np.sum(A + B) < 0.95
+    # --phase-aware rejects mask/divergence knobs
+    r = run_cli(["separate", str(tmp_path / "mix.npy"), "--dicts",
+                 f"{tmp_path / 'WA.npy'}", "--phase-aware",
+                 "--power", "1.0", "--out", out])
+    assert r.returncode == 2 and "--power" in r.stderr
+    r = run_cli(["separate", str(tmp_path / "mix.npy"), "--dicts",
+                 f"{tmp_path / 'WA.npy'}", "--phase-aware",
+                 "--divergence", "kl", "--out", out])
+    assert r.returncode == 2 and "--divergence" in r.stderr
+    # solo sample-rate mismatch
+    t8 = np.arange(1600) / 8000.0
+    wavfile.write(str(tmp_path / "mix8k.wav"), 8000,
+                  np.sin(2 * np.pi * 300 * t8).astype(np.float32))
+    wavfile.write(str(tmp_path / "solo44k.wav"), 44100,
+                  np.sin(2 * np.pi * 300 * t8).astype(np.float32))
+    r = run_cli(["separate", str(tmp_path / "mix8k.wav"), "--solos",
+                 str(tmp_path / "solo44k.wav"), "--ks", "2",
+                 "--n-fft", "256", "--out", out])
+    assert r.returncode == 2 and "44100" in r.stderr
+    # uint8 PCM wavs are midpoint-centered, not [0, 1]
+    u8 = (128 + 100 * np.sin(2 * np.pi * 300 * t8)).astype(np.uint8)
+    wavfile.write(str(tmp_path / "u8.wav"), 8000, u8)
+    from nmf_toolbox_tpu.cli import _read_signal
+    x, rate = _read_signal(str(tmp_path / "u8.wav"))
+    assert rate == 8000 and abs(float(np.mean(x))) < 0.02
+    assert 0.7 < float(np.max(np.abs(x))) <= 1.0
+    # unreadable mixture input: clean error, not a traceback
+    (tmp_path / "junk.bin").write_bytes(b"not-a-npy")
+    r = run_cli(["separate", str(tmp_path / "junk.bin"), "--dicts",
+                 str(tmp_path / "WA.npy"), "--out", out])
+    assert r.returncode == 2 and "cannot read mixture" in r.stderr
