@@ -39,7 +39,8 @@ OUT = HERE / "SCALING_cpu8.json"
 
 SOLVERS = ["nmf", "nmf-weighted", "cnmf", "nmfsc", "cnmfsc", "cmfwisa",
            "chnmf", "chcnmf", "convexnmf", "lnmf", "seminmf",
-           "constrainednmf", "nmf-multiseed"]
+           "constrainednmf", "nmf-multiseed",
+           "nmf-encode", "cnmf-encode", "cmfwisa-encode"]
 
 COLLECTIVES = ("all-reduce", "collective-permute", "all-gather",
                "reduce-scatter", "all-to-all")
@@ -105,6 +106,20 @@ def _run_solver(name, mesh):
         # restarts shard over the sample axis; expected collectives are
         # the same psum family as nmf (W row-reductions over m_ax)
         return nt.nmf_multiseed(V, k, 8, maxiter=1, mesh=mesh)
+    if name in ("nmf-encode", "cnmf-encode", "cmfwisa-encode"):
+        # problems shard over the mesh's sample axis (B = 8 divides the
+        # 2x4 mesh's 4); expected collectives: NONE in the hot scan (the
+        # dictionary is replicated, every problem is device-local) —
+        # only reshard/ingest programs may move data
+        Vb = rng.uniform(0.1, 1.0, (8, m, 11)).astype(np.float32)
+        if name == "nmf-encode":
+            return nt.nmf_encode(Vb, W0, maxiter=1, mesh=mesh, seed=2)
+        if name == "cnmf-encode":
+            W0c = rng.uniform(0.1, 1.0, (m, k, 3)).astype(np.float32)
+            return nt.cnmf_encode(Vb, W0c, maxiter=1, mesh=mesh, seed=2)
+        Vcb = (Vb * np.exp(1j * rng.uniform(size=Vb.shape))
+               ).astype(np.complex64)
+        return nt.cmfwisa_encode(Vcb, W0, maxiter=1, mesh=mesh, seed=2)
     if name == "constrainednmf":
         labels = np.full(n, -1)
         labels[rng.choice(n, n // 3, replace=False)] = rng.integers(0, 3, n // 3)
@@ -148,6 +163,8 @@ def timing():
     nc = 16384
     for dev in (1, 2, 4, 8):
         mesh = make_mesh(dev) if dev > 1 else None
+        B = 64  # batch for the serving engine: divisible by every dev
+        Vb = rng.uniform(0.1, 1.0, (B, 257, 400)).astype(np.float32)
         for label, fn in (
             ("nmf", lambda: nt.nmf(V, k, W_init=W0, H_init=H0,
                                    maxiter=iters, tolerance=1e-30,
@@ -155,6 +172,9 @@ def timing():
             ("cnmf", lambda: nt.cnmf(V[:, :nc], k, T, W_init=W0c,
                                      H_init=H0[:, :nc], maxiter=iters,
                                      tolerance=1e-30, mesh=mesh)),
+            ("nmf_encode", lambda: nt.nmf_encode(
+                Vb, W0[:257], maxiter=iters, seed=2, mesh=mesh,
+                device_output=True)),
         ):
             fn()  # compile warm-up
             t0 = time.perf_counter()
