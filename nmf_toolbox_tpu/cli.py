@@ -22,7 +22,7 @@ import numpy as np
 
 SOLVERS = ("nmf", "nmf_hals", "nmfsc", "cnmf", "cnmfsc", "cmfwisa", "lnmf",
            "convexnmf", "seminmf", "chnmf", "chcnmf", "constrainednmf",
-           "encode", "separate")
+           "nmf2d", "encode", "separate")
 
 
 def build_parser():
@@ -43,6 +43,8 @@ def build_parser():
                    help="energy fraction for --pick-rank svd")
     p.add_argument("--context-len", type=int, default=None,
                    help="time shifts T (convolutive solvers)")
+    p.add_argument("--pitch-len", type=int, default=None,
+                   help="frequency shifts P (nmf2d)")
     p.add_argument("--labels", default=None,
                    help=".npy label vector (constrainednmf; -1 = unlabeled)")
     p.add_argument("--divergence", default=None)
@@ -565,7 +567,7 @@ def main(argv=None):
         # Only solvers with a real fixed-factor code path (the others
         # read config with .get and would silently ignore the flag).
         fixable = ("nmf", "nmfsc", "lnmf", "cnmf", "cnmfsc", "seminmf",
-                   "cmfwisa")
+                   "cmfwisa", "nmf2d")
         if args.solver not in fixable:
             print(f"error: --fix is only supported for "
                   f"{'/'.join(fixable)}", file=sys.stderr)
@@ -649,12 +651,21 @@ def main(argv=None):
 
     solver = getattr(nt, args.solver)
     pos = [args.k]
-    if args.solver in ("cnmf", "cnmfsc", "chcnmf"):
+    if args.solver in ("cnmf", "cnmfsc", "chcnmf", "nmf2d"):
         if args.context_len is None:
             print("error: --context-len is required for convolutive solvers",
                   file=sys.stderr)
             return 2
         pos.append(args.context_len)
+    if args.solver == "nmf2d":
+        if args.pitch_len is None:
+            print("error: --pitch-len is required for nmf2d",
+                  file=sys.stderr)
+            return 2
+        pos.append(args.pitch_len)
+    elif args.pitch_len is not None:
+        print("error: --pitch-len only applies to nmf2d", file=sys.stderr)
+        return 2
     if args.solver == "constrainednmf":
         if args.labels is None:
             print("error: --labels is required for constrainednmf",

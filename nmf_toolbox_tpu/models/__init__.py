@@ -11,9 +11,10 @@ from .chcnmf import chcnmf
 from .constrainednmf import constrainednmf
 from .hals import nmf_hals
 from .streaming import nmf_streaming, nmf_encode_streaming
+from .nmf2d import nmf2d
 from .batched import (nmf_batched, nmf_multiseed, nmf_encode, cnmf_encode,
                       cmfwisa_encode)
 
 __all__ = ["nmf", "lnmf", "seminmf", "convexnmf", "chnmf", "cnmf",
            "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf",
-           "nmf_hals", "nmf_streaming", "nmf_encode_streaming", "nmf_batched", "nmf_multiseed", "nmf_encode", "cnmf_encode", "cmfwisa_encode"]
+           "nmf_hals", "nmf_streaming", "nmf_encode_streaming", "nmf_batched", "nmf_multiseed", "nmf_encode", "cnmf_encode", "cmfwisa_encode", "nmf2d"]

@@ -31,16 +31,21 @@ def row_l2_transfer(H, W):
     return H, W
 
 
-def cross_frame_norm(W, H=None, context_len: int | None = None):
+def cross_frame_norm(W, H=None, context_len: int | None = None,
+                     return_norms: bool = False):
     """Per-basis-element cross-frame normalization for the convolutive basis.
 
     w_norm_k = ||W[:, k, :]||_F / T; W[:, k, :] /= w_norm_k, and (at init
     only) H[k, :] *= w_norm_k.  Reference: cnmf.m:157-166, 196-199.
-    Returns (W, H) (H unchanged if None).
+    Returns (W, H) (H unchanged if None), or (W, norms) with
+    ``return_norms`` for callers whose H has a different layout
+    (models/nmf2d.py's (k, n, P)).
     """
     T = context_len if context_len is not None else W.shape[2]
     norms = jnp.sqrt(jnp.sum(W * W, axis=(0, 2))) / T  # (k,)
     W = W / norms[None, :, None]
+    if return_norms:
+        return W, norms
     if H is not None:
         # H may carry a leading batch axis (the encode engines transfer
         # the norms into every problem's init).

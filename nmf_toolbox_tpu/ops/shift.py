@@ -102,3 +102,22 @@ def conv_phi_ht(Phi, H, T: int, n_valid: int | None = None):
     """
     Hs = stack_shifts_right(H, T, n_valid)  # (T, k, n)
     return jnp.einsum("mn,tkn->mkt", Phi, Hs, preferred_element_type=Phi.dtype)
+
+
+def shift_down_rows(X, p: int):
+    """[zeros(p, :); X(1:m-p, :)] along axis -2 (the 2-D deconvolution
+    family's pitch shift on a log-frequency axis; models/nmf2d.py)."""
+    if p == 0:
+        return X
+    m = X.shape[-2]
+    pad = [(0, 0)] * (X.ndim - 2) + [(p, 0), (0, 0)]
+    return jnp.pad(X, pad)[..., :m, :]
+
+
+def shift_up_rows(X, p: int):
+    """[X(p+1:, :); zeros(p, :)] along axis -2 — the adjoint of
+    :func:`shift_down_rows` (shift_down(W, p)' @ X == W' @ shift_up(X, p))."""
+    if p == 0:
+        return X
+    pad = [(0, 0)] * (X.ndim - 2) + [(0, p), (0, 0)]
+    return jnp.pad(X, pad)[..., p:, :]

@@ -93,6 +93,11 @@ def placements_for(solver: str, mesh: Mesh) -> dict:
         "cnmfsc": {"V": V, "W": P(m_ax, None, None),
                    "W2": P(m_ax, None, None), "H": Hcol},
         "cmfwisa": {"V": V, "W": Wrow, "H": Hcol, "P": P(None, m_ax, n_ax)},
+        # 2-D deconvolution: samples shard (time halos as in cnmf); the
+        # feature axis stays replicated so the pitch shifts are
+        # device-local (models/nmf2d.py docstring).
+        "nmf2d": {"V": P(None, n_ax), "W": P(None, None, None),
+                  "H": P(None, n_ax, None)},
         # Gram family: the n-by-n Gram shards over samples on one side.
         "convexnmf": {"V": V, "G": P(n_ax, None), "H": Hcol},
         "chnmf": {"V": V, "S": Wrow, "G": P(None, None), "H": Hcol},

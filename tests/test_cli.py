@@ -698,3 +698,25 @@ def test_cli_separate_review_fixes(tmp_path):
     r = run_cli(["separate", str(tmp_path / "junk.bin"), "--dicts",
                  str(tmp_path / "WA.npy"), "--out", out])
     assert r.returncode == 2 and "cannot read mixture" in r.stderr
+
+
+def test_cli_nmf2d(tmp_path):
+    rng = np.random.default_rng(50)
+    np.save(tmp_path / "V.npy", rng.uniform(0.1, 1, (20, 30)).astype(
+        np.float32))
+    out = str(tmp_path / "f.npz")
+    r = run_cli(["nmf2d", str(tmp_path / "V.npy"), "--k", "2",
+                 "--context-len", "2", "--pitch-len", "3",
+                 "--maxiter", "8", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["iterations"] == 8
+    with np.load(out) as z:
+        assert z["W"].shape == (20, 2, 2) and z["H"].shape == (2, 30, 3)
+    # missing --pitch-len and misuse on other solvers
+    r = run_cli(["nmf2d", str(tmp_path / "V.npy"), "--k", "2",
+                 "--context-len", "2", "--out", out])
+    assert r.returncode == 2 and "pitch-len" in r.stderr
+    r = run_cli(["nmf", str(tmp_path / "V.npy"), "--k", "2",
+                 "--pitch-len", "2", "--out", out])
+    assert r.returncode == 2 and "nmf2d" in r.stderr
