@@ -109,3 +109,19 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def nmf2d_golden():
+    """Append-mode golden (round 3): 2-D deconvolution, KL."""
+    rng = np.random.default_rng(47)
+    m, n, k, T, P = 12, 18, 2, 2, 3
+    V = rng.gamma(2.0, 1.0, (m, n)) + 0.05
+    W0 = rng.uniform(0.1, 1.0, (m, k, T))
+    H0 = rng.uniform(0.1, 1.0, (k, n, P))
+    W, H, cost = oracle.nmf2d(V, W0, H0, T, P, divergence="kl",
+                              maxiter=15, tolerance=1e-12)
+    _save("nmf2d_kl", V=V, W0=W0, H0=H0, W=W, H=H, cost=cost)
+
+
+if __name__ == "__main__":
+    nmf2d_golden()

@@ -806,3 +806,92 @@ def cnmf_multi(V, W_inits, H_inits, context_len, W_sparsity=None,
             cost = cost[: it + 1]
             break
     return W, H, cost
+
+
+def nmf2d(V, W_init, H_init, context_len, pitch_len, divergence="euclidean",
+          alpha=1.0, beta=1.0, W_sparsity=0.0, H_sparsity=0.0,
+          maxiter=100, tolerance=1e-3, W_fixed=False, H_fixed=False):
+    """2-D deconvolution (Schmidt & Morup 2006) — literal double-shift
+    loops, paper-correct shifted fields everywhere (no cnmf.m KL quirk).
+    Independent cross-check for models/nmf2d.py (which batches the same
+    math into stacked einsums).  W_init (m, k, T), H_init (k, n, P)."""
+    V = np.asarray(V, np.float64)
+    m, n = V.shape
+    W = np.array(W_init, np.float64)
+    H = np.array(H_init, np.float64)
+    k = H.shape[0]
+    T, P = context_len, pitch_len
+    a, b = {"euclidean": (1.0, 1.0), "kl": (1.0, 0.0), "is": (1.0, -1.0)}.get(
+        divergence, (alpha, beta))
+    dual = a == 0
+
+    def down(X, p):
+        return np.concatenate([np.zeros((p, X.shape[1])), X[: m - p]], axis=0)
+
+    def up(X, p):
+        return np.concatenate([X[p:], np.zeros((p, X.shape[1]))], axis=0)
+
+    def hshift(Hm, t):
+        return np.concatenate([np.zeros((k, t)), Hm[:, : n - t]], axis=1)
+
+    def lshift(X, t):
+        return np.concatenate([X[:, t:], np.zeros((m, t))], axis=1)
+
+    def recon(W, H):
+        Lam = np.zeros((m, n))
+        for t in range(T):
+            for p in range(P):
+                Lam += down(W[:, :, t], p) @ hshift(H[:, :, p], t)
+        return Lam
+
+    for kk in range(k):
+        w_norm = np.linalg.norm(W[:, kk, :]) / T
+        W[:, kk, :] /= w_norm
+        H[kk, :, :] *= w_norm
+    cost = np.zeros(maxiter)
+    for it in range(maxiter):
+        if not W_fixed:
+            Lam = recon(W, H)
+            if dual:
+                Phi_n, Phi_p = V**(a - 1) * Lam**b, V**(a + b - 1)
+            else:
+                Phi_n, Phi_p = V**a * Lam**(b - 1), Lam**(a + b - 1)
+            pw = 1 / b if dual else 1 / a
+            for t in range(T):
+                A = np.zeros((m, k))
+                B = np.zeros((m, k))
+                for p in range(P):
+                    Hs = hshift(H[:, :, p], t)
+                    A += up(Phi_n, p) @ Hs.T
+                    B += up(Phi_p, p) @ Hs.T
+                dneg = np.sum(W[:, :, t] * B, axis=0)
+                dpos = np.sum(W[:, :, t] * A, axis=0)
+                neg = (A + W[:, :, t] * dneg[None, :]) ** pw
+                pos = (B + W[:, :, t] * dpos[None, :]) ** pw
+                W[:, :, t] = W[:, :, t] * (neg / np.maximum(pos + W_sparsity, EPS))
+            for kk in range(k):
+                w_norm = np.linalg.norm(W[:, kk, :]) / T
+                W[:, kk, :] /= w_norm
+        if not H_fixed:
+            Lam = recon(W, H)
+            if dual:
+                Phi_n, Phi_p = V**(a - 1) * Lam**b, V**(a + b - 1)
+            else:
+                Phi_n, Phi_p = V**a * Lam**(b - 1), Lam**(a + b - 1)
+            pw = 1 / b if dual else 1 / a
+            for p in range(P):
+                gneg = np.zeros((k, n))
+                gpos = np.zeros((k, n))
+                for t in range(T):
+                    gneg += W[:, :, t].T @ lshift(up(Phi_n, p), t)
+                    gpos += W[:, :, t].T @ lshift(up(Phi_p, p), t)
+                H[:, :, p] = H[:, :, p] * (gneg**pw / np.maximum(
+                    gpos**pw + H_sparsity, EPS))
+        Lam = recon(W, H)
+        cost[it] = div_cost(divergence if divergence in ("euclidean", "kl", "is")
+                            else "ab", V, Lam, a, b)
+        cost[it] += W_sparsity * np.sum(np.abs(W)) + H_sparsity * np.sum(np.abs(H))
+        if it > 0 and cost[it] < cost[it - 1] and cost[it - 1] - cost[it] < tolerance:
+            cost = cost[: it + 1]
+            break
+    return W, H, cost

@@ -133,3 +133,14 @@ def test_golden_cnmfsc_sparse():
     np.testing.assert_allclose(r.W, g["W"], atol=1e-9)
     np.testing.assert_allclose(r.H, g["H"], atol=1e-9)
     np.testing.assert_allclose(np.asarray(r.cost), g["cost"], rtol=1e-9)
+
+
+def test_golden_nmf2d_kl():
+    g = np.load(GOLD / "nmf2d_kl.npz")
+    r = nt.nmf2d(g["V"], g["W0"].shape[1], g["W0"].shape[2],
+                 g["H0"].shape[2], W_init=g["W0"], H_init=g["H0"],
+                 divergence="kl", maxiter=15, tolerance=1e-12,
+                 dtype=np.float64)
+    np.testing.assert_allclose(r.W, g["W"], atol=1e-9)
+    np.testing.assert_allclose(r.H, g["H"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r.cost), g["cost"], rtol=1e-9)
