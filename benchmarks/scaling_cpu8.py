@@ -40,7 +40,7 @@ OUT = HERE / "SCALING_cpu8.json"
 SOLVERS = ["nmf", "nmf-weighted", "cnmf", "nmfsc", "cnmfsc", "cmfwisa",
            "chnmf", "chcnmf", "convexnmf", "lnmf", "seminmf",
            "constrainednmf", "nmf-multiseed",
-           "nmf-encode", "cnmf-encode", "cmfwisa-encode"]
+           "nmf-encode", "cnmf-encode", "cmfwisa-encode", "nmf2d"]
 
 COLLECTIVES = ("all-reduce", "collective-permute", "all-gather",
                "reduce-scatter", "all-to-all")
@@ -120,6 +120,13 @@ def _run_solver(name, mesh):
         Vcb = (Vb * np.exp(1j * rng.uniform(size=Vb.shape))
                ).astype(np.complex64)
         return nt.cmfwisa_encode(Vcb, W0, maxiter=1, mesh=mesh, seed=2)
+    if name == "nmf2d":
+        # sample-axis sharding only: expected collectives are cnmf's
+        # (psum'd reductions + time-halo permutes); the pitch shifts are
+        # device-local (feature axis replicated)
+        W0c = rng.uniform(0.1, 1.0, (m, k, 3)).astype(np.float32)
+        Hp = rng.uniform(size=(k, n, 2)).astype(np.float32)
+        return nt.nmf2d(V, k, 3, 2, W_init=W0c, H_init=Hp, **kw)
     if name == "constrainednmf":
         labels = np.full(n, -1)
         labels[rng.choice(n, n // 3, replace=False)] = rng.integers(0, 3, n // 3)

@@ -98,3 +98,27 @@ def test_loop_terminate_trims_to_current_iteration():
     trimmed = looplib.trim_cost(out, 10, offset=1)
     # MATLAB cost(1:iter): initial + iterations before the underflow one
     assert len(trimmed) == 3
+
+
+def test_vertical_shifts_and_adjoint():
+    """shift_down_rows / shift_up_rows (nmf2d's pitch axis): shape
+    preservation, zero-fill, and the adjoint identity
+    <shift_down(W, p), X> == <W, shift_up(X, p)>."""
+    import numpy as np
+    from nmf_toolbox_tpu.ops.shift import shift_down_rows, shift_up_rows
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(6, 4))
+    X = rng.normal(size=(6, 4))
+    for p in range(4):
+        D = np.asarray(shift_down_rows(W, p))
+        U = np.asarray(shift_up_rows(X, p))
+        assert D.shape == W.shape and U.shape == X.shape
+        np.testing.assert_allclose(D[p:], W[: 6 - p])
+        np.testing.assert_allclose(D[:p], 0.0)
+        np.testing.assert_allclose(U[: 6 - p], X[p:])
+        np.testing.assert_allclose(U[6 - p:], 0.0)
+        np.testing.assert_allclose(np.sum(D * X), np.sum(W * U), rtol=1e-12)
+    # batched leading dims
+    Wb = rng.normal(size=(3, 6, 4))
+    np.testing.assert_allclose(np.asarray(shift_down_rows(Wb, 2))[1],
+                               np.asarray(shift_down_rows(Wb[1], 2)))
