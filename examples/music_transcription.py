@@ -42,12 +42,7 @@ def main():
     for onset, pitch in score:
         if int(np.argmax(H[0, onset, :])) == pitch:
             hits += 1
-    from nmf_toolbox_tpu.ops.shift import shift_down_rows, shift_right
-    Lam = np.zeros((m, n))
-    for t in range(T):
-        for p in range(P):
-            Lam += np.asarray(shift_down_rows(W[:, :, t], p)) \
-                @ np.asarray(shift_right(H[:, :, p], t))
+    Lam = np.asarray(nt.reconstruct(W, H))  # dispatches on H's pitch axis
     rel = np.linalg.norm(Lam - V) / np.linalg.norm(V)
 
     # same budget of plain convolutive elements cannot cover 5 pitches

@@ -17,9 +17,12 @@ cnmf ops via the adjoint identity shift_down(W, p)' @ X ==
 W' @ shift_up(X, p) (ops/shift.py), so
 
   * reconstruction = sum_p shift_down_rows(conv_reconstruct(W, H_p), p)
+    (ops/shift.conv_reconstruct_2d — also what nt.reconstruct dispatches
+    to for a 3-D H)
   * the H gradient for pitch p = conv_wt_phi(W, shift_up(field, p))
-  * the W gradient = one einsum of the (P, m, n) up-shifted field stack
-    against the (P, T, k, n) right-shifted H stack
+  * the W gradient = per-pitch accumulated einsums of the up-shifted
+    field against the (T, k, n) right-shifted H stack — no (P, m, n)
+    field stack is ever formed
 
 — the same batched-stacked-shift pattern as models/cnmf.py, one extra
 axis.  Update order, the diagonal renormalization-correction terms, and
@@ -41,7 +44,6 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -50,7 +52,7 @@ from ..core import (common_scalars, Result, merge_config, resolve_dtype,
 from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.masking import region_mask
-from ..ops.shift import (conv_wt_phi, conv_reconstruct, shift_down_rows,
+from ..ops.shift import (conv_wt_phi, conv_reconstruct_2d,
                          shift_up_rows, stack_shifts_right)
 from ..parallel import apply_placements, pad_axes, plan_padding
 
@@ -93,34 +95,29 @@ def _build_solver(spec: _Spec):
         mask = region_mask(V.shape, spec.valid)
 
         def reconstruct2d(W, H):
-            # sum_p shift_down(conv_reconstruct(W, H_p), p): the row
-            # shift commutes with the column-space matmul.
-            parts = [shift_down_rows(conv_reconstruct(W, H[:, :, p], nv), p)
-                     for p in range(P)]
-            return sum(parts[1:], parts[0])
+            return conv_reconstruct_2d(W, H, nv)
 
-        def field_stack(Phi):
-            # (P, m, n) up-shifted copies of a gradient field
-            return jnp.stack([shift_up_rows(Phi, p) for p in range(P)])
-
-        def h_shift_stack(H):
-            # (P, T, k, n) right-shifted copies of every pitch slice
-            return jnp.stack([stack_shifts_right(H[:, :, p], T, nv)
-                              for p in range(P)])
+        def w_grad(Phi, H):
+            # A[m, k, t] = sum_p shift_up(Phi, p) @ shift_right(H_p, t)'
+            # accumulated per pitch so no (P, m, n) field stack is ever
+            # formed (the same economy cnmf applies to its (T, m, n)
+            # analog — see ops/shift.conv_wt_phi).
+            out = None
+            for p in range(P):
+                term = jnp.einsum(
+                    "mn,tkn->mkt", shift_up_rows(Phi, p),
+                    stack_shifts_right(H[:, :, p], T, nv),
+                    preferred_element_type=dt)
+                out = term if out is None else out + term
+            return out
 
         def step(carry, i):
             W, H = carry  # W: (m, k, T), H: (k, n, P)
             if not spec.w_fixed:
                 Lam = reconstruct2d(W, H)
                 phi_neg, phi_pos, _ = dv.ab_fields(V, Lam, a, b, mask=mask)
-                Hs2 = h_shift_stack(H)
-                Nu = field_stack(phi_neg)
-                Pu = field_stack(phi_pos)
-                # A[m, k, t] = sum_p shift_up(phi, p) @ shift_right(H_p, t)'
-                A = jnp.einsum("pmn,ptkn->mkt", Nu, Hs2,
-                               preferred_element_type=dt)
-                B = jnp.einsum("pmn,ptkn->mkt", Pu, Hs2,
-                               preferred_element_type=dt)
+                A = w_grad(phi_neg, H)
+                B = w_grad(phi_pos, H)
                 # cnmf's diagonal renormalization-correction terms
                 dneg = jnp.sum(W * B, axis=0)
                 dpos = jnp.sum(W * A, axis=0)

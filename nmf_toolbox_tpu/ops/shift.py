@@ -73,6 +73,8 @@ def reconstruct(W, H):
         H = jnp.concatenate([jnp.asarray(h) for h in H], axis=0)
     if W.ndim == 2:
         return W @ H
+    if H.ndim == 3:  # nmf2d factors: H carries a pitch axis (k, n, P)
+        return conv_reconstruct_2d(W, H)
     return conv_reconstruct(W, H)
 
 
@@ -121,3 +123,18 @@ def shift_up_rows(X, p: int):
         return X
     pad = [(0, 0)] * (X.ndim - 2) + [(0, p), (0, 0)]
     return jnp.pad(X, pad)[..., p:, :]
+
+
+def conv_reconstruct_2d(W, H, n_valid: int | None = None):
+    """2-D deconvolutional reconstruction (models/nmf2d.py):
+    sum_t sum_p shift_down(W[:, :, t], p) @ shift_right(H[:, :, p], t).
+
+    Uses the commutation of the row shift with the column-space matmul:
+    = sum_p shift_down(conv_reconstruct(W, H[:, :, p]), p).
+    W (m, k, T), H (k, n, P) -> (m, n).  ``n_valid``: see
+    :func:`stack_shifts_right` (mesh-padded problems).
+    """
+    P = H.shape[2]
+    parts = [shift_down_rows(conv_reconstruct(W, H[:, :, p], n_valid), p)
+             for p in range(P)]
+    return sum(parts[1:], parts[0])

@@ -107,8 +107,6 @@ def main():
           H_sparsity=np.float64(0.5))
 
 
-if __name__ == "__main__":
-    main()
 
 
 def nmf2d_golden():
@@ -124,4 +122,5 @@ def nmf2d_golden():
 
 
 if __name__ == "__main__":
+    main()
     nmf2d_golden()

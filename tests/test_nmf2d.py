@@ -16,7 +16,8 @@ from nmf_toolbox_tpu.ops.shift import shift_down_rows, shift_right
 
 
 def model2d(W, H):
-    """Literal reference reconstruction: the double shift sum."""
+    """Literal reference reconstruction: the double shift sum (kept as
+    an independent check of ops.shift.conv_reconstruct_2d)."""
     m, k, T = W.shape
     _, n, P = H.shape
     Lam = np.zeros((m, n))
@@ -28,17 +29,27 @@ def model2d(W, H):
     return Lam
 
 
-@pytest.mark.parametrize("div", ["euclidean", "is"])
-def test_reduces_to_cnmf(div):
+def test_public_reconstruct_dispatches_2d():
+    rng = np.random.default_rng(0)
+    W = rng.uniform(size=(9, 2, 2))
+    H = rng.uniform(size=(2, 11, 3))
+    np.testing.assert_allclose(np.asarray(nt.reconstruct(W, H)),
+                               model2d(W, H), atol=1e-12)
+
+
+@pytest.mark.parametrize("div,extra", [("euclidean", {}), ("is", {}),
+                                       ("ab", {"alpha": 0.7, "beta": 0.8}),
+                                       ("ab", {"alpha": 0.0, "beta": 0.9})])
+def test_reduces_to_cnmf(div, extra):
     rng = np.random.default_rng(1)
     m, n, k, T = 14, 22, 3, 3
     V = rng.uniform(0.1, 1, (m, n))
     W0 = rng.uniform(size=(m, k, T))
     H0 = rng.uniform(size=(k, n))
     a = nt.nmf2d(V, k, T, 1, W_init=W0, H_init=H0[:, :, None], maxiter=12,
-                 tolerance=1e-30, dtype=np.float64, divergence=div)
+                 tolerance=1e-30, dtype=np.float64, divergence=div, **extra)
     b = nt.cnmf(V, k, T, W_init=W0, H_init=H0, maxiter=12, tolerance=1e-30,
-                dtype=np.float64, divergence=div, method="naive")
+                dtype=np.float64, divergence=div, method="naive", **extra)
     np.testing.assert_allclose(np.asarray(a.W), np.asarray(b.W), atol=1e-12)
     np.testing.assert_allclose(np.asarray(a.H)[:, :, 0], np.asarray(b.H),
                                atol=1e-12)
