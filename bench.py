@@ -232,6 +232,30 @@ def _nmfsc_b2_child():
                       "nmfsc_b2_final_cost": float(c[-1])}))
 
 
+def _probe_device(timeout=300):
+    """Platform of the default device, probed in a SUBPROCESS: when the
+    axon relay worker is down, even jax backend init hangs with no
+    output (verify SKILL.md), which would hang the whole benchmark.  A
+    dead probe -> fall back to CPU so the driver still records a
+    (clearly labeled) artifact instead of nothing."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout)
+        if p.returncode == 0 and p.stdout.strip():
+            return p.stdout.strip().splitlines()[-1]
+    except Exception as e:
+        print(f"device probe failed: {e}", file=sys.stderr)
+    return None
+
+
+def _force_cpu():
+    os.environ["NMF_TPU_BENCH_CPU"] = "1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
 def _run_child(name, timeout):
     env = dict(os.environ)
     env["NMF_TPU_BENCH_CHILD"] = name
@@ -247,6 +271,14 @@ def _run_child(name, timeout):
 
 
 def main():
+    platform = (None if os.environ.get("NMF_TPU_BENCH_CPU")
+                else _probe_device())
+    cpu_fallback = platform is None
+    if cpu_fallback:
+        print("device probe found no live accelerator — falling back to "
+              "CPU with a reduced config (relay worker outage?)",
+              file=sys.stderr)
+        _force_cpu()
     import jax
     import jax.numpy as jnp
     from nmf_toolbox_tpu.models.nmf import _build_solver, _Spec
@@ -256,6 +288,10 @@ def main():
     # Problem sizes: headline config, shrinking if the device is small.
     candidates = [(100_000, 10_000, 200), (50_000, 10_000, 200),
                   (20_000, 5_000, 200)]
+    if cpu_fallback:
+        # CPU cannot hold the 4 GB headline V with any speed; record a
+        # small-config number so the artifact is non-empty and labeled.
+        candidates = [(2_000, 1_000, 50)]
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
@@ -341,20 +377,26 @@ def main():
                   f"{tol_iters} iters (rel recon err {rel_err:.4f})",
                   file=sys.stderr)
 
+            # MATLAB estimate scaled to THIS config's FLOPs (the module
+            # constant is the 100k x 10k r200 headline figure); identical
+            # there, honest for the shrunk/CPU-fallback configs.
+            matlab_ips = 5e10 / (20.0 * m * n * k)
             result = {
                 "metric": f"euclidean NMF MU iters/sec, {m}x{n} rank-{k}, f32, "
                           f"1 chip ({dev.platform})",
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/sec",
-                "vs_baseline": round(iters_per_sec / MATLAB_ITERS_PER_SEC, 1),
+                "vs_baseline": round(iters_per_sec / matlab_ips, 1),
                 "time_to_tol_s": round(time_to_tol, 3),
                 "tol_iters": tol_iters,
                 "tol_criterion": "first iter with relative objective "
                                  "decrease < 1e-4 (direct f32 residual)",
                 "rel_recon_err_at_tol": round(rel_err, 5),
                 "vs_matlab_time_to_tol": round(
-                    tol_iters * MATLAB_SEC_PER_ITER / time_to_tol, 1),
+                    tol_iters / matlab_ips / time_to_tol, 1),
             }
+            if cpu_fallback:
+                result["cpu_fallback"] = True
 
             # --- Phase 3/4: children (own processes: one compiled
             # program per process keeps the relay worker stable) -------
@@ -382,6 +424,9 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("NMF_TPU_BENCH_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     child = os.environ.get("NMF_TPU_BENCH_CHILD")
     if child == "objective_check":
         _objective_check_child()
