@@ -22,7 +22,7 @@ import numpy as np
 
 SOLVERS = ("nmf", "nmf_hals", "nmfsc", "cnmf", "cnmfsc", "cmfwisa", "lnmf",
            "convexnmf", "seminmf", "chnmf", "chcnmf", "constrainednmf",
-           "nmf2d", "encode", "separate")
+           "nmf2d", "symnmf", "encode", "separate")
 
 
 def build_parser():

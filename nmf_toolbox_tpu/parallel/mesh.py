@@ -93,6 +93,10 @@ def placements_for(solver: str, mesh: Mesh) -> dict:
         "cnmfsc": {"V": V, "W": P(m_ax, None, None),
                    "W2": P(m_ax, None, None), "H": Hcol},
         "cmfwisa": {"V": V, "W": Wrow, "H": Hcol, "P": P(None, m_ax, n_ax)},
+        # symmetric NMF: A's rows and H's rows shard together over the
+        # feature axis, A's columns over the sample axis; the (k, k)
+        # Gram reductions psum.
+        "symnmf": {"A": V, "H": Wrow},
         # 2-D deconvolution: samples shard (time halos as in cnmf); the
         # feature axis stays replicated so the pitch shifts are
         # device-local (models/nmf2d.py docstring).

@@ -720,3 +720,22 @@ def test_cli_nmf2d(tmp_path):
     r = run_cli(["nmf", str(tmp_path / "V.npy"), "--k", "2",
                  "--pitch-len", "2", "--out", out])
     assert r.returncode == 2 and "nmf2d" in r.stderr
+
+
+def test_cli_symnmf(tmp_path):
+    rng = np.random.default_rng(51)
+    labels = np.repeat([0, 1], [10, 12])
+    A = (labels[:, None] == labels[None, :]) * 0.8 + 0.1 \
+        + 0.05 * rng.uniform(size=(22, 22))
+    A = ((A + A.T) / 2).astype(np.float32)
+    np.save(tmp_path / "A.npy", A)
+    out = str(tmp_path / "h.npz")
+    r = run_cli(["symnmf", str(tmp_path / "A.npy"), "--k", "2",
+                 "--maxiter", "100", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    with np.load(out) as z:
+        H = z["H"]
+    assert H.shape == (22, 2)
+    pred = np.argmax(H, axis=1)
+    acc = max(np.mean(pred == labels), np.mean(pred == 1 - labels))
+    assert acc == 1.0
