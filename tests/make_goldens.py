@@ -121,6 +121,19 @@ def nmf2d_golden():
     _save("nmf2d_kl", V=V, W0=W0, H0=H0, W=W, H=H, cost=cost)
 
 
+def symnmf_golden():
+    """Append-mode golden (round 3): symmetric NMF."""
+    rng = np.random.default_rng(48)
+    n, k = 18, 3
+    B = rng.uniform(0.1, 1.0, (n, k))
+    A = B @ B.T + 0.05 * rng.uniform(size=(n, n))
+    A = (A + A.T) / 2
+    H0 = rng.uniform(0.1, 1.0, (n, k))
+    H, cost = oracle.symnmf(A, H0, maxiter=15, tolerance=1e-12)
+    _save("symnmf", A=A, H0=H0, H=H, cost=cost)
+
+
 if __name__ == "__main__":
     main()
     nmf2d_golden()
+    symnmf_golden()

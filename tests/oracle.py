@@ -895,3 +895,20 @@ def nmf2d(V, W_init, H_init, context_len, pitch_len, divergence="euclidean",
             cost = cost[: it + 1]
             break
     return W, H, cost
+
+
+def symnmf(A, H_init, maxiter=100, tolerance=1e-3):
+    """Ding-2005 damped symmetric update, literal loops
+    (models/symnmf.py cross-check)."""
+    A = np.asarray(A, np.float64)
+    H = np.array(H_init, np.float64)
+    cost = np.zeros(maxiter)
+    for it in range(maxiter):
+        H = H * (0.5 + 0.5 * (A @ H) / np.maximum(H @ (H.T @ H), EPS))
+        E = A - H @ H.T
+        cost[it] = 0.5 * np.sum(E * E)
+        if it > 0 and cost[it] < cost[it - 1] and \
+                cost[it - 1] - cost[it] < tolerance:
+            cost = cost[: it + 1]
+            break
+    return H, cost

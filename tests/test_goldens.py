@@ -144,3 +144,11 @@ def test_golden_nmf2d_kl():
     np.testing.assert_allclose(r.W, g["W"], atol=1e-9)
     np.testing.assert_allclose(r.H, g["H"], atol=1e-9)
     np.testing.assert_allclose(np.asarray(r.cost), g["cost"], rtol=1e-9)
+
+
+def test_golden_symnmf():
+    g = np.load(GOLD / "symnmf.npz")
+    r = nt.symnmf(g["A"], g["H0"].shape[1], H_init=g["H0"], maxiter=15,
+                  tolerance=1e-12, dtype=np.float64)
+    np.testing.assert_allclose(r.H, g["H"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r.cost), g["cost"], rtol=1e-9)
