@@ -120,3 +120,22 @@ def test_separate_convolutive_factors():
     # mixed 2-D + 3-D factor lists also work (reconstruct handles each)
     est2 = np.asarray(nt.separate(V, [WA, WB[:, :, 0]], [HA, HB]))
     np.testing.assert_allclose(est2.sum(axis=0), V, rtol=1e-5)
+
+
+def test_separate_composes_with_nmf2d_factors():
+    """reconstruct's 3-D-H dispatch lets wiener masks consume nmf2d
+    models directly: estimates still sum to the mixture exactly."""
+    import nmf_toolbox_tpu as nt
+    rng = np.random.default_rng(13)
+    m, n = 20, 40
+    A = rng.gamma(2.0, 1.0, (m, 3)) @ rng.gamma(0.7, 1.0, (3, n))
+    B = rng.gamma(2.0, 1.0, (m, 3)) @ rng.gamma(0.7, 1.0, (3, n))
+    V = (A + B).astype(np.float64)
+    ra = nt.nmf2d(A, 2, 2, 2, maxiter=60, seed=1, tolerance=1e-30,
+                  dtype=np.float64)
+    rb = nt.nmf2d(B, 2, 2, 2, maxiter=60, seed=2, tolerance=1e-30,
+                  dtype=np.float64)
+    est = np.asarray(nt.separate(V, [np.asarray(ra.W), np.asarray(rb.W)],
+                                 [np.asarray(ra.H), np.asarray(rb.H)]))
+    np.testing.assert_allclose(est.sum(axis=0), V, rtol=1e-10)
+    assert np.all(est >= 0)
