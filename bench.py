@@ -46,8 +46,9 @@ import time
 
 import numpy as np
 
-MATLAB_ITERS_PER_SEC = 0.0125  # documented estimate above
-MATLAB_SEC_PER_ITER = 1.0 / MATLAB_ITERS_PER_SEC
+MATLAB_FLOPS_PER_SEC = 5e10   # strong single MATLAB/BLAS core (above);
+# per-config estimate: MATLAB iters/s = MATLAB_FLOPS_PER_SEC / (20 m n k)
+# = 0.0125 at the 100k x 10k r200 headline
 REL_DECREASE_TOL = 1e-4
 
 
@@ -271,11 +272,12 @@ def _run_child(name, timeout):
 
 
 def main():
-    platform = (None if os.environ.get("NMF_TPU_BENCH_CPU")
-                else _probe_device())
+    forced = bool(os.environ.get("NMF_TPU_BENCH_CPU"))
+    platform = None if forced else _probe_device()
     cpu_fallback = platform is None
     if cpu_fallback:
-        print("device probe found no live accelerator — falling back to "
+        print("CPU forced via NMF_TPU_BENCH_CPU" if forced else
+              "device probe found no live accelerator — falling back to "
               "CPU with a reduced config (relay worker outage?)",
               file=sys.stderr)
         _force_cpu()
@@ -380,7 +382,7 @@ def main():
             # MATLAB estimate scaled to THIS config's FLOPs (the module
             # constant is the 100k x 10k r200 headline figure); identical
             # there, honest for the shrunk/CPU-fallback configs.
-            matlab_ips = 5e10 / (20.0 * m * n * k)
+            matlab_ips = MATLAB_FLOPS_PER_SEC / (20.0 * m * n * k)
             result = {
                 "metric": f"euclidean NMF MU iters/sec, {m}x{n} rank-{k}, f32, "
                           f"1 chip ({dev.platform})",

@@ -519,6 +519,22 @@ def main(argv=None):
                 "out": args.out}))
         return 0
 
+    if args.solver == "symnmf":
+        # symmetric euclidean only, no sparsity penalties: error rather
+        # than silently ignore (the CLI's convention).
+        bad = [f for f, v in [("--divergence", args.divergence),
+                              ("--alpha", args.alpha),
+                              ("--beta", args.beta),
+                              ("--w-sparsity", args.w_sparsity),
+                              ("--h-sparsity", args.h_sparsity),
+                              ("--weights", args.weights),
+                              ("--fix", args.fix),
+                              ("--context-len", args.context_len)]
+               if v is not None]
+        if bad:
+            print(f"error: symnmf (symmetric euclidean A ~ H H') does "
+                  f"not support: {', '.join(bad)}", file=sys.stderr)
+            return 2
     if args.solver == "nmf_hals":
         # hals is euclidean-only with no sparsity penalties; error rather
         # than silently ignore flags it cannot honor.

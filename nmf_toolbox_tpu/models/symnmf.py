@@ -17,8 +17,11 @@ fixed points are the symmetric KKT points):
 TPU notes: one (n, n) x (n, k) product (A H) plus (k, k) Gram work per
 iteration — MXU-dense, no reconstruction of H H' is ever materialized;
 the cost uses the Gram identity ||A - H H'||^2 = ||A||^2
-- 2 <A H, H> + ||H'H||^2.  Mesh: A and H shard over rows; the (k, k)
-Gram reductions psum over the mesh.
+- 2 <A H, H> + ||H'H||^2, whose f32 cancellation floor is
+~||A||^2 * eps_f32 (late-plateau cost entries can tick up by that much
+in f32 — same caveat as the flagship Gram cost, bench.py; run f64 for
+strict monotonicity).  Mesh: A and H shard over rows; the (k, k) Gram
+reductions psum over the mesh.
 """
 from __future__ import annotations
 
@@ -48,22 +51,27 @@ def _build_solver(spec: _Spec):
         eps = jnp.asarray(spec.eps, dt)
         a_sq = jnp.sum(A * A)
 
-        def step(carry, i):
-            (H,) = carry
+        def products(H):
             AH = jax.lax.dot(A, H, preferred_element_type=dt)
-            G = H.T @ H
+            return AH, H.T @ H
+
+        def step(carry, i):
+            # AH/G ride the carry: the cost-side products of one
+            # iteration ARE the next iteration's update inputs, so the
+            # dominant (n, n) x (n, k) product runs ONCE per iteration.
+            H, AH, G = carry
             HG = jax.lax.dot(H, G, preferred_element_type=dt)
             H = H * (0.5 + 0.5 * (AH / jnp.maximum(HG, eps)))
+            AH, G = products(H)
             # cost via the Gram identity (no n x n reconstruction); the
             # clamp guards f32 cancellation exactly like
             # ops/gram.euclidean_cost_gram
-            AH = jax.lax.dot(A, H, preferred_element_type=dt)
-            G = H.T @ H
             c = jnp.maximum(0.5 * (a_sq - 2.0 * jnp.sum(AH * H)
                                    + jnp.sum(G * G)), 0.0)
-            return (H,), c, jnp.asarray(False)
+            return (H, AH, G), c, jnp.asarray(False)
 
-        return looplib.run(step, (H0,), spec.maxiter, tolerance,
+        AH0, G0 = products(H0)
+        return looplib.run(step, (H0, AH0, G0), spec.maxiter, tolerance,
                            cost_dtype=dt)
     return solve
 
@@ -127,7 +135,7 @@ def symnmf(A, num_basis_elems: int, config: dict | None = None, **kwargs):
 
     out = _build_solver(_Spec(maxiter, eps))(A, H0,
                                              jnp.asarray(tolerance, dtype))
-    (H,) = out.state
+    H = out.state[0]
     if pad:
         H = H[:n]
     return Result(

@@ -739,3 +739,14 @@ def test_cli_symnmf(tmp_path):
     pred = np.argmax(H, axis=1)
     acc = max(np.mean(pred == labels), np.mean(pred == 1 - labels))
     assert acc == 1.0
+
+
+def test_cli_symnmf_rejects_inapplicable_flags(tmp_path):
+    np.save(tmp_path / "A.npy", np.eye(8, dtype=np.float32))
+    out = str(tmp_path / "h.npz")
+    r = run_cli(["symnmf", str(tmp_path / "A.npy"), "--k", "2",
+                 "--divergence", "kl", "--out", out])
+    assert r.returncode == 2 and "--divergence" in r.stderr
+    r = run_cli(["symnmf", str(tmp_path / "A.npy"), "--k", "2",
+                 "--h-sparsity", "0.5", "--out", out])
+    assert r.returncode == 2 and "h-sparsity" in r.stderr

@@ -5,17 +5,7 @@ import pytest
 import nmf_toolbox_tpu as nt
 
 
-def np_symnmf(A, H, iters):
-    """Literal Ding-2005 damped update in NumPy — independent pin."""
-    A = np.asarray(A, np.float64)
-    H = np.asarray(H, np.float64).copy()
-    EPS = np.finfo(np.float64).eps
-    costs = []
-    for _ in range(iters):
-        H = H * (0.5 + 0.5 * (A @ H) / np.maximum(H @ (H.T @ H), EPS))
-        E = A - H @ H.T
-        costs.append(0.5 * np.sum(E * E))
-    return H, np.array(costs)
+import oracle  # tests/oracle.py: the single literal reference copy
 
 
 def _blocks(rng, sizes, noise=0.05):
@@ -30,7 +20,7 @@ def test_matches_numpy_reference():
     rng = np.random.default_rng(1)
     A, _ = _blocks(rng, [8, 7, 5])
     H0 = rng.uniform(size=(20, 3))
-    ref_H, ref_c = np_symnmf(A, H0, 15)
+    ref_H, ref_c = oracle.symnmf(A, H0, maxiter=15, tolerance=1e-30)
     r = nt.symnmf(A, 3, H_init=H0, maxiter=15, tolerance=1e-30,
                   dtype=np.float64)
     np.testing.assert_allclose(np.asarray(r.H), ref_H, atol=1e-10)
