@@ -166,3 +166,43 @@ def test_validation():
         nt.nmf2d(V, 2, 2, 2, H_init=np.ones((2, 10)))
     with pytest.raises(ValueError, match="2-D"):
         nt.nmf2d(V[None], 2, 2, 1)
+
+
+def test_fuzzed_configs_match_oracle():
+    """Randomized config sweep vs the literal-loop oracle (the
+    test_fuzz_configs.py methodology, applied to the new solver)."""
+    import oracle
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        m = int(rng.integers(8, 16))
+        n = int(rng.integers(10, 20))
+        k = int(rng.integers(1, 4))
+        T = int(rng.integers(1, 4))
+        P = int(rng.integers(1, 4))
+        div = rng.choice(["euclidean", "kl", "is", "ab"])
+        extra = {}
+        if div == "ab":
+            extra = {"alpha": float(rng.choice([0.0, 0.5, 1.5])),
+                     "beta": float(rng.choice([0.5, 1.0, 2.0]))}
+        wsp = float(rng.choice([0.0, 0.3]))
+        hsp = float(rng.choice([0.0, 0.2]))
+        w_fx = bool(rng.random() < 0.2)
+        h_fx = bool((not w_fx) and rng.random() < 0.2)
+        V = rng.gamma(2.0, 1.0, (m, n)) + 0.05
+        W0 = rng.uniform(0.1, 1.0, (m, k, T))
+        H0 = rng.uniform(0.1, 1.0, (k, n, P))
+        Wo, Ho, co = oracle.nmf2d(
+            V, W0, H0, T, P, divergence=div, W_sparsity=wsp,
+            H_sparsity=hsp, W_fixed=w_fx, H_fixed=h_fx, maxiter=8,
+            tolerance=1e-12, **extra)
+        r = nt.nmf2d(V, k, T, P, W_init=W0, H_init=H0, divergence=div,
+                     W_sparsity=wsp, H_sparsity=hsp, W_fixed=w_fx,
+                     H_fixed=h_fx, maxiter=8, tolerance=1e-12,
+                     dtype=np.float64, **extra)
+        cfg = (trial, div, extra, T, P, wsp, hsp, w_fx, h_fx)
+        np.testing.assert_allclose(np.asarray(r.W), Wo, atol=1e-9,
+                                   err_msg=str(cfg))
+        np.testing.assert_allclose(np.asarray(r.H), Ho, atol=1e-9,
+                                   err_msg=str(cfg))
+        np.testing.assert_allclose(np.asarray(r.cost), co, rtol=1e-9,
+                                   err_msg=str(cfg))
