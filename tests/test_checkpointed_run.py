@@ -182,3 +182,35 @@ def test_manual_resume_state_round_trip():
                  resume_state=a.resume_state, **kw)
     np.testing.assert_array_equal(b.W, ref.W)
     np.testing.assert_array_equal(b.H, ref.H)
+
+
+def test_chunked_nmf2d_exact(tmp_path):
+    """nmf2d is memoryless across iterations -> chunked == continuous.
+
+    Entry normalization is idempotent on an already-normalized resumed
+    basis, so the cross-frame renorm at each chunk entry is harmless."""
+    rng = np.random.default_rng(7)
+    V = rng.uniform(0.1, 1, (14, 24))
+    W0 = rng.uniform(0.1, 1, (14, 2, 2))
+    H0 = rng.uniform(0.1, 1, (2, 24, 3))
+    ref = nt.nmf2d(V, 2, 2, 3, W_init=W0, H_init=H0, maxiter=15,
+                   tolerance=1e-30, dtype=np.float64)
+    res = run_checkpointed(nt.nmf2d, V, 2, 2, 3, total_iters=15, chunk=5,
+                           path=tmp_path / "d.npz", W_init=W0, H_init=H0,
+                           tolerance=1e-30, dtype=np.float64)
+    np.testing.assert_allclose(res.W, ref.W, atol=1e-12)
+    np.testing.assert_allclose(res.H, ref.H, atol=1e-12)
+
+
+def test_chunked_symnmf_exact(tmp_path):
+    rng = np.random.default_rng(8)
+    B = rng.uniform(0.1, 1, (18, 3))
+    A = B @ B.T + 0.05 * rng.uniform(size=(18, 18))
+    A = (A + A.T) / 2
+    H0 = rng.uniform(0.1, 1, (18, 3))
+    ref = nt.symnmf(A, 3, H_init=H0, maxiter=15, tolerance=1e-30,
+                    dtype=np.float64)
+    res = run_checkpointed(nt.symnmf, A, 3, total_iters=15, chunk=5,
+                           path=tmp_path / "s.npz", H_init=H0,
+                           tolerance=1e-30, dtype=np.float64)
+    np.testing.assert_allclose(res.H, ref.H, atol=1e-12)
