@@ -14,8 +14,8 @@ from .streaming import nmf_streaming, nmf_encode_streaming
 from .nmf2d import nmf2d
 from .symnmf import symnmf
 from .batched import (nmf_batched, nmf_multiseed, nmf_encode, cnmf_encode,
-                      cmfwisa_encode)
+                      cmfwisa_encode, nmf2d_encode)
 
 __all__ = ["nmf", "lnmf", "seminmf", "convexnmf", "chnmf", "cnmf",
            "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf",
-           "nmf_hals", "nmf_streaming", "nmf_encode_streaming", "nmf_batched", "nmf_multiseed", "nmf_encode", "cnmf_encode", "cmfwisa_encode", "nmf2d", "symnmf"]
+           "nmf_hals", "nmf_streaming", "nmf_encode_streaming", "nmf_batched", "nmf_multiseed", "nmf_encode", "cnmf_encode", "cmfwisa_encode", "nmf2d_encode", "nmf2d", "symnmf"]

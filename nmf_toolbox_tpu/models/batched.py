@@ -1128,3 +1128,160 @@ def cmfwisa_encode(Vs, W, config: dict | None = None, **kwargs):
                   P=P_parts if w_was_seq else P_parts[0],
                   cost=np.asarray(costs),
                   n_iters=maxiter, converged=False)
+
+
+class _Nmf2dEncSpec(NamedTuple):
+    iters: int
+    eps: float
+    div: str
+    T: int
+    P: int
+    alpha: float = 1.0
+    beta: float = 1.0
+
+
+@functools.lru_cache(maxsize=None)
+def _build_nmf2d_encode_solver(spec: _Nmf2dEncSpec):
+    """H-only 2-D deconvolutional MU against one shared (m, k, T)
+    dictionary — batched pitch-invariant transcription (every problem's
+    H (k, n, P) is a piano roll against the frozen note shapes).
+
+    Trajectories pin against nmf2d(V, k, T, P, W_init=W, W_fixed=True)
+    per problem.  Loop-invariant hoists: euclidean's V-term
+    gneg[.,.,p] = conv_wt_phi(W, shift_up(V, p)) (iterations never read
+    V again); KL's paper-correct shifted ones-field gpos (constant in
+    H).  IS/AB recompute both fields (nonlinear in the reconstruction).
+    """
+    from ..ops.shift import (conv_reconstruct_2d, conv_wt_phi,
+                             shift_up_rows)
+    T, P = spec.T, spec.P
+    a, b = spec.alpha, spec.beta
+    dual = a == 0.0
+    power = (1.0 / b) if dual else (None if a == 1.0 else 1.0 / a)
+    euclid = spec.div == "euclidean" and a == 1.0 and b == 1.0
+    kl = spec.div == "kl"
+
+    @jax.jit
+    def solve(Vs, W, H0, hsp):
+        dt = W.dtype
+        eps = jnp.asarray(spec.eps, dt)
+
+        def h_grad(Phi):
+            return jnp.stack([conv_wt_phi(W, shift_up_rows(Phi, p))
+                              for p in range(P)], axis=2)  # (k, n, P)
+
+        if euclid:
+            Gneg = jax.vmap(h_grad)(Vs)  # one-time V term per problem
+        if kl:
+            ones = jnp.ones(Vs.shape[1:], dt)
+            gpos_kl = h_grad(ones)       # paper-correct shifted ones-field
+
+        def one_step(V, gneg_v, H):
+            Lam = conv_reconstruct_2d(W, H)
+            phi_neg, phi_pos, _ = dv.ab_fields(V, Lam, a, b)
+            gneg = gneg_v if euclid else h_grad(phi_neg)
+            gpos = gpos_kl if kl else h_grad(phi_pos)
+            gneg = dv.apply_power(gneg, power)
+            gpos = dv.apply_power(gpos, power)
+            Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None, None], eps))
+            c = dv.cost(spec.div, V, conv_reconstruct_2d(W, Hn), a, b)
+            c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=(1, 2)))
+            return Hn, c
+
+        step_b = jax.vmap(one_step, in_axes=(0, 0 if euclid else None, 0))
+
+        def body(H, _):
+            H, c = step_b(Vs, Gneg if euclid else None, H)
+            return H, c
+
+        H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+        return H, costs.T  # (B, iters)
+
+    return solve
+
+
+def nmf2d_encode(Vs, W, pitch_len: int, config: dict | None = None,
+                 **kwargs):
+    """Encode a batch Vs (B, m, n) against ONE frozen 2-D deconvolutional
+    dictionary W (m, k, T) with ``pitch_len`` frequency shifts — batched
+    pitch-invariant transcription: each problem's H (k, n, P) reads as a
+    piano roll (time x pitch activations of the frozen note shapes).
+
+    Per-problem trajectories are exactly
+    ``nmf2d(V_i, k, T, P, W_init=W, W_fixed=True)``, including the entry
+    cross-frame normalization with norm transfer into every problem's
+    H init.  Euclidean iterations never touch V after a one-time
+    per-problem gradient; KL hoists its paper-correct shifted
+    ones-field.
+
+    Gauge note: nmf2d's model has a (W pitch-shift <-> H pitch-shift)
+    degeneracy, so a LEARNED dictionary may carry a constant vertical
+    offset — absolute pitch labels from argmax(H) are then shifted by a
+    constant.  Calibrate once against a known event from the training
+    fit (the activations are consistent across problems; see the
+    end-to-end transcription drive in the commit history).
+
+    Parameters: divergence ('euclidean' | 'kl' | 'is' | 'ab' +
+    alpha/beta incl. the alpha=0 dual), H_init (B, k, n, P), H_sparsity
+    (scalar), maxiter (100), seed, dtype, eps, mesh (problems shard over
+    the batch axis), device_output.  Returns Result with W (m, k, T,
+    normalized), H (B, k, n, P), cost (B, maxiter).
+    """
+    from ..ops.normalize import cross_frame_norm
+    cfg = merge_config(config, kwargs)
+    div = dv.canon(cfg.get("divergence", "euclidean"))
+    alpha, beta = dv.ab_params(div, cfg.get("alpha", 1.0),
+                               cfg.get("beta", 1.0))
+    if div == "ab" and alpha == 0.0 and beta == 0.0:
+        raise ValueError("alpha = 0 and beta = 0 is not supported at this time.")
+    _reject_encode_config(cfg, "nmf2d_encode")
+    if cfg.get("data_dtype") is not None:
+        raise ValueError("nmf2d_encode: data_dtype is not supported — the "
+                         "one-time V gradient and the field paths read V "
+                         "at compute precision")
+    if cfg.get("weights") is not None:
+        raise ValueError("nmf2d_encode: weights= is not supported")
+    dtype = resolve_dtype(Vs, cfg.get("dtype"))
+    Vs = jnp.asarray(Vs, dtype)
+    if Vs.ndim != 3:
+        raise ValueError(f"nmf2d_encode expects Vs of shape (B, m, n); got "
+                         f"{Vs.shape} (encode a single matrix with "
+                         "nmf2d(V, k, T, P, W_init=W, W_fixed=True))")
+    B, m, n = Vs.shape
+    P = int(pitch_len)
+    if P < 1 or P > m:
+        raise ValueError(f"pitch_len must be in [1, {m}]; got {P}")
+    _check_batch_mesh(B, cfg.get("mesh"), "nmf2d_encode")
+    W = jnp.asarray(W, dtype)
+    if W.ndim != 3 or W.shape[0] != m:
+        raise ValueError(f"dictionary W must be (m, k, T) with m = {m}; "
+                         f"got {W.shape}")
+    k, T = W.shape[1], W.shape[2]
+    maxiter, _, eps, key = common_scalars(cfg)
+
+    H0 = cfg.get("H_init")
+    if H0 is None:
+        H0 = uniform_init(key, (B, k, n, P), dtype)
+    H0 = jnp.asarray(H0, dtype)
+    if H0.shape != (B, k, n, P):
+        raise ValueError(f"H_init must be {(B, k, n, P)}; got {H0.shape}")
+    # Entry normalization with norm transfer into every problem's init
+    # (models/nmf2d.py _renorm convention, W_fixed included).
+    W, norms = cross_frame_norm(W, None, T, return_norms=True)
+    H0 = H0 * norms[None, :, None, None]
+    hsp = jnp.full((k,), max(float(cfg.get("H_sparsity") or 0.0), 0.0),
+                   dtype)
+
+    mesh = cfg.get("mesh")
+    Vs, W, H0 = apply_placements(mesh, "nmf2d_encode", V=Vs, W=W, H=H0)
+
+    spec = _Nmf2dEncSpec(maxiter, eps, div, T, P, alpha, beta)
+    H, costs = _build_nmf2d_encode_solver(spec)(Vs, W, H0, hsp)
+    if cfg.get("device_output"):
+        return Result(fields=("W", "H", "cost"), W=W, H=H,
+                      cost=np.asarray(costs), n_iters=maxiter,
+                      converged=False)
+    return Result(fields=("W", "H", "cost"),
+                  W=np.asarray(W), H=np.asarray(H),
+                  cost=np.asarray(costs),
+                  n_iters=maxiter, converged=False)

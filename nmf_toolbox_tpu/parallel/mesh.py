@@ -125,6 +125,9 @@ def placements_for(solver: str, mesh: Mesh) -> dict:
         "cmfwisa_encode": {"V": P(n_ax, None, None), "W": P(None, None),
                            "H": P(n_ax, None, None),
                            "P": P(n_ax, None, None, None)},
+        "nmf2d_encode": {"V": P(n_ax, None, None),
+                         "W": P(None, None, None),
+                         "H": P(n_ax, None, None, None)},
         # multi-restart (rank selection): the SHARED V shards over
         # features only (every restart reads all of it), restarts
         # shard over the sample axis — pure data parallelism, the only

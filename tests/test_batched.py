@@ -613,3 +613,58 @@ def test_cmfwisa_encode_plane_ingest_matches_complex():
     np.testing.assert_allclose(a.H, b.H, atol=1e-12)
     np.testing.assert_allclose(a.P, b.P, atol=1e-12)
     np.testing.assert_allclose(a.cost, b.cost, rtol=1e-12)
+
+
+def test_nmf2d_encode_matches_fixed_w_single():
+    """nmf2d_encode per-problem trajectories pin against
+    nmf2d(V, k, T, P, W_init=W, W_fixed=True) across divergences."""
+    rng = np.random.default_rng(60)
+    B, m, n, k, T, P, iters = 3, 12, 16, 2, 2, 3, 10
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(0.1, 1, (m, k, T))
+    H0 = rng.uniform(0.1, 1, (B, k, n, P))
+    for div in ("euclidean", "kl", "is"):
+        res = nt.nmf2d_encode(Vs, W, P, H_init=H0, divergence=div,
+                              maxiter=iters, dtype=np.float64)
+        assert res.H.shape == (B, k, n, P)
+        for b in range(B):
+            ref = nt.nmf2d(Vs[b], k, T, P, W_init=W, W_fixed=True,
+                           H_init=H0[b], divergence=div, maxiter=iters,
+                           tolerance=1e-30, dtype=np.float64)
+            np.testing.assert_allclose(res.W, ref.W, atol=1e-12,
+                                       err_msg=div)
+            np.testing.assert_allclose(res.H[b], ref.H, atol=1e-9,
+                                       err_msg=div)
+            np.testing.assert_allclose(res.cost[b], ref.cost, rtol=1e-9,
+                                       err_msg=div)
+
+
+def test_nmf2d_encode_sparsity_sharded_validation():
+    import jax
+    import pytest
+    rng = np.random.default_rng(61)
+    B, m, n, k, T, P = 8, 10, 14, 2, 2, 2
+    Vs = rng.uniform(0.1, 1, (B, m, n))
+    W = rng.uniform(0.1, 1, (m, k, T))
+    H0 = rng.uniform(0.1, 1, (B, k, n, P))
+    a = nt.nmf2d_encode(Vs, W, P, H_init=H0, H_sparsity=0.3, maxiter=8,
+                        dtype=np.float64)
+    ref = nt.nmf2d(Vs[0], k, T, P, W_init=W, W_fixed=True, H_init=H0[0],
+                   H_sparsity=0.3, maxiter=8, tolerance=1e-30,
+                   dtype=np.float64)
+    np.testing.assert_allclose(a.H[0], ref.H, atol=1e-9)
+    if len(jax.devices()) >= 8:
+        from nmf_toolbox_tpu.parallel import make_mesh
+        b = nt.nmf2d_encode(Vs, W, P, H_init=H0, H_sparsity=0.3,
+                            maxiter=8, dtype=np.float64,
+                            mesh=make_mesh(8))
+        np.testing.assert_allclose(np.asarray(a.H), np.asarray(b.H),
+                                   atol=1e-10)
+    with pytest.raises(ValueError, match="B, m, n"):
+        nt.nmf2d_encode(Vs[0], W, P)
+    with pytest.raises(ValueError, match="W_fixed"):
+        nt.nmf2d_encode(Vs, W, P, W_fixed=True)
+    with pytest.raises(ValueError, match="pitch_len"):
+        nt.nmf2d_encode(Vs, W, 0)
+    with pytest.raises(ValueError, match="weights"):
+        nt.nmf2d_encode(Vs, W, P, weights=np.ones((m, n)))
