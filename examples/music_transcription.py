@@ -58,6 +58,29 @@ def main():
     assert hits == len(score)
     assert rel < 0.1 and rel < 0.3 * relc
 
+    # Serving: batch-transcribe NEW clips against the frozen note shape
+    # (nmf2d_encode: one fused program for the whole batch; each
+    # problem's H is its piano roll).  A learned dictionary may carry a
+    # constant pitch offset (the model's shift gauge) — calibrate it
+    # once from the training fit.
+    rng = np.random.default_rng(1)
+    off = (score[0][1] - int(np.argmax(H[0, score[0][0], :]))) % P
+    new_scores = [[(20, int(rng.integers(0, P))),
+                   (140, int(rng.integers(0, P)))] for _ in range(4)]
+    Vs = np.stack([
+        sum((np.pad(np.roll(comb, p_)[:, None] * (1.0 - 0.28 * t),
+                    ((0, 0), (o + t, n - o - t - 1)))
+             for o, p_ in ev for t in range(T)),
+            np.zeros((m, n))) + 1e-4
+        for ev in new_scores]).astype(np.float32)
+    enc = nt.nmf2d_encode(Vs, W.astype(np.float32), P, divergence="kl",
+                          maxiter=150, seed=2)
+    got = sum((int(np.argmax(np.asarray(enc.H)[b, 0, o, :])) + off) % P == p_
+              for b, ev in enumerate(new_scores) for o, p_ in ev)
+    print(f"batched serving: transcribed {got}/8 events in new clips "
+          f"(gauge offset {off})")
+    assert got >= 7
+
 
 if __name__ == "__main__":
     main()
