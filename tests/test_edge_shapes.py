@@ -81,3 +81,41 @@ def test_nmfsc_single_column():
                               tolerance=1e-12)
     np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9)
     np.testing.assert_allclose(r.H, Hg, atol=1e-9)
+
+
+@pytest.mark.parametrize("m,n,k,T,P", [
+    (4, 10, 1, 1, 1),   # fully degenerate: plain nmf-shaped
+    (5, 6, 2, 3, 1),    # pitch axis degenerate
+    (6, 8, 1, 1, 4),    # time axis degenerate, pitch active
+    (3, 12, 2, 2, 3),   # P = m: maximal pitch range
+])
+def test_nmf2d_edge_shapes(m, n, k, T, P):
+    rng = np.random.default_rng(m * 13 + n + k + T + P)
+    V = rng.uniform(0.1, 1, (m, n))
+    W0 = rng.uniform(0.1, 1, (m, k, T))
+    H0 = rng.uniform(0.1, 1, (k, n, P))
+    r = nt.nmf2d(V, k, T, P, W_init=W0, H_init=H0, maxiter=6,
+                 tolerance=1e-12, dtype=np.float64)
+    Wg, Hg, cg = oracle.nmf2d(V, W0, H0, T, P, maxiter=6, tolerance=1e-12)
+    np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9)
+    np.testing.assert_allclose(r.W, Wg, atol=1e-9)
+    np.testing.assert_allclose(r.H, Hg, atol=1e-9)
+
+
+@pytest.mark.parametrize("n,k", [(2, 1), (5, 5), (9, 2)])
+def test_symnmf_edge_shapes(n, k):
+    rng = np.random.default_rng(n * 11 + k)
+    B = rng.uniform(0.1, 1, (n, max(k, 1)))
+    A = B @ B.T
+    A = (A + A.T) / 2
+    H0 = rng.uniform(0.1, 1, (n, k))
+    r = nt.symnmf(A, k, H_init=H0, maxiter=6, tolerance=1e-12,
+                  dtype=np.float64)
+    Hg, cg = oracle.symnmf(A, H0, maxiter=6, tolerance=1e-12)
+    # near-exact fits (k covers rank(A)) drive the cost to the f64
+    # cancellation floor of the Gram identity vs the oracle's direct
+    # residual: compare with the ~||A||^2 * eps_f64 absolute floor
+    floor = float(np.sum(A * A)) * np.finfo(np.float64).eps
+    np.testing.assert_allclose(np.asarray(r.cost), cg, rtol=1e-9,
+                               atol=4 * floor)
+    np.testing.assert_allclose(r.H, Hg, atol=1e-9)
