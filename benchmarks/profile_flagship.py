@@ -25,7 +25,6 @@ One or two jobs per process is kindest to the relay.
 import pathlib as _pl
 import sys as _sys
 _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
-import functools
 import json
 import sys
 import time

@@ -34,7 +34,7 @@ from ..core import common_scalars, Result, merge_config, resolve_dtype
 from ..ops import loop as looplib
 from ..ops.gram import pos_neg_split
 from ..ops.normalize import unit_sum_columns
-from ..ops.shift import shift_left, shift_right, stack_shifts_right
+from ..ops.shift import shift_left, stack_shifts_right
 from ..utils.init import convex_hull_anchors
 from ..ops.gram import conv_cross_grams_h as _cross_grams_h
 from ..parallel import apply_placements, pad_axes, plan_padding

@@ -38,7 +38,7 @@ from ..core import common_scalars, ingest_rescaled, Result, merge_config, \
 from ..ops import loop as looplib
 from ..ops.projection import hoyer_l1_target, project_columns
 from ..ops.shift import (conv_phi_ht, conv_reconstruct, conv_wt_phi,
-                         shift_left, shift_right, stack_shifts_right)
+                         shift_left, stack_shifts_right)
 from ..ops.gram import conv_cross_grams_w as _cross_grams_w
 from ..ops.gram import conv_cross_grams_h as _cross_grams_h
 from ..ops.linesearch import make_search, resolve_width

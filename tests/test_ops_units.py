@@ -7,7 +7,6 @@ import jax.numpy as jnp
 from nmf_toolbox_tpu.ops import divergence as dv
 from nmf_toolbox_tpu.ops import loop as looplib
 from nmf_toolbox_tpu.ops.shift import shift_left, shift_right, conv_wt_phi, conv_phi_ht
-import oracle
 
 
 def test_canon_and_aliases():

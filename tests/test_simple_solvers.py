@@ -182,7 +182,6 @@ def test_convhull_2d_correct():
     idx = _convhull_2d(pts)
     # every point must be inside the hull polygon: check via support function
     hull = pts[idx]
-    import itertools
     for d in [np.array([np.cos(a), np.sin(a)]) for a in np.linspace(0, 2*np.pi, 36)]:
         assert np.max(pts @ d) <= np.max(hull @ d) + 1e-12
 
