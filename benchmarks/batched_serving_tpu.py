@@ -117,6 +117,14 @@ def main(quick: bool, write: bool):
     # against the frozen magnitude dictionary.  device_output keeps the
     # (B, S, m, n) phase planes on device (a host fetch of ~2 B*m*n*4
     # bytes through the relay tunnel would dominate the solve).
+    # 2-D deconvolutional encode (pitch-invariant transcription serving).
+    Wd2 = jnp.asarray(rng.gamma(2.0, 1.0, (m, k, 3)).astype(np.float32))
+    Wd2.block_until_ready()
+    rows["nmf2d_encode_f32"] = timed_encode(
+        "nmf2d_encode_f32",
+        lambda Vx, Wx, **kw: nt.nmf2d_encode(Vx, Wx, 4, **kw),
+        Wd2, {"T": 3, "P": 4})
+
     phase = rng.uniform(-np.pi, np.pi, Vs.shape)
     Vc_re = jnp.asarray((np.asarray(Vs) * np.cos(phase)).astype(np.float32))
     Vc_im = jnp.asarray((np.asarray(Vs) * np.sin(phase)).astype(np.float32))
