@@ -503,7 +503,22 @@ def main(argv=None):
                         np.asarray(res.cost)[:, -1].sum()),
                     "out": args.out}))
             return 0
-        engine = nt.cnmf_encode if np.ndim(W) == 3 else nt.nmf_encode
+        # A 3-D dictionary selects the convolutive engine — or, with
+        # --pitch-len, the 2-D deconvolutional one (batched
+        # pitch-invariant transcription).
+        if args.pitch_len is not None:
+            if np.ndim(W) != 3:
+                print("error: --pitch-len encoding needs a 3-D (m, k, T) "
+                      "dictionary (an nmf2d training checkpoint)",
+                      file=sys.stderr)
+                return 2
+            engine = lambda Vx, Wx, **kw: nt.nmf2d_encode(  # noqa: E731
+                Vx, Wx, args.pitch_len, **kw)
+            engine_name = "nmf2d_encode"
+        elif np.ndim(W) == 3:
+            engine, engine_name = nt.cnmf_encode, "cnmf_encode"
+        else:
+            engine, engine_name = nt.nmf_encode, "nmf_encode"
         try:
             res = engine(V, W, **cfg)
         except ValueError as e:
@@ -512,9 +527,9 @@ def main(argv=None):
         save_factors(args.out, res)
         if not args.quiet:
             print(json.dumps({
-                "solver": "encode", "shape": list(V.shape),
+                "solver": "encode", "engine": engine_name,
+                "shape": list(V.shape),
                 "k": int(W.shape[1]), "iterations": int(res.n_iters),
-                "convolutive": bool(np.ndim(W) == 3),
                 "final_cost_sum": float(np.asarray(res.cost)[:, -1].sum()),
                 "out": args.out}))
         return 0
@@ -680,7 +695,8 @@ def main(argv=None):
             return 2
         pos.append(args.pitch_len)
     elif args.pitch_len is not None:
-        print("error: --pitch-len only applies to nmf2d", file=sys.stderr)
+        print("error: --pitch-len only applies to nmf2d (or the encode "
+              "solver's 2-D engine selection)", file=sys.stderr)
         return 2
     if args.solver == "constrainednmf":
         if args.labels is None:

@@ -394,7 +394,7 @@ def test_cli_encode_convolutive(tmp_path):
                  "--divergence", "kl", "--out", out])
     assert r.returncode == 0, r.stderr[-500:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
-    assert summary["convolutive"] is True and summary["k"] == k
+    assert summary["engine"] == "cnmf_encode" and summary["k"] == k
     with np.load(out) as z:
         assert z["H"].shape == (B, k, n)
         assert z["W"].shape == (m, k, T)
@@ -750,3 +750,27 @@ def test_cli_symnmf_rejects_inapplicable_flags(tmp_path):
     r = run_cli(["symnmf", str(tmp_path / "A.npy"), "--k", "2",
                  "--h-sparsity", "0.5", "--out", out])
     assert r.returncode == 2 and "h-sparsity" in r.stderr
+
+
+def test_cli_encode_nmf2d(tmp_path):
+    """encode --pitch-len routes a 3-D dictionary to nmf2d_encode."""
+    rng = np.random.default_rng(70)
+    B, m, n, k, T, P = 2, 12, 16, 2, 2, 3
+    W = rng.uniform(0.1, 1, (m, k, T)).astype(np.float32)
+    np.save(tmp_path / "W.npy", W)
+    Vs = rng.uniform(0.1, 1, (B, m, n)).astype(np.float32)
+    np.save(tmp_path / "batch.npy", Vs)
+    out = str(tmp_path / "enc.npz")
+    r = run_cli(["encode", str(tmp_path / "batch.npy"), "--dict",
+                 str(tmp_path / "W.npy"), "--pitch-len", str(P),
+                 "--maxiter", "6", "--out", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["engine"] == "nmf2d_encode"
+    with np.load(out) as z:
+        assert z["H"].shape == (B, k, n, P)
+    # 2-D dictionary with --pitch-len rejected
+    np.save(tmp_path / "W2.npy", W[:, :, 0])
+    r = run_cli(["encode", str(tmp_path / "batch.npy"), "--dict",
+                 str(tmp_path / "W2.npy"), "--pitch-len", "2", "--out", out])
+    assert r.returncode == 2 and "3-D" in r.stderr
