@@ -233,22 +233,18 @@ def _nmfsc_b2_child():
                       "nmfsc_b2_final_cost": float(c[-1])}))
 
 
-def _probe_device(timeout=300):
-    """Platform of the default device, probed in a SUBPROCESS: when the
-    axon relay worker is down, even jax backend init hangs with no
-    output (verify SKILL.md), which would hang the whole benchmark.  A
-    dead probe -> fall back to CPU so the driver still records a
-    (clearly labeled) artifact instead of nothing."""
-    try:
-        p = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout)
-        if p.returncode == 0 and p.stdout.strip():
-            return p.stdout.strip().splitlines()[-1]
-    except Exception as e:
-        print(f"device probe failed: {e}", file=sys.stderr)
-    return None
+def _probe_device():
+    """Platform of the default device, probed in bounded SUBPROCESSES
+    with a retry window (utils/deviceprobe): when the axon relay worker
+    is down, even jax backend init hangs with no output (verify
+    SKILL.md), and outages routinely outlast a single probe — a
+    transient outage at the minute the driver fires must not forfeit
+    the round's TPU artifact.  Only after the window closes does the
+    bench fall back to CPU so the driver still records a (clearly
+    labeled) artifact instead of nothing."""
+    from nmf_toolbox_tpu.utils.deviceprobe import probe_with_retry
+    plat, _ = probe_with_retry()
+    return plat
 
 
 def _force_cpu():

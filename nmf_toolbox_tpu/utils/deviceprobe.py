@@ -1,0 +1,84 @@
+"""Outage-proof device probing for the relay-attached TPU backend.
+
+When the axon relay worker is down, even ``jax`` backend init hangs with
+no output at all (verify SKILL.md), so any probe must run in a BOUNDED
+subprocess.  Worker outages routinely last 20+ minutes and recover on
+their own, so a single probe that gives up forfeits the round's on-chip
+evidence even if the worker comes back an hour later — the probe
+therefore retries inside a deadline window before surrendering.
+
+Used by bench.py (the driver's perf artifact) and __graft_entry__.py's
+``dryrun_multichip`` so both share one hardened path.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+# One bounded probe: long enough for a healthy-but-cold backend init
+# (tunnel warmup of the PLUGIN, not a compile, is a few seconds; 60 s is
+# generous), short enough that a dead worker doesn't eat the window.
+PROBE_TIMEOUT_S = float(os.environ.get("NMF_TPU_PROBE_TIMEOUT_S", 60))
+# Total retry window before falling back (driver-facing callers).  A
+# transient outage at the minute the driver fires should not forfeit the
+# whole round's TPU artifact.
+RETRY_WINDOW_S = float(os.environ.get("NMF_TPU_PROBE_WINDOW_S", 1500))
+RETRY_INTERVAL_S = float(os.environ.get("NMF_TPU_PROBE_INTERVAL_S", 120))
+
+_PROBE_SRC = (
+    "import jax; d = jax.devices(); "
+    "print(d[0].platform, len(d))"
+)
+
+
+def probe_once(timeout: float = PROBE_TIMEOUT_S):
+    """One bounded subprocess probe.
+
+    Returns ``(platform, n_devices)`` or ``(None, 0)`` if the backend is
+    dead/hung.  The subprocess inherits the environment, so it sees the
+    same plugin search path (PYTHONPATH=/root/.axon_site) and XLA flags
+    as the caller.
+    """
+    try:
+        p = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, text=True, timeout=timeout)
+        if p.returncode == 0 and p.stdout.strip():
+            plat, n = p.stdout.strip().splitlines()[-1].split()
+            return plat, int(n)
+    except Exception as e:
+        print(f"device probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    return None, 0
+
+
+def probe_with_retry(window_s: float = RETRY_WINDOW_S,
+                     interval_s: float = RETRY_INTERVAL_S,
+                     probe_timeout_s: float = PROBE_TIMEOUT_S):
+    """Probe repeatedly until the backend answers or the window closes.
+
+    Returns ``(platform, n_devices)`` on success, ``(None, 0)`` after the
+    deadline.  Progress lines go to stderr so a driver log shows the
+    probe is alive, not hung.
+    """
+    deadline = time.monotonic() + window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        plat, n = probe_once(probe_timeout_s)
+        if plat is not None:
+            if attempt > 1:
+                print(f"device probe recovered on attempt {attempt}: "
+                      f"{plat} x{n}", file=sys.stderr)
+            return plat, n
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(f"device probe gave up after {attempt} attempts "
+                  f"({window_s:.0f}s window)", file=sys.stderr)
+            return None, 0
+        wait = min(interval_s, remaining)
+        print(f"device probe attempt {attempt} found no live backend; "
+              f"retrying in {wait:.0f}s ({remaining:.0f}s left in window)",
+              file=sys.stderr)
+        time.sleep(wait)
