@@ -1,0 +1,265 @@
+"""On-chip parity smoke suite (run each round on the real TPU).
+
+The 660+-test suite runs on CPU; TPU numerics differ (one-pass-bf16 f32
+matmuls, 'highest'-precision line-search fix, a real backend under the
+collectives), and the round-2 f32 underflow bug was exactly a
+TPU-only-numerics class the CPU suite could not see.  This script is
+the regression net for that class:
+
+1. **Golden parity at f32**: every solver family's frozen golden
+   (tests/goldens/, f64 oracle trajectories) re-run on-chip in float32
+   (complex64 for cmfwisa), recording the max factor deviation and the
+   final-cost relative deviation.  Thresholds are calibrated at ~10x
+   the CPU-f32 deviation (``--calibrate`` prints fresh numbers); the
+   artifact stores the raw deviations so sub-threshold drift is still
+   visible round over round.
+2. **Sharded placement step**: one real-backend NamedSharding step per
+   placement family on a 1-device mesh (the placements table, padding
+   layer, and collective lowering all compile+execute on the actual
+   TPU runtime).
+
+Writes benchmarks/TPU_SMOKE.json (or --out).  Usage:
+
+    python benchmarks/tpu_smoke.py            # probe TPU, run, write
+    python benchmarks/tpu_smoke.py --cpu      # CPU-labeled run (threshold calibration)
+    python benchmarks/tpu_smoke.py --calibrate  # print observed devs only
+"""
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+GOLD = REPO / "tests" / "goldens"
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def _rel(a, b):
+    a = np.asarray(a).astype(np.complex128)
+    b = np.asarray(b).astype(np.complex128)
+    return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-300))
+
+
+def golden_cases(nt):
+    """(name, runner, threshold) — runner returns (result, golden dict).
+
+    Thresholds: ~10x the CPU-f32 deviation from the f64 golden
+    (calibrated 2026-08-18 via --calibrate; see CAL notes inline).  The
+    projected-gradient family's f32 branch decisions (step acceptance)
+    can flip, so its thresholds are the loosest.
+    """
+    def case(npz, fn, thresh):
+        def run():
+            g = dict(np.load(GOLD / npz))
+            return fn(g), g
+        return run, thresh
+
+    C = {}
+    C["nmf_kl"] = case("nmf_kl.npz", lambda g: nt.nmf(
+        g["V"].astype(np.float32), g["W0"].shape[1],
+        W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
+        divergence="kl", maxiter=20, tolerance=1e-12), 2e-3)
+    C["nmf_weighted_kl"] = case("nmf_weighted_kl.npz", lambda g: nt.nmf(
+        g["V"].astype(np.float32), g["W0"].shape[1],
+        W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
+        weights=g["M"].astype(np.float32), divergence="kl", maxiter=15,
+        tolerance=1e-12), 2e-3)
+    C["cnmf_euclid"] = case("cnmf_euclid.npz", lambda g: nt.cnmf(
+        g["V"].astype(np.float32), g["W0"].shape[1], g["W0"].shape[2],
+        W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
+        maxiter=15, tolerance=1e-12, method="gram"), 5e-3)
+    C["lnmf"] = case("lnmf.npz", lambda g: nt.lnmf(
+        g["V"].astype(np.float32), g["W0"].shape[1],
+        W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
+        maxiter=15, tolerance=1e-12), 2e-3)
+    C["seminmf"] = case("seminmf.npz", lambda g: nt.seminmf(
+        g["V"].astype(np.float32), g["W0"].shape[1],
+        W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
+        maxiter=15, tolerance=1e-12), 5e-3)
+    C["convexnmf"] = case("convexnmf.npz", lambda g: nt.convexnmf(
+        g["V"].astype(np.float32), g["G0"].shape[1],
+        G_init=g["G0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
+        maxiter=15, tolerance=1e-12), 5e-3)
+    C["chnmf"] = case("chnmf.npz", lambda g: nt.chnmf(
+        g["V"].astype(np.float32), g["G0"].shape[1],
+        S_init=g["S"].astype(np.float32), G_init=g["G0"].astype(np.float32),
+        H_init=g["H0"].astype(np.float32), maxiter=15, tolerance=1e-12), 5e-3)
+    C["chcnmf"] = case("chcnmf.npz", lambda g: nt.chcnmf(
+        g["V"].astype(np.float32), g["G0"].shape[1], int(g["T"]),
+        S_init=g["S"].astype(np.float32), G_init=g["G0"].astype(np.float32),
+        H_init=g["H0"].astype(np.float32), H_sparsity=float(g["H_sparsity"]),
+        maxiter=12, tolerance=1e-12), 3e-2)
+    C["nmfsc_sparse"] = case("nmfsc_sparse.npz", lambda g: nt.nmfsc(
+        g["V"].astype(np.float32), g["W0"].shape[1],
+        W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
+        W_sparsity=0.5, H_sparsity=0.6, maxiter=12, tolerance=1e-12), 3e-2)
+    C["cnmfsc_sparse"] = case("cnmfsc_sparse.npz", lambda g: nt.cnmfsc(
+        g["V"].astype(np.float32), g["W0"].shape[1], int(g["T"]),
+        W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
+        W_sparsity=float(g["W_sparsity"]), H_sparsity=float(g["H_sparsity"]),
+        maxiter=10, tolerance=1e-12), 3e-2)
+    C["cmfwisa"] = case("cmfwisa.npz", lambda g: nt.cmfwisa(
+        g["V"].astype(np.complex64), g["W0"].shape[1],
+        W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
+        H_sparsity=float(g["H_sparsity"]), maxiter=15, tolerance=1e-12,
+        dtype=np.complex64), 5e-3)
+    C["constrainednmf_kl"] = case("constrainednmf_kl.npz",
+                                  lambda g: nt.constrainednmf(
+        g["V"].astype(np.float32), g["labels"], g["W0"].shape[1],
+        W_init=g["W0"].astype(np.float32), Z_init=g["Z0"].astype(np.float32),
+        divergence="kl", maxiter=15, tolerance=1e-12), 2e-3)
+    C["nmf2d_kl"] = case("nmf2d_kl.npz", lambda g: nt.nmf2d(
+        g["V"].astype(np.float32), g["W0"].shape[1], g["W0"].shape[2],
+        g["H0"].shape[2], W_init=g["W0"].astype(np.float32),
+        H_init=g["H0"].astype(np.float32), divergence="kl", maxiter=15,
+        tolerance=1e-12), 2e-3)
+    C["symnmf"] = case("symnmf.npz", lambda g: nt.symnmf(
+        g["A"].astype(np.float32), g["H0"].shape[1],
+        H_init=g["H0"].astype(np.float32), maxiter=15, tolerance=1e-12), 5e-3)
+    return C
+
+
+FACTORS = ("W", "H", "G", "Z", "P")
+
+
+def run_goldens(nt, report, calibrate=False):
+    for name, (run, thresh) in golden_cases(nt).items():
+        t0 = time.perf_counter()
+        try:
+            r, g = run()
+            devs = {}
+            for f in FACTORS:
+                if getattr(r, f, None) is not None and f in g:
+                    devs[f] = _rel(getattr(r, f), g[f])
+            c = np.asarray(r.cost, np.float64)
+            gc = np.asarray(g["cost"], np.float64)
+            n = min(len(c), len(gc))
+            devs["cost"] = _rel(c[:n], gc[:n])
+            worst = max(devs.values())
+            entry = {"max_rel_dev": worst, "devs": devs,
+                     "threshold": thresh, "ok": bool(worst <= thresh),
+                     "wall_s": round(time.perf_counter() - t0, 2)}
+        except Exception as e:
+            entry = {"ok": False, "error": f"{type(e).__name__}: {e}",
+                     "threshold": thresh,
+                     "wall_s": round(time.perf_counter() - t0, 2)}
+        report["goldens"][name] = entry
+        flag = "OK " if entry["ok"] else "FAIL"
+        print(f"  golden {name:<18} {flag} "
+              f"dev={entry.get('max_rel_dev', float('nan')):.2e} "
+              f"thr={thresh:.0e} ({entry['wall_s']}s)"
+              + (f"  {entry.get('error', '')}" if not entry["ok"] else ""),
+              file=sys.stderr)
+        if calibrate and "devs" in entry:
+            print(f"    CAL {name}: {entry['devs']}", file=sys.stderr)
+
+
+def run_sharded(nt, report):
+    """One NamedSharding step per placement family on a 1-device mesh of
+    the current default backend — compiles and executes the sharded
+    program (placements, padding, collective lowering) on the real
+    runtime."""
+    import jax
+    from nmf_toolbox_tpu.parallel import make_mesh
+    mesh = make_mesh(1, devices=jax.devices()[:1])
+    rng = np.random.default_rng(0)
+    m, n, k, T, P2 = 17, 29, 4, 3, 2
+    V = rng.uniform(0.1, 1.0, (m, n)).astype(np.float32)
+    W0 = rng.uniform(size=(m, k)).astype(np.float32)
+    H0 = rng.uniform(size=(k, n)).astype(np.float32)
+    W0c = rng.uniform(0.1, 1.0, (m, k, T)).astype(np.float32)
+    Vc = (V * np.exp(1j * rng.uniform(size=(m, n)))).astype(np.complex64)
+    S = V[:, rng.choice(n, 6, replace=False)].copy()
+    G0 = rng.uniform(size=(6, k)).astype(np.float32)
+    labels = np.full(n, -1)
+    labels[rng.choice(n, 9, replace=False)] = rng.integers(0, 3, 9)
+    Vb = rng.uniform(0.1, 1.0, (4, m, 11)).astype(np.float32)
+    Asym = (V[:, :m] + V[:, :m].T) / 2
+    steps = {
+        "nmf": lambda: nt.nmf(V, k, W_init=W0, H_init=H0, maxiter=1,
+                              tolerance=1e-12, mesh=mesh),
+        "cnmf": lambda: nt.cnmf(V, k, T, W_init=W0c, H_init=H0, maxiter=1,
+                                tolerance=1e-12, mesh=mesh),
+        "cmfwisa": lambda: nt.cmfwisa(Vc, k, maxiter=1, tolerance=1e-12,
+                                      seed=1, mesh=mesh),
+        "chcnmf": lambda: nt.chcnmf(V, k, 2, S_init=S,
+                                    G_init=rng.uniform(size=(6, k, 2)
+                                                       ).astype(np.float32),
+                                    H_init=H0, maxiter=1, tolerance=1e-12,
+                                    mesh=mesh),
+        "convexnmf": lambda: nt.convexnmf(V - 0.5, k, G_init=rng.uniform(
+            size=(n, k)).astype(np.float32), H_init=H0, maxiter=1,
+            tolerance=1e-12, mesh=mesh),
+        "constrainednmf": lambda: nt.constrainednmf(
+            V, labels, k, W_init=W0, maxiter=1, tolerance=1e-12, seed=1,
+            mesh=mesh),
+        "nmf2d": lambda: nt.nmf2d(V, k, T, P2, W_init=W0c,
+                                  H_init=rng.uniform(size=(k, n, P2)
+                                                     ).astype(np.float32),
+                                  maxiter=1, tolerance=1e-12, mesh=mesh),
+        "symnmf": lambda: nt.symnmf(Asym, k, maxiter=1, tolerance=1e-12,
+                                    seed=1, mesh=mesh),
+        "nmf_encode": lambda: nt.nmf_encode(Vb, W0, maxiter=1, mesh=mesh,
+                                            seed=2),
+    }
+    for name, fn in steps.items():
+        t0 = time.perf_counter()
+        try:
+            r = fn()
+            c = np.asarray(r.cost)
+            ok = bool(np.all(np.isfinite(c[: max(int(r.n_iters), 1)])))
+            entry = {"ok": ok, "wall_s": round(time.perf_counter() - t0, 2)}
+        except Exception as e:
+            entry = {"ok": False, "error": f"{type(e).__name__}: {e}",
+                     "wall_s": round(time.perf_counter() - t0, 2)}
+        report["sharded_step"][name] = entry
+        print(f"  sharded {name:<16} {'OK' if entry['ok'] else 'FAIL'} "
+              f"({entry['wall_s']}s)"
+              + (f"  {entry.get('error', '')}" if not entry["ok"] else ""),
+              file=sys.stderr)
+
+
+def main(argv):
+    force_cpu = "--cpu" in argv
+    calibrate = "--calibrate" in argv
+    out = None
+    if "--out" in argv:
+        out = argv[argv.index("--out") + 1]
+    if not force_cpu:
+        from nmf_toolbox_tpu.utils.deviceprobe import probe_with_retry
+        plat, _n = probe_with_retry()
+        if plat is None or plat == "cpu":
+            print("no live accelerator — rerun with --cpu for a "
+                  "CPU-labeled calibration run", file=sys.stderr)
+            return 2
+    import jax
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import nmf_toolbox_tpu as nt
+    dev = jax.devices()[0]
+    report = {"device": str(dev), "platform": dev.platform,
+              "goldens": {}, "sharded_step": {}}
+    print(f"tpu_smoke on {dev}", file=sys.stderr)
+    run_goldens(nt, report, calibrate=calibrate)
+    run_sharded(nt, report)
+    report["ok"] = bool(all(e["ok"] for e in report["goldens"].values())
+                        and all(e["ok"]
+                                for e in report["sharded_step"].values()))
+    path = out or str(REPO / "benchmarks" / "TPU_SMOKE.json")
+    if not calibrate:
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
+            f.write("\n")
+        print(f"wrote {path}", file=sys.stderr)
+    print(json.dumps({"ok": report["ok"], "platform": report["platform"],
+                      "n_goldens": len(report["goldens"]),
+                      "n_sharded": len(report["sharded_step"])}))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
