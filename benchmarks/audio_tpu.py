@@ -58,22 +58,27 @@ def main(quick: bool, write: bool):
         print(f"{label}: {med * 1e3:.2f} ms", flush=True)
         return round(med * 1e3, 3)
 
+    # All boundaries use the PLANES form (real (2, ...) stacks): the
+    # relay transfer layer cannot ship complex buffers between programs
+    # (verify SKILL.md), and the planar path is the production serving
+    # boundary on this rig anyway (utils/audio.py stft planes=True).
     rows = {}
     rows["stft_1min_ms"] = timed(
         "stft 1-min clip",
-        lambda f: nt.stft(x * f, n_fft=n_fft, hop_length=hop),
-        lambda Z: jnp.sum(jnp.abs(Z[:, -1])), perturb=True)
-    Z = nt.stft(x, n_fft=n_fft, hop_length=hop)
-    jax.block_until_ready(Z)
+        lambda f: nt.stft(x * f, n_fft=n_fft, hop_length=hop, planes=True),
+        lambda P: jnp.sum(jnp.abs(P[:, :, -1])), perturb=True)
+    Zp = nt.stft(x, n_fft=n_fft, hop_length=hop, planes=True)
+    jax.block_until_ready(Zp)
     rows["istft_1min_ms"] = timed(
         "istft 1-min clip",
-        lambda f: nt.istft(Z * f, hop_length=hop, length=L),
+        lambda f: nt.istft(Zp * f, hop_length=hop, length=L, planes=True),
         lambda y: jnp.sum(y[-100:]), perturb=True)
     rows["stft_batch64_ms"] = timed(
         f"stft {B}-clip batch",
-        lambda f: nt.stft(xb * f, n_fft=n_fft, hop_length=hop),
-        lambda Zb: jnp.sum(jnp.abs(Zb[:, :, -1])), perturb=True)
-    mag = jnp.abs(nt.stft(xb[0], n_fft=n_fft, hop_length=hop))
+        lambda f: nt.stft(xb * f, n_fft=n_fft, hop_length=hop, planes=True),
+        lambda Pb: jnp.sum(jnp.abs(Pb[:, :, :, -1])), perturb=True)
+    P1 = nt.stft(xb[0], n_fft=n_fft, hop_length=hop, planes=True)
+    mag = jnp.sqrt(P1[0] ** 2 + P1[1] ** 2)  # |Z| without a complex boundary
     jax.block_until_ready(mag)
     rows["griffinlim_1s_ms"] = timed(
         f"griffinlim {gl_iters} iters, 1-s clip",

@@ -91,14 +91,29 @@ def _stft_jit(x, n_fft, hop_length, window, center):
     return jnp.swapaxes(Z, -1, -2)  # (..., freq, time)
 
 
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length",
+                                             "window", "center"))
+def _stft_planes_jit(x, n_fft, hop_length, window, center):
+    Z = _stft_jit(x, n_fft, hop_length, window, center)
+    return jnp.stack([Z.real, Z.imag])
+
+
 def stft(x, n_fft: int = 512, hop_length: int | None = None,
-         window="hann", center: bool = True):
+         window="hann", center: bool = True, planes: bool = False):
     """Short-time Fourier transform of a real signal.
 
     ``x``: real array ``(..., length)``; leading dims batch.
     Returns the complex spectrogram ``(..., n_fft//2 + 1, n_frames)``
     — (freq, time), ready to feed ``cmfwisa`` directly or ``abs()`` it
     for the magnitude solvers.
+
+    ``planes=True`` returns the REAL stack ``(2, ..., freq, time)`` of
+    (real, imag) planes instead, computed in the same single program:
+    the boundary then carries only real buffers, for runtimes whose
+    transfer layer cannot ship complex arrays between programs (e.g.
+    relay-attached TPU workers; models/cmfwisa.py uses the same
+    convention) — pair with ``istft(..., planes=True)`` and
+    ``separation.separate_waveforms``.
 
     ``center=True`` (default) reflect-pads by ``n_fft // 2`` so frames
     are centered on multiples of ``hop_length`` and istft can
@@ -110,7 +125,8 @@ def stft(x, n_fft: int = 512, hop_length: int | None = None,
         # istft/griffinlim infer n_fft = 2*(F-1) from the row count; an
         # odd n_fft would silently reconstruct with the wrong size.
         raise ValueError(f"n_fft must be even and >= 2; got {n_fft}")
-    return _stft_jit(x, n_fft, hop_length, _canon_window(window), center)
+    fn = _stft_planes_jit if planes else _stft_jit
+    return fn(x, n_fft, hop_length, _canon_window(window), center)
 
 
 @functools.partial(jax.jit, static_argnames=("hop_length", "window",
@@ -160,13 +176,25 @@ def _istft_jit(Z, hop_length, window, center, length):
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("hop_length", "window",
+                                             "center", "length"))
+def _istft_planes_jit(planes, hop_length, window, center, length):
+    Z = jax.lax.complex(planes[0], planes[1])
+    return _istft_jit(Z, hop_length, window, center, length)
+
+
 def istft(Z, hop_length: int | None = None, window="hann",
-          center: bool = True, length: int | None = None):
+          center: bool = True, length: int | None = None,
+          planes: bool = False):
     """Inverse STFT by windowed overlap-add (Griffin & Lim LSEE-MSTFT:
     the least-squares signal for the given frames).
 
     ``Z``: complex spectrogram ``(..., n_fft//2 + 1, n_frames)`` as
-    produced by :func:`stft` (n_fft is inferred as ``2*(F-1)``).
+    produced by :func:`stft` (n_fft is inferred as ``2*(F-1)``), or —
+    with ``planes=True`` — the REAL ``(2, ..., freq, frames)`` stack of
+    (real, imag) planes from ``stft(..., planes=True)``: the complex
+    assembly then happens inside the program and only real buffers
+    cross the boundary.
     ``length``: trim/zero-pad the output to this many samples (pass the
     original signal length to undo stft's frame quantization).
 
@@ -175,6 +203,13 @@ def istft(Z, hop_length: int | None = None, window="hann",
     ~zero (only the outermost samples of a ``center=False`` frame with
     w[0] == 0) are returned as 0.
     """
+    if planes:
+        Z = jnp.asarray(Z)
+        if jnp.iscomplexobj(Z) or Z.ndim < 3 or Z.shape[0] != 2:
+            raise ValueError("planes=True expects a real (2, ..., freq, "
+                             f"frames) stack; got {Z.dtype} {Z.shape}")
+        return _istft_planes_jit(Z, hop_length, _canon_window(window),
+                                 center, length)
     return _istft_jit(Z, hop_length, _canon_window(window), center, length)
 
 

@@ -24,12 +24,14 @@ an encode -> separate serving pipeline never leaves the chip.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from ..core import EPS
 
-__all__ = ["wiener_masks", "separate"]
+__all__ = ["wiener_masks", "separate", "separate_waveforms"]
 
 
 def _stack_models(W, H):
@@ -88,3 +90,48 @@ def separate(V, W, H, power: float = 2.0, eps: float = EPS):
 # separate() is elementwise over static shapes: jit is free and keeps the
 # encode -> separate serving path on device.
 separate = jax.jit(separate, static_argnames=("power",))
+
+
+@functools.partial(jax.jit, static_argnames=("power", "hop_length",
+                                             "window", "center", "length"))
+def _separate_waveforms_jit(planes, W, H, power, hop_length, window,
+                            center, length):
+    from .audio import _istft_jit
+    masks = wiener_masks(W, H, power=power)       # (S, m, n) real
+    Z = jax.lax.complex(planes[0], planes[1])     # complex stays inside
+    est = masks.astype(planes.dtype) * Z[None]
+    return _istft_jit(est, hop_length, window, center, length)
+
+
+def separate_waveforms(Z, W, H, *, hop_length=None, window="hann",
+                       center=True, length=None, power: float = 2.0):
+    """Serving decode in ONE program: Wiener masks + mixture-phase reuse
+    + iSTFT, waveforms out.
+
+    ``Z``: the mixture's complex STFT ``(freq, frames)`` — or, for
+    runtimes whose boundary cannot carry complex buffers (relay-attached
+    TPU workers), the REAL ``(2, freq, frames)`` plane stack from
+    ``stft(..., planes=True)``.  ``W``/``H``: per-source factor lists as
+    in :func:`separate`.  Returns the stacked real waveforms
+    ``(S, length)``.
+
+    Compared to ``separate`` + ``istft`` this fuses the whole decode
+    into a single dispatch (masks are elementwise, the iSTFT batches
+    over the source axis) and keeps every boundary buffer real — the
+    shape a production encode->decode loop wants on TPU.
+    """
+    Z = jnp.asarray(Z)
+    if jnp.iscomplexobj(Z):
+        planes = jnp.stack([Z.real, Z.imag])
+    else:
+        if Z.ndim < 3 or Z.shape[0] != 2:
+            raise ValueError("real Z must be a (2, freq, frames) plane "
+                             f"stack; got {Z.shape}")
+        planes = Z
+    W = tuple(jnp.asarray(w) for w in (W if isinstance(W, (list, tuple))
+                                       else [W]))
+    H = tuple(jnp.asarray(h) for h in (H if isinstance(H, (list, tuple))
+                                       else [H]))
+    from .audio import _canon_window
+    return _separate_waveforms_jit(planes, W, H, power, hop_length,
+                                   _canon_window(window), center, length)

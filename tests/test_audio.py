@@ -268,3 +268,36 @@ def test_griffinlim_batched_and_errors():
     assert y.shape == (2, 2000) and np.all(np.isfinite(np.asarray(y)))
     with pytest.raises(TypeError):
         griffinlim(mag.astype(np.complex64), n_iter=4)
+
+
+def test_planes_boundary_matches_complex():
+    """stft/istft planes=True: identical math, REAL boundary buffers
+    (the relay-safe serving form; utils/audio.py docstrings)."""
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=3000).astype(np.float32)
+    Z = nt.stft(x, n_fft=256, hop_length=64)
+    P = nt.stft(x, n_fft=256, hop_length=64, planes=True)
+    P = np.asarray(P)
+    assert not np.iscomplexobj(P) and P.shape == (2,) + Z.shape
+    np.testing.assert_allclose(P[0], np.asarray(Z).real, atol=1e-6)
+    np.testing.assert_allclose(P[1], np.asarray(Z).imag, atol=1e-6)
+    y_c = np.asarray(nt.istft(Z, hop_length=64, length=len(x)))
+    y_p = np.asarray(nt.istft(P, hop_length=64, length=len(x), planes=True))
+    np.testing.assert_allclose(y_p, y_c, atol=1e-6)
+    np.testing.assert_allclose(y_p, x, atol=1e-4)
+    # batched leading dims keep working through the planar form
+    xb = rng.normal(size=(3, 2000)).astype(np.float32)
+    Pb = nt.stft(xb, n_fft=128, hop_length=32, planes=True)
+    yb = nt.istft(Pb, hop_length=32, length=2000, planes=True)
+    assert np.asarray(yb).shape == (3, 2000)
+    np.testing.assert_allclose(np.asarray(yb), xb, atol=1e-4)
+
+
+def test_istft_planes_validation():
+    import pytest
+    Z = nt.stft(np.zeros(1000, np.float32) + 0.1, n_fft=128, hop_length=32)
+    with pytest.raises(ValueError):
+        nt.istft(Z, hop_length=32, planes=True)          # complex input
+    with pytest.raises(ValueError):
+        nt.istft(np.zeros((3, 65, 10), np.float32), hop_length=32,
+                 planes=True)                             # not 2 planes

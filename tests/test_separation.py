@@ -139,3 +139,39 @@ def test_separate_composes_with_nmf2d_factors():
                                  [np.asarray(ra.H), np.asarray(rb.H)]))
     np.testing.assert_allclose(est.sum(axis=0), V, rtol=1e-10)
     assert np.all(est >= 0)
+
+
+def test_separate_waveforms_fused_decode_parity():
+    """separate_waveforms == separate() + istft() per source, in one
+    program with real-only boundaries (serving decode)."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=4000).astype(np.float32)
+    hop = 64
+    Z = nt.stft(x, n_fft=256, hop_length=hop)
+    P = nt.stft(x, n_fft=256, hop_length=hop, planes=True)
+    mag = np.abs(np.asarray(Z))
+    r = nt.nmf(mag, [3, 3], maxiter=40, seed=1)
+    W = [np.asarray(w) for w in r.W]
+    H = [np.asarray(h) for h in r.H]
+    est = nt.separate(Z, W, H)
+    want = np.stack([np.asarray(nt.istft(est[i], hop_length=hop,
+                                         length=len(x))) for i in range(2)])
+    got = np.asarray(nt.separate_waveforms(P, W, H, hop_length=hop,
+                                           length=len(x)))
+    assert got.shape == (2, len(x)) and not np.iscomplexobj(got)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # complex-Z entry point gives the same answer
+    got_c = np.asarray(nt.separate_waveforms(Z, W, H, hop_length=hop,
+                                             length=len(x)))
+    np.testing.assert_allclose(got_c, got, atol=1e-6)
+    # masks sum to 1 -> the sources sum back to the mixture waveform
+    np.testing.assert_allclose(got.sum(0), np.asarray(
+        nt.istft(Z, hop_length=hop, length=len(x))), atol=1e-5)
+
+
+def test_separate_waveforms_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        nt.separate_waveforms(np.zeros((3, 65, 10), np.float32),
+                              [np.ones((65, 2))], [np.ones((2, 10))],
+                              hop_length=32)
