@@ -220,7 +220,12 @@ def _cmd_separate(args):
     try:
         if is_wav or np.load(args.input, mmap_mode="r").ndim == 1:
             sig, rate = _read_signal(args.input)
-            Zm = nt.stft(sig, n_fft=args.n_fft, hop_length=hop)
+            # planar boundary: only REAL buffers cross the program
+            # boundary (a complex jit output faults the relay-attached
+            # TPU transfer layer — utils/audio.py stft docstring)
+            Pm = np.asarray(nt.stft(sig, n_fft=args.n_fft, hop_length=hop,
+                                    planes=True))
+            Zm = Pm[0] + 1j * Pm[1]
             length = len(sig)
         else:
             Zm = np.load(args.input)  # precomputed spectrogram
@@ -271,8 +276,9 @@ def _cmd_separate(args):
                               "Hz — their frequency axes do not line up; "
                               "resample first", file=sys.stderr)
                         return 2
-                    S = np.abs(np.asarray(
-                        nt.stft(s, n_fft=args.n_fft, hop_length=hop)))
+                    Ps = np.asarray(nt.stft(s, n_fft=args.n_fft,
+                                            hop_length=hop, planes=True))
+                    S = np.hypot(Ps[0], Ps[1])
                 else:
                     S = np.abs(np.load(path))
                 Ws.append(np.asarray(
@@ -311,17 +317,26 @@ def _cmd_separate(args):
             Hs = list(res.H) if isinstance(res.H, (list, tuple)) else [res.H]
             # res.W: the entry-normalized basis the encodings were fit to
             Wn = list(res.W) if isinstance(res.W, (list, tuple)) else [res.W]
-            est = np.asarray(nt.separate(
-                Zm, Wn, Hs,
+            # masks computed on device (real in, real out); the complex
+            # mask-multiply happens on host so no complex buffer ever
+            # crosses the program boundary
+            masks = np.asarray(nt.wiener_masks(
+                [np.asarray(w) for w in Wn], [np.asarray(h) for h in Hs],
                 power=2.0 if args.power is None else args.power))
+            est = masks * Zm[None]
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
     stems = []
+    if sig is not None:
+        # one batched planar iSTFT over the source axis (real boundary)
+        ys = np.asarray(nt.istft(np.stack([est.real, est.imag]),
+                                 hop_length=hop, length=length,
+                                 planes=True))
     for i in range(est.shape[0]):
         if sig is not None:
-            y = np.asarray(nt.istft(est[i], hop_length=hop, length=length))
+            y = ys[i]
             if is_wav:
                 from scipy.io import wavfile
                 path = f"{args.out}_source{i}.wav"
