@@ -61,13 +61,14 @@ def main():
                  W_fixed=True, maxiter=150, seed=3)
     HA, HB = res.H
 
-    # 4) Wiener masks on the COMPLEX mixture (masks are real: the
-    # estimates reuse the mixture phase and sum to Zm exactly)
-    est = nt.separate(Zm, [WA, WB], [HA, HB])
-
-    # 5) back to waveforms
-    ya = np.asarray(nt.istft(est[0], hop_length=hop, length=len(mix)))
-    yb = np.asarray(nt.istft(est[1], hop_length=hop, length=len(mix)))
+    # 4+5) serving decode in ONE program: Wiener masks on the COMPLEX
+    # mixture (masks are real: the estimates reuse the mixture phase and
+    # sum to Zm exactly) fused with the batched iSTFT — on TPU rigs whose
+    # boundary can't carry complex buffers, pass stft(..., planes=True)
+    # output instead of Zm (same function, real-only boundary)
+    ys = np.asarray(nt.separate_waveforms(Zm, [WA, WB], [HA, HB],
+                                          hop_length=hop, length=len(mix)))
+    ya, yb = ys[0], ys[1]
 
     def sdr(ref, sig):
         return 10 * np.log10(np.sum(ref**2) / np.sum((ref - sig) ** 2))
