@@ -45,7 +45,8 @@ def _problem(n_global_devices):
     return V, W0, H0, W0c
 
 
-def child(process_id: int, nproc: int, port: int, dpp: int):
+def child(process_id: int, nproc: int, port: int, dpp: int,
+          ckpt_dir: str = ""):
     """One mesh participant (process_id == -1: single-process baseline)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -82,6 +83,38 @@ def child(process_id: int, nproc: int, port: int, dpp: int):
     out["cnmf_cost"] = [float(c) for c in np.asarray(rc.cost)]
     out["cnmf_W_sum"] = float(fetch(rc.W).sum())
     out["cnmf_H_sum"] = float(fetch(rc.H).sum())
+
+    if ckpt_dir:
+        # Orbax multi-process leg: every process calls the same save
+        # (per-shard writes, orbax coordinates the commit), restores
+        # INTO the solver placements, and resumes.  MU is memoryless, so
+        # save-at-MAXITER + resume-4 must reproduce iterations
+        # MAXITER+1..MAXITER+4 of an uninterrupted run bit-exactly.
+        from nmf_toolbox_tpu.utils.checkpoint_orbax import (
+            save_factors_orbax, load_factors_orbax)
+        path = os.path.join(ckpt_dir, f"ck_{nproc}proc")
+        save_factors_orbax(path, r)
+        inits = load_factors_orbax(path, mesh=mesh, solver="nmf")
+        kw = dict(maxiter=4, tolerance=1e-30, dtype=np.float64, mesh=mesh)
+        r_ck = nt.nmf(V, K, **kw, **inits)            # from checkpoint
+        r_mem = nt.nmf(V, K, W_init=r.W, H_init=r.H, **kw)  # from memory
+        full = nt.nmf(V, K, W_init=W0, H_init=H0, maxiter=MAXITER + 4,
+                      tolerance=1e-30, dtype=np.float64, mesh=mesh)
+        ck_cost = [float(c) for c in np.asarray(r_ck.cost)]
+        mem_cost = [float(c) for c in np.asarray(r_mem.cost)]
+        tail = np.asarray(full.cost)[MAXITER:]
+        out["ckpt_resume_cost"] = ck_cost
+        # The sharded per-shard save/restore round trip must add ZERO
+        # error: resuming from the checkpoint == resuming from the
+        # in-memory factors, bit for bit.  (The uninterrupted run is a
+        # DIFFERENT compiled program — one 12-iter loop vs 8+4 — so it
+        # is only ulp-close, not bit-equal; assert 1e-12 relative.)
+        out["ckpt_resume_bitexact"] = bool(
+            ck_cost == mem_cost
+            and float(fetch(r_ck.W).sum()) == float(fetch(r_mem.W).sum())
+            and float(fetch(r_ck.H).sum()) == float(fetch(r_mem.H).sum()))
+        out["ckpt_vs_uninterrupted_rel"] = float(
+            np.max(np.abs(np.asarray(ck_cost) - tail) / tail))
     print("CHILD_JSON:" + json.dumps(out))
 
 
@@ -111,11 +144,15 @@ def _result(proc, timeout=600):
 
 
 def main(nproc=2, dpp=4, artifact=None):
+    import tempfile
     port = _free_port()
+    tmp = tempfile.mkdtemp(prefix="nmf_dist_ckpt_")
     # Single-process baseline on the same global mesh shape.
-    base = _result(_spawn([-1, 1, port, nproc * dpp], nproc * dpp, 600))
+    base = _result(_spawn([-1, 1, port, nproc * dpp,
+                           os.path.join(tmp, "single")], nproc * dpp, 600))
 
-    procs = [_spawn([i, nproc, port, dpp], dpp, 600) for i in range(nproc)]
+    procs = [_spawn([i, nproc, port, dpp, os.path.join(tmp, "multi")], dpp,
+                    600) for i in range(nproc)]
     results = [_result(p) for p in procs]
 
     report = {"nproc": nproc, "devices_per_process": dpp,
@@ -147,6 +184,17 @@ def main(nproc=2, dpp=4, artifact=None):
                            and wrel < 1e-9 and hrel < 1e-9)
         ok &= entry["ok"]
         report["solvers"][key] = entry
+    # Orbax multi-process checkpoint: per-shard save coordinated across
+    # processes, restore into placements, bit-exact resume (each process
+    # verifies locally; all must agree, and the baseline run too).
+    ck = [r.get("ckpt_resume_bitexact") for r in results + [base]]
+    rels = [r.get("ckpt_vs_uninterrupted_rel", 1.0)
+            for r in results + [base]]
+    report["orbax_multiproc_ckpt"] = {
+        "bitexact_resume_per_process": ck,
+        "max_rel_vs_uninterrupted": max(rels),
+        "ok": bool(all(ck) and max(rels) < 1e-12)}
+    ok &= report["orbax_multiproc_ckpt"]["ok"]
     report["ok"] = bool(ok)
     text = json.dumps(report, indent=1)
     print(text)
@@ -165,7 +213,8 @@ def _free_port():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         pid, nproc, port, dpp = map(int, sys.argv[2:6])
-        child(pid, nproc, port, dpp)
+        child(pid, nproc, port, dpp,
+              sys.argv[6] if len(sys.argv) > 6 else "")
     else:
         nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 2
         dpp = int(sys.argv[2]) if len(sys.argv) > 2 else 4

@@ -122,9 +122,18 @@ def load_factors_orbax(path, as_inits: bool = True, *, mesh=None,
             return jax.ShapeDtypeStruct(m.shape, m.dtype)
         spec = specs.get(name, PartitionSpec())
         # A placement only applies if its rank matches (e.g. cnmf's W is
-        # (m, k, T) but a checkpoint may hold a 2-D W from plain nmf).
+        # (m, k, T) but a checkpoint may hold a 2-D W from plain nmf)
+        # AND every sharded dim divides: checkpoints hold factors
+        # TRIMMED to their true sizes, so a non-divisible axis (the
+        # pad/mask layer's case) restores replicated — the solver
+        # re-pads and re-places it at entry (parallel/padding.py).
         if len(spec) > len(m.shape):
             spec = PartitionSpec()
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        for d, ax in enumerate(spec):
+            if ax is not None and m.shape[d] % axis_sizes[ax] != 0:
+                spec = PartitionSpec()
+                break
         return jax.ShapeDtypeStruct(m.shape, m.dtype,
                                     sharding=NamedSharding(mesh, spec))
 
