@@ -24,6 +24,16 @@ _FACTOR_KEYS = ("W", "H", "P", "G", "S", "Z")
 
 def save_factors(path, result_or_dict, extra: dict | None = None) -> None:
     """Persist a Result's factors (and cost trace) to ``path`` (.npz)."""
+    import jax
+    if jax.process_count() > 1:
+        # np.asarray on a cross-process sharded factor would raise a
+        # cryptic non-addressable error (and a "working" gather would
+        # still write data only process 0 holds); say what to use.
+        raise RuntimeError(
+            "the npz checkpoint backend is single-host only; under "
+            "jax.distributed use save_factors_orbax / "
+            "load_factors_orbax (per-shard writes, coordinated commit "
+            "across processes) — utils/checkpoint_orbax.py")
     payload = {}
     obj = result_or_dict
     if hasattr(obj, "fields"):  # core.Result
