@@ -78,7 +78,7 @@ def main(quick: bool, write: bool):
         lambda f: nt.stft(xb * f, n_fft=n_fft, hop_length=hop, planes=True),
         lambda Pb: jnp.sum(jnp.abs(Pb[:, :, :, -1])), perturb=True)
     P1 = nt.stft(xb[0], n_fft=n_fft, hop_length=hop, planes=True)
-    mag = jnp.sqrt(P1[0] ** 2 + P1[1] ** 2)  # |Z| without a complex boundary
+    mag = nt.magnitude(P1, planes=True)  # |Z| without a complex boundary
     jax.block_until_ready(mag)
     rows["griffinlim_1s_ms"] = timed(
         f"griffinlim {gl_iters} iters, 1-s clip",

@@ -81,7 +81,7 @@ def main(quick: bool, write: bool):
     def mag_of(sig):
         P = nt.stft(jnp.asarray(sig.astype(np.float32)), n_fft=n_fft,
                     hop_length=hop, planes=True)
-        return jnp.sqrt(P[0] ** 2 + P[1] ** 2)
+        return nt.magnitude(P, planes=True)
 
     WA = nt.nmf(mag_of(a), kA, divergence="kl", maxiter=100, seed=1).W
     WB = nt.nmf(mag_of(b), kB, divergence="kl", maxiter=100, seed=2).W
@@ -91,13 +91,9 @@ def main(quick: bool, write: bool):
     x_dev = jnp.asarray(mix)
     jax.block_until_ready(x_dev)
 
-    @jax.jit
-    def mag_from_planes(P):
-        return jnp.sqrt(P[0] ** 2 + P[1] ** 2)
-
     def pipeline(f):
         P = nt.stft(x_dev * f, n_fft=n_fft, hop_length=hop, planes=True)
-        mag = mag_from_planes(P)
+        mag = nt.magnitude(P, planes=True)
         res = nt.nmf(mag, [kA, kB], W_init=[WA, WB], W_fixed=True,
                      divergence="kl", maxiter=enc_iters, tolerance=0.0,
                      seed=3)

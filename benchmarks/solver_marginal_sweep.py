@@ -207,14 +207,22 @@ BENCHES = {"lnmf": bench_lnmf, "constrainednmf": bench_constrainednmf,
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    # flags (--small, --cpu, ...) are scanned positionally-insensitively
+    # elsewhere; the bench selector is the first NON-flag argument
+    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+    which = positional[0] if positional else "all"
+    if which != "all" and which not in BENCHES:
+        print(f"unknown bench {which!r}; choose from "
+              f"{', '.join(BENCHES)} or 'all'", file=sys.stderr)
+        return 2
     print(f"device: {jax.devices()[0]}", flush=True)
     r = {}
     names = list(BENCHES) if which == "all" else [which]
     for name in names:
         BENCHES[name](r)
     print(json.dumps(r), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -249,7 +249,10 @@ def main(argv):
     report["ok"] = bool(all(e["ok"] for e in report["goldens"].values())
                         and all(e["ok"]
                                 for e in report["sharded_step"].values()))
-    path = out or str(REPO / "benchmarks" / "TPU_SMOKE.json")
+    # --cpu runs are calibration aids; never let one clobber the on-chip
+    # regression artifact (they get their own CPU-suffixed file).
+    default_name = "TPU_SMOKE_cpu.json" if force_cpu else "TPU_SMOKE.json"
+    path = out or str(REPO / "benchmarks" / default_name)
     if not calibrate:
         with open(path, "w") as f:
             json.dump(report, f, indent=1)

@@ -15,7 +15,7 @@ from .models import (nmf, lnmf, seminmf, convexnmf, chnmf, cnmf, nmfsc,
                      nmf_encode, cnmf_encode, cmfwisa_encode, nmf2d, nmf2d_encode, symnmf)
 from .rank import pick_rank, consensus_stability, estimate_rank_svd
 from .utils import wiener_masks, separate, separate_waveforms, \
-    stft, istft, griffinlim
+    stft, istft, griffinlim, magnitude
 
 reconstruct_from_decomposition = reconstruct  # reference-style alias
 
@@ -23,6 +23,6 @@ __all__ = ["EPS", "Result", "reconstruct", "reconstruct_from_decomposition",
            "projfunc", "nmf", "lnmf", "seminmf", "convexnmf", "chnmf",
            "cnmf", "nmfsc", "cnmfsc", "cmfwisa", "chcnmf", "constrainednmf",
            "nmf_hals", "nmf_streaming", "nmf_encode_streaming", "nmf_batched", "nmf_multiseed", "nmf_encode", "cnmf_encode", "cmfwisa_encode", "nmf2d", "nmf2d_encode", "symnmf",
-           "wiener_masks", "separate", "separate_waveforms", "stft", "istft", "griffinlim",
+           "wiener_masks", "separate", "separate_waveforms", "stft", "istft", "griffinlim", "magnitude",
            "pick_rank", "consensus_stability", "estimate_rank_svd"]
 __version__ = "0.1.0"

@@ -276,9 +276,9 @@ def _cmd_separate(args):
                               "Hz — their frequency axes do not line up; "
                               "resample first", file=sys.stderr)
                         return 2
-                    Ps = np.asarray(nt.stft(s, n_fft=args.n_fft,
-                                            hop_length=hop, planes=True))
-                    S = np.hypot(Ps[0], Ps[1])
+                    Ps = nt.stft(s, n_fft=args.n_fft,
+                                 hop_length=hop, planes=True)
+                    S = np.asarray(nt.magnitude(Ps, planes=True))
                 else:
                     S = np.abs(np.load(path))
                 Ws.append(np.asarray(

@@ -213,21 +213,27 @@ def istft(Z, hop_length: int | None = None, window="hann",
     return _istft_jit(Z, hop_length, _canon_window(window), center, length)
 
 
+@functools.partial(jax.jit, static_argnames=("power",))
+def _magnitude_planes_jit(Z, power):
+    mag = jnp.sqrt(Z[0] * Z[0] + Z[1] * Z[1])
+    return mag if power == 1.0 else mag ** power
+
+
 def magnitude(Z, power: float = 1.0, planes: bool = False):
     """|Z|**power — the nonnegative spectrogram the magnitude solvers
     factorize (power=1 magnitude, 2 power spectrogram).
 
     ``planes=True``: ``Z`` is the real ``(2, ...)`` (real, imag) stack
     from ``stft(..., planes=True)`` — the magnitude is then computed
-    without any complex buffer at the boundary."""
+    without any complex buffer at the boundary, in ONE jitted dispatch
+    (serving pipelines on relay backends pay ~40-60 ms per dispatch)."""
     Z = jnp.asarray(Z)
     if planes:
         if jnp.iscomplexobj(Z) or Z.shape[0] != 2:
             raise ValueError("planes=True expects a real (2, ...) stack; "
                              f"got {Z.dtype} {Z.shape}")
-        mag = jnp.sqrt(Z[0] * Z[0] + Z[1] * Z[1])
-    else:
-        mag = jnp.abs(Z)
+        return _magnitude_planes_jit(Z, float(power))
+    mag = jnp.abs(Z)
     return mag if power == 1.0 else mag ** power
 
 

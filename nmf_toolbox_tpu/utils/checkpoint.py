@@ -24,8 +24,16 @@ _FACTOR_KEYS = ("W", "H", "P", "G", "S", "Z")
 
 def save_factors(path, result_or_dict, extra: dict | None = None) -> None:
     """Persist a Result's factors (and cost trace) to ``path`` (.npz)."""
-    import jax
-    if jax.process_count() > 1:
+    # Inspect jax.distributed's own state rather than calling
+    # jax.process_count(): process_count() forces backend init, which
+    # HANGS with no output when the relay TPU worker is down — a pure
+    # host-side npz save must never touch the backend.  Multi-process
+    # runs always go through jax.distributed.initialize, which is what
+    # sets this state.
+    from jax._src import distributed as _jdist
+    _state = getattr(_jdist, "global_state", None)
+    if _state is not None and (getattr(_state, "num_processes", None)
+                               or 1) > 1:
         # np.asarray on a cross-process sharded factor would raise a
         # cryptic non-addressable error (and a "working" gather would
         # still write data only process 0 holds); say what to use.

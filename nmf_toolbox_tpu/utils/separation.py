@@ -132,6 +132,12 @@ def separate_waveforms(Z, W, H, *, hop_length=None, window="hann",
                                        else [W]))
     H = tuple(jnp.asarray(h) for h in (H if isinstance(H, (list, tuple))
                                        else [H]))
+    # Same explicit mismatch message separate() gives; without it a
+    # wrong-hop H surfaces as a cryptic XLA broadcast error inside jit.
+    rec = jax.eval_shape(lambda w, h: wiener_masks(w, h), W, H)
+    if planes.shape[1:] != rec.shape[1:]:
+        raise ValueError(f"Z has shape {tuple(planes.shape[1:])}; factors "
+                         f"reconstruct {tuple(rec.shape[1:])}")
     from .audio import _canon_window
     return _separate_waveforms_jit(planes, W, H, power, hop_length,
                                    _canon_window(window), center, length)

@@ -101,3 +101,74 @@ def test_hull_and_nndsvd_rank_deficient_input():
                     [0.5, np.inf], [0.0, 1.0]])
     idx = _convhull_2d(pts)
     assert set(idx) == {0, 2, 3, 5}
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_save_factors_initializes_no_backend(tmp_path):
+    # round-4 finding 1: the multi-process guard called
+    # jax.process_count(), which forces backend init — and backend init
+    # HANGS when the relay TPU worker is down.  The npz save must stay
+    # pure host-side: no backend may exist after the call.
+    import subprocess, sys
+    src = (
+        "import numpy as np, sys\n"
+        "from nmf_toolbox_tpu.utils.checkpoint import save_factors\n"
+        "save_factors(sys.argv[1], {'W': np.ones((3, 2)),"
+        " 'H': np.ones((2, 4))})\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+        "print('no-backend-ok')\n")
+    p = subprocess.run(
+        [sys.executable, "-c", src, str(tmp_path / "f.npz")],
+        capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0, p.stderr
+    assert "no-backend-ok" in p.stdout
+    assert (tmp_path / "f.npz").exists()
+
+
+def test_save_factors_multiprocess_guard(tmp_path, monkeypatch):
+    # ...and the guard itself still fires under jax.distributed
+    from jax._src import distributed as jdist
+    from nmf_toolbox_tpu.utils.checkpoint import save_factors
+    monkeypatch.setattr(jdist.global_state, "num_processes", 2,
+                        raising=False)
+    with pytest.raises(RuntimeError, match="single-host only"):
+        save_factors(str(tmp_path / "g.npz"), {"W": np.ones((2, 2))})
+
+
+def test_separate_waveforms_shape_mismatch_message():
+    # round-4 finding 4: mismatched factors raised a cryptic XLA
+    # broadcast error from inside jit instead of separate()'s ValueError
+    rng = np.random.default_rng(0)
+    Z = np.stack([rng.normal(size=(9, 20)), rng.normal(size=(9, 20))]
+                 ).astype(np.float32)
+    W = [rng.uniform(size=(9, 3)).astype(np.float32)]
+    H = [rng.uniform(size=(3, 17)).astype(np.float32)]  # wrong frames
+    with pytest.raises(ValueError, match="factors reconstruct"):
+        nt.separate_waveforms(Z, W, H, hop_length=4)
+
+
+def test_magnitude_planes_exported_and_jitted():
+    # round-4 finding 5: the planar magnitude was re-implemented at four
+    # call sites; it is now nt.magnitude(..., planes=True), one dispatch
+    rng = np.random.default_rng(1)
+    P = rng.normal(size=(2, 5, 7)).astype(np.float32)
+    got = np.asarray(nt.magnitude(P, planes=True))
+    np.testing.assert_allclose(got, np.hypot(P[0], P[1]), rtol=1e-6)
+    got2 = np.asarray(nt.magnitude(P, power=2.0, planes=True))
+    np.testing.assert_allclose(got2, np.hypot(P[0], P[1]) ** 2, rtol=1e-5)
+
+
+def test_solver_marginal_sweep_flag_only_argv():
+    # round-4 finding 3: `solver_marginal_sweep.py --small` crashed with
+    # KeyError('--small'); flags must not be eaten as the bench selector
+    import pathlib, subprocess, sys
+    script = pathlib.Path(__file__).resolve().parents[1] \
+        / "benchmarks" / "solver_marginal_sweep.py"
+    p = subprocess.run(
+        [sys.executable, str(script), "definitely-not-a-bench", "--small"],
+        capture_output=True, text=True, timeout=60)
+    assert p.returncode == 2
+    assert "unknown bench" in p.stderr
