@@ -74,8 +74,8 @@ def bench_lnmf(r):
     def fn(W, H):
         out = solve(V, W, H, tol)
         return out.state, out.cost_buf
-    r["lnmf_40k_10k_r100"] = time_chained(fn, (W0, H0),
-                                          "lnmf 40k x 10k r100")
+    r[f"lnmf_{m}_{n}_r{k}"] = time_chained(fn, (W0, H0),
+                                           f"lnmf {m} x {n} r{k}")
 
 
 def bench_constrainednmf(r):
@@ -105,8 +105,8 @@ def bench_constrainednmf(r):
     def fn(W, Z):
         out = solve(V, W, Z, onehot, zero, zero, tol)
         return out.state, out.cost_buf
-    r["constrainednmf_kl_40k_10k_r100"] = time_chained(
-        fn, (W0, Z0), "constrainednmf KL 40k x 10k r100 (1/3 labeled)")
+    r[f"constrainednmf_kl_{m}_{n}_r{k}"] = time_chained(
+        fn, (W0, Z0), f"constrainednmf KL {m} x {n} r{k} (1/3 labeled)")
 
 
 def bench_nmf2d(r):
@@ -128,8 +128,8 @@ def bench_nmf2d(r):
     def fn(W, H):
         out = solve(V, W, H, zeros, zeros, tol)
         return out.state, out.cost_buf
-    r["nmf2d_513_10k_r64_T8_P5"] = time_chained(
-        fn, (W0, H0), "nmf2d euclid 513 x 10k r64 T8 P5")
+    r[f"nmf2d_{m}_{n}_r{k}_T{T}_P{P}"] = time_chained(
+        fn, (W0, H0), f"nmf2d euclid {m} x {n} r{k} T{T} P{P}")
 
 
 def bench_symnmf(r):
@@ -149,7 +149,8 @@ def bench_symnmf(r):
     def fn(H):
         out = solve(A, H, tol)
         return out.state[:1], out.cost_buf
-    r["symnmf_10k_r100"] = time_chained(fn, (H0,), "symnmf 10k x 10k r100")
+    r[f"symnmf_{n}_r{k}"] = time_chained(fn, (H0,),
+                                         f"symnmf {n} x {n} r{k}")
 
 
 def bench_nmfsc_phased(r):
@@ -196,7 +197,7 @@ def bench_nmfsc_phased(r):
         best = slope if best is None else min(best, slope)
         print(f"  nmfsc_phased chain: T4={t4*1e3:.1f} ms "
               f"T32={t32*1e3:.1f} ms -> {slope:.2f} ms/iter", flush=True)
-    r["nmfsc_phased_marginal_5000_2000_r50"] = best
+    r[f"nmfsc_phased_marginal_{m}_{n}_r{k}"] = best
     print(f"nmfsc phased fused-iter marginal: {best:.2f} ms/iter",
           flush=True)
 
