@@ -29,6 +29,19 @@ sys.exit(0 if plat == "tpu" else 1)
 EOF
 }
 
+# Gate: wait (default up to 6 h, REDRIVE_WAIT_S to change) for the worker
+# BEFORE starting the queue, so launching this script during an outage
+# still runs the steps in priority order the moment the chip returns —
+# without the gate, the most important early steps (smoke, bench) would
+# burn their per-step windows first and get skipped.
+WAIT_S="${REDRIVE_WAIT_S:-21600}"
+echo "waiting for TPU (up to ${WAIT_S}s)..." | tee -a "$SUMMARY"
+if ! NMF_TPU_PROBE_WINDOW_S="$WAIT_S" NMF_TPU_PROBE_INTERVAL_S=240 probe; then
+  echo "ABORT: worker never came up within ${WAIT_S}s" | tee -a "$SUMMARY"
+  exit 1
+fi
+echo "TPU up at $(date -u +%H:%M:%S); starting sweep" | tee -a "$SUMMARY"
+
 step() {  # step <name> <timeout_s> <cmd...>
   local name="$1" tmo="$2"; shift 2
   if ! probe; then
