@@ -247,6 +247,7 @@ def _cmd_separate(args):
         from nmf_toolbox_tpu.parallel import make_mesh
         cfg["mesh"] = make_mesh(args.mesh)
 
+    ys = None  # waveforms, when a fused decode produced them directly
     try:
         if args.dicts is not None:
             Ws = [np.asarray(_load_dictionary(p))
@@ -313,28 +314,41 @@ def _cmd_separate(args):
             R = np.maximum(np.sum(WH, axis=0), nt.EPS)
             est = WH * np.stack(Ps) + (WH / R) * (Zm - V_hat)[None]
         else:
-            res = nt.nmf(np.abs(Zm), ks_out, W_init=Ws, W_fixed=True, **cfg)
+            # keep the magnitude on device for wav inputs (one jitted
+            # dispatch instead of a host |Z| over the full spectrogram)
+            mag = (nt.magnitude(Pm, planes=True) if sig is not None
+                   else np.abs(Zm))
+            res = nt.nmf(mag, ks_out, W_init=Ws, W_fixed=True, **cfg)
             Hs = list(res.H) if isinstance(res.H, (list, tuple)) else [res.H]
             # res.W: the entry-normalized basis the encodings were fit to
             Wn = list(res.W) if isinstance(res.W, (list, tuple)) else [res.W]
-            # masks computed on device (real in, real out); the complex
-            # mask-multiply happens on host so no complex buffer ever
-            # crosses the program boundary
-            masks = np.asarray(nt.wiener_masks(
-                [np.asarray(w) for w in Wn], [np.asarray(h) for h in Hs],
-                power=2.0 if args.power is None else args.power))
-            est = masks * Zm[None]
+            power = 2.0 if args.power is None else args.power
+            if sig is not None:
+                # fused serving decode: Wiener masks + mixture-phase reuse
+                # + batched iSTFT in ONE program, waveforms out — no
+                # (S, m, n) estimate ever crosses the host boundary
+                ys = np.asarray(nt.separate_waveforms(
+                    Pm, Wn, Hs, hop_length=hop, length=length, power=power))
+            else:
+                # spectrogram in -> spectrogram out: masks computed on
+                # device (real in/out), complex mask-multiply on host so
+                # no complex buffer crosses the program boundary
+                masks = np.asarray(nt.wiener_masks(
+                    [np.asarray(w) for w in Wn],
+                    [np.asarray(h) for h in Hs], power=power))
+                est = masks * Zm[None]
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
     stems = []
-    if sig is not None:
+    if sig is not None and ys is None:
+        # phase-aware path: per-source complex estimates already on host;
         # one batched planar iSTFT over the source axis (real boundary)
         ys = np.asarray(nt.istft(np.stack([est.real, est.imag]),
                                  hop_length=hop, length=length,
                                  planes=True))
-    for i in range(est.shape[0]):
+    for i in range(len(ks_out)):
         if sig is not None:
             y = ys[i]
             if is_wav:
