@@ -16,6 +16,12 @@ set -u
 cd "$(dirname "$0")/.."
 LOGDIR="${1:-benchmarks/redrive_logs}"
 mkdir -p "$LOGDIR"
+# Persistent compile cache: a crashed-and-retried step then skips its
+# compiles (keyed per platform; harmless if the backend can't serialize —
+# jax just logs and compiles).  NMF_REDRIVE_NO_CACHE=1 disables.
+if [ -z "${NMF_REDRIVE_NO_CACHE:-}" ]; then
+  export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/nmf_tpu_jax_cache}"
+fi
 SUMMARY="$LOGDIR/summary.txt"
 : > "$SUMMARY"
 
