@@ -241,9 +241,14 @@ def _probe_device():
     transient outage at the minute the driver fires must not forfeit
     the round's TPU artifact.  Only after the window closes does the
     bench fall back to CPU so the driver still records a (clearly
-    labeled) artifact instead of nothing."""
+    labeled) artifact instead of nothing.
+
+    ``--no-wait`` (interactive runs) probes ONCE instead of holding the
+    25-minute driver window."""
     from nmf_toolbox_tpu.utils.deviceprobe import probe_with_retry
-    plat, _ = probe_with_retry()
+    window = 0.0 if "--no-wait" in sys.argv[1:] else None
+    plat, _ = (probe_with_retry() if window is None
+               else probe_with_retry(window_s=window))
     return plat
 
 
@@ -393,6 +398,7 @@ def main():
                 "vs_matlab_time_to_tol": round(
                     tol_iters / matlab_ips / time_to_tol, 1),
             }
+            result["device"] = "cpu" if cpu_fallback else str(platform).upper()
             if cpu_fallback:
                 result["cpu_fallback"] = True
 

@@ -231,7 +231,10 @@ def main(argv):
         out = argv[argv.index("--out") + 1]
     if not force_cpu:
         from nmf_toolbox_tpu.utils.deviceprobe import probe_with_retry
-        plat, _n = probe_with_retry()
+        # --no-wait: interactive single probe instead of the 25-min
+        # driver retry window (round-5 advice)
+        plat, _n = probe_with_retry(window_s=0.0) if "--no-wait" in argv \
+            else probe_with_retry()
         if plat is None or plat == "cpu":
             print("no live accelerator — rerun with --cpu for a "
                   "CPU-labeled calibration run", file=sys.stderr)

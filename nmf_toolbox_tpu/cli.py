@@ -336,6 +336,13 @@ def _cmd_separate(args):
                 masks = np.asarray(nt.wiener_masks(
                     [np.asarray(w) for w in Wn],
                     [np.asarray(h) for h in Hs], power=power))
+                if masks.shape[1:] != Zm.shape:
+                    # same message separate()/separate_waveforms raise —
+                    # a mismatched precomputed spectrogram must not
+                    # surface as a raw numpy broadcast error
+                    raise ValueError(
+                        f"V has shape {Zm.shape}; factors reconstruct "
+                        f"{masks.shape[1:]}")
                 est = masks * Zm[None]
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -22,26 +22,43 @@ import numpy as np
 _FACTOR_KEYS = ("W", "H", "P", "G", "S", "Z")
 
 
-def save_factors(path, result_or_dict, extra: dict | None = None) -> None:
-    """Persist a Result's factors (and cost trace) to ``path`` (.npz)."""
+def _multiprocess_active() -> bool:
     # Inspect jax.distributed's own state rather than calling
     # jax.process_count(): process_count() forces backend init, which
     # HANGS with no output when the relay TPU worker is down — a pure
     # host-side npz save must never touch the backend.  Multi-process
     # runs always go through jax.distributed.initialize, which is what
-    # sets this state.
-    from jax._src import distributed as _jdist
-    _state = getattr(_jdist, "global_state", None)
-    if _state is not None and (getattr(_state, "num_processes", None)
-                               or 1) > 1:
-        # np.asarray on a cross-process sharded factor would raise a
-        # cryptic non-addressable error (and a "working" gather would
-        # still write data only process 0 holds); say what to use.
+    # sets this state.  The module is private; if a jax upgrade moves
+    # it, fall through to "not multi-process" rather than breaking
+    # every single-host save.
+    try:
+        from jax._src import distributed as _jdist
+        _state = getattr(_jdist, "global_state", None)
+    except (ImportError, AttributeError):
+        return False
+    return bool(_state is not None
+                and (getattr(_state, "num_processes", None) or 1) > 1)
+
+
+def _check_npz_saveable(name, val) -> None:
+    # Under jax.distributed, np.asarray on a cross-process sharded
+    # factor raises a cryptic non-addressable error (and a "working"
+    # gather would still write data only this process holds).  Plain
+    # numpy / fully-addressable (replicated or single-host) leaves are
+    # fine — the standard "gather to host, save on process 0" pattern
+    # must keep working.
+    if not getattr(val, "is_fully_addressable", True):
         raise RuntimeError(
-            "the npz checkpoint backend is single-host only; under "
-            "jax.distributed use save_factors_orbax / "
-            "load_factors_orbax (per-shard writes, coordinated commit "
-            "across processes) — utils/checkpoint_orbax.py")
+            f"factor {name!r} is sharded across processes; the npz "
+            "checkpoint backend is single-host only — use "
+            "save_factors_orbax / load_factors_orbax (per-shard "
+            "writes, coordinated commit across processes) — "
+            "utils/checkpoint_orbax.py")
+
+
+def save_factors(path, result_or_dict, extra: dict | None = None) -> None:
+    """Persist a Result's factors (and cost trace) to ``path`` (.npz)."""
+    check = _check_npz_saveable if _multiprocess_active() else None
     payload = {}
     obj = result_or_dict
     if hasattr(obj, "fields"):  # core.Result
@@ -56,11 +73,17 @@ def save_factors(path, result_or_dict, extra: dict | None = None) -> None:
         if isinstance(val, (list, tuple)):  # multi-source factors
             payload[f"{name}__len"] = np.asarray(len(val))
             for s, v in enumerate(val):
+                if check:
+                    check(name, v)
                 payload[f"{name}__{s}"] = np.asarray(v)
         else:
+            if check:
+                check(name, val)
             payload[name] = np.asarray(val)
     if extra:
         for kk, vv in extra.items():
+            if check:
+                check(kk, vv)
             payload[f"extra__{kk}"] = np.asarray(vv)
     np.savez(path, **payload)
 

@@ -113,9 +113,12 @@ def load_factors_orbax(path, as_inits: bool = True, *, mesh=None,
     tree = ck.metadata(path).item_metadata.tree
 
     specs = {}
-    if mesh is not None and solver is not None:
-        from ..parallel.mesh import placements_for
-        specs = placements_for(solver, mesh)
+    axis_sizes = {}
+    if mesh is not None:
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if solver is not None:
+            from ..parallel.mesh import placements_for
+            specs = placements_for(solver, mesh)
 
     def leaf(name, m):
         if mesh is None:
@@ -127,11 +130,16 @@ def load_factors_orbax(path, as_inits: bool = True, *, mesh=None,
         # TRIMMED to their true sizes, so a non-divisible axis (the
         # pad/mask layer's case) restores replicated — the solver
         # re-pads and re-places it at entry (parallel/padding.py).
+        # Tolerant lookup: a tuple-of-axes entry or an axis name absent
+        # from the mesh (possible with a hand-written spec) also falls
+        # back to replicated instead of raising.
         if len(spec) > len(m.shape):
             spec = PartitionSpec()
-        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
         for d, ax in enumerate(spec):
-            if ax is not None and m.shape[d] % axis_sizes[ax] != 0:
+            if ax is None:
+                continue
+            size = axis_sizes.get(ax) if isinstance(ax, str) else None
+            if size is None or m.shape[d] % size != 0:
                 spec = PartitionSpec()
                 break
         return jax.ShapeDtypeStruct(m.shape, m.dtype,

@@ -129,13 +129,26 @@ def test_save_factors_initializes_no_backend(tmp_path):
 
 
 def test_save_factors_multiprocess_guard(tmp_path, monkeypatch):
-    # ...and the guard itself still fires under jax.distributed
+    # ...and the guard fires under jax.distributed ONLY for leaves that
+    # are not fully addressable (round-5 advice: plain numpy / gathered
+    # host arrays must keep saving — the standard "gather to host, save
+    # on process 0" pattern).
     from jax._src import distributed as jdist
     from nmf_toolbox_tpu.utils.checkpoint import save_factors
     monkeypatch.setattr(jdist.global_state, "num_processes", 2,
                         raising=False)
+    # host numpy payload: proceeds
+    save_factors(str(tmp_path / "ok.npz"), {"W": np.ones((2, 2))})
+    assert (tmp_path / "ok.npz").exists()
+
+    class _ShardedStub(np.ndarray):
+        # numpy subclass so np.asarray would "work" (silently writing
+        # only local data) if the guard missed it
+        is_fully_addressable = False
+
+    bad = np.ones((2, 2)).view(_ShardedStub)
     with pytest.raises(RuntimeError, match="single-host only"):
-        save_factors(str(tmp_path / "g.npz"), {"W": np.ones((2, 2))})
+        save_factors(str(tmp_path / "g.npz"), {"W": bad})
 
 
 def test_separate_waveforms_shape_mismatch_message():
