@@ -22,7 +22,11 @@ Writes benchmarks/TPU_SMOKE.json (or --out).  Usage:
 
     python benchmarks/tpu_smoke.py            # probe TPU, run, write
     python benchmarks/tpu_smoke.py --cpu      # CPU-labeled run (threshold calibration)
+    python benchmarks/tpu_smoke.py --bf16     # CPU run under the chip's f32-matmul
+                                              # error model (one-pass bf16 emulation;
+                                              # re-execs itself with the XLA flag)
     python benchmarks/tpu_smoke.py --calibrate  # print observed devs only
+    python benchmarks/tpu_smoke.py --no-wait  # single probe, no 25-min retry window
 """
 import json
 import os
@@ -47,10 +51,18 @@ def _rel(a, b):
 def golden_cases(nt):
     """(name, runner, threshold) — runner returns (result, golden dict).
 
-    Thresholds: ~10x the CPU-f32 deviation from the f64 golden
-    (calibrated 2026-08-18 via --calibrate; see CAL notes inline).  The
-    projected-gradient family's f32 branch decisions (step acceptance)
-    can flip, so its thresholds are the loosest.
+    Thresholds: ~3x the WORSE of {CPU-f32, CPU-bf16-matmul-emulation}
+    deviation from the f64 golden.  CAL 2026-08-18 (round 5): the bf16
+    emulation (--bf16; utils/debug.emulate_tpu_matmul_numerics — the
+    chip's one-pass-bf16 f32 matmul error model, 'highest'-precision
+    dots exempt) measured nmf_kl 2.7e-3, weighted 2.0e-3, cnmf 4.3e-3,
+    lnmf 1.3e-3, seminmf 7.7e-3, convexnmf 4.7e-3, chnmf 6.2e-3,
+    chcnmf 6.9e-3, nmfsc 1.2e-6, cnmfsc 3.4e-7, cmfwisa 7.3e-3,
+    constrained 2.5e-3, nmf2d 1.4e-3, symnmf 1.1e-2 — all well above
+    the earlier CPU-f32-only calibration, which would have tripped 7
+    false failures on the first real on-chip run (TPU_SMOKE_cpu_bf16
+    .json).  The projected-gradient family's f32 branch decisions (step
+    acceptance) can flip, so its thresholds stay the loosest.
     """
     def case(npz, fn, thresh):
         def run():
@@ -62,32 +74,32 @@ def golden_cases(nt):
     C["nmf_kl"] = case("nmf_kl.npz", lambda g: nt.nmf(
         g["V"].astype(np.float32), g["W0"].shape[1],
         W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
-        divergence="kl", maxiter=20, tolerance=1e-12), 2e-3)
+        divergence="kl", maxiter=20, tolerance=1e-12), 1e-2)
     C["nmf_weighted_kl"] = case("nmf_weighted_kl.npz", lambda g: nt.nmf(
         g["V"].astype(np.float32), g["W0"].shape[1],
         W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
         weights=g["M"].astype(np.float32), divergence="kl", maxiter=15,
-        tolerance=1e-12), 2e-3)
+        tolerance=1e-12), 1e-2)
     C["cnmf_euclid"] = case("cnmf_euclid.npz", lambda g: nt.cnmf(
         g["V"].astype(np.float32), g["W0"].shape[1], g["W0"].shape[2],
         W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
-        maxiter=15, tolerance=1e-12, method="gram"), 5e-3)
+        maxiter=15, tolerance=1e-12, method="gram"), 1.5e-2)
     C["lnmf"] = case("lnmf.npz", lambda g: nt.lnmf(
         g["V"].astype(np.float32), g["W0"].shape[1],
         W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
-        maxiter=15, tolerance=1e-12), 2e-3)
+        maxiter=15, tolerance=1e-12), 5e-3)
     C["seminmf"] = case("seminmf.npz", lambda g: nt.seminmf(
         g["V"].astype(np.float32), g["W0"].shape[1],
         W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
-        maxiter=15, tolerance=1e-12), 5e-3)
+        maxiter=15, tolerance=1e-12), 2.5e-2)
     C["convexnmf"] = case("convexnmf.npz", lambda g: nt.convexnmf(
         g["V"].astype(np.float32), g["G0"].shape[1],
         G_init=g["G0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
-        maxiter=15, tolerance=1e-12), 5e-3)
+        maxiter=15, tolerance=1e-12), 1.5e-2)
     C["chnmf"] = case("chnmf.npz", lambda g: nt.chnmf(
         g["V"].astype(np.float32), g["G0"].shape[1],
         S_init=g["S"].astype(np.float32), G_init=g["G0"].astype(np.float32),
-        H_init=g["H0"].astype(np.float32), maxiter=15, tolerance=1e-12), 5e-3)
+        H_init=g["H0"].astype(np.float32), maxiter=15, tolerance=1e-12), 2e-2)
     C["chcnmf"] = case("chcnmf.npz", lambda g: nt.chcnmf(
         g["V"].astype(np.float32), g["G0"].shape[1], int(g["T"]),
         S_init=g["S"].astype(np.float32), G_init=g["G0"].astype(np.float32),
@@ -106,20 +118,20 @@ def golden_cases(nt):
         g["V"].astype(np.complex64), g["W0"].shape[1],
         W_init=g["W0"].astype(np.float32), H_init=g["H0"].astype(np.float32),
         H_sparsity=float(g["H_sparsity"]), maxiter=15, tolerance=1e-12,
-        dtype=np.complex64), 5e-3)
+        dtype=np.complex64), 2.5e-2)
     C["constrainednmf_kl"] = case("constrainednmf_kl.npz",
                                   lambda g: nt.constrainednmf(
         g["V"].astype(np.float32), g["labels"], g["W0"].shape[1],
         W_init=g["W0"].astype(np.float32), Z_init=g["Z0"].astype(np.float32),
-        divergence="kl", maxiter=15, tolerance=1e-12), 2e-3)
+        divergence="kl", maxiter=15, tolerance=1e-12), 1e-2)
     C["nmf2d_kl"] = case("nmf2d_kl.npz", lambda g: nt.nmf2d(
         g["V"].astype(np.float32), g["W0"].shape[1], g["W0"].shape[2],
         g["H0"].shape[2], W_init=g["W0"].astype(np.float32),
         H_init=g["H0"].astype(np.float32), divergence="kl", maxiter=15,
-        tolerance=1e-12), 2e-3)
+        tolerance=1e-12), 5e-3)
     C["symnmf"] = case("symnmf.npz", lambda g: nt.symnmf(
         g["A"].astype(np.float32), g["H0"].shape[1],
-        H_init=g["H0"].astype(np.float32), maxiter=15, tolerance=1e-12), 5e-3)
+        H_init=g["H0"].astype(np.float32), maxiter=15, tolerance=1e-12), 3e-2)
     return C
 
 
@@ -224,11 +236,21 @@ def run_sharded(nt, report):
 
 
 def main(argv):
-    force_cpu = "--cpu" in argv
+    bf16 = "--bf16" in argv
+    force_cpu = "--cpu" in argv or bf16
     calibrate = "--calibrate" in argv
     out = None
     if "--out" in argv:
         out = argv[argv.index("--out") + 1]
+    if bf16 and ("--xla_allow_excess_precision=false"
+                 not in os.environ.get("XLA_FLAGS", "")):
+        # the emulation needs this XLA flag before backend init (else
+        # XLA folds the bf16 rounding away) — re-exec with it set
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_allow_excess_precision=false").strip()
+        import subprocess
+        return subprocess.call([sys.executable, __file__, *argv], env=env)
     if not force_cpu:
         from nmf_toolbox_tpu.utils.deviceprobe import probe_with_retry
         # --no-wait: interactive single probe instead of the 25-min
@@ -246,15 +268,29 @@ def main(argv):
     dev = jax.devices()[0]
     report = {"device": str(dev), "platform": dev.platform,
               "goldens": {}, "sharded_step": {}}
-    print(f"tpu_smoke on {dev}", file=sys.stderr)
-    run_goldens(nt, report, calibrate=calibrate)
+    if bf16:
+        # CPU emulation of the chip's f32 matmul error model (one-pass
+        # bf16 inputs, f32 accumulation): calibrates the thresholds
+        # against the worse of {CPU-f32, CPU-bf16-matmul} with zero
+        # chip time (VERDICT r4 item 3).
+        report["matmul_emulation"] = "bf16-inputs-f32-accum"
+        from nmf_toolbox_tpu.utils.debug import emulate_tpu_matmul_numerics
+        print(f"tpu_smoke on {dev} (bf16-matmul emulation)",
+              file=sys.stderr)
+        with emulate_tpu_matmul_numerics():
+            run_goldens(nt, report, calibrate=calibrate)
+    else:
+        print(f"tpu_smoke on {dev}", file=sys.stderr)
+        run_goldens(nt, report, calibrate=calibrate)
     run_sharded(nt, report)
     report["ok"] = bool(all(e["ok"] for e in report["goldens"].values())
                         and all(e["ok"]
                                 for e in report["sharded_step"].values()))
     # --cpu runs are calibration aids; never let one clobber the on-chip
     # regression artifact (they get their own CPU-suffixed file).
-    default_name = "TPU_SMOKE_cpu.json" if force_cpu else "TPU_SMOKE.json"
+    default_name = ("TPU_SMOKE_cpu_bf16.json" if bf16
+                    else "TPU_SMOKE_cpu.json" if force_cpu
+                    else "TPU_SMOKE.json")
     path = out or str(REPO / "benchmarks" / default_name)
     if not calibrate:
         with open(path, "w") as f:
