@@ -218,6 +218,9 @@ if __name__ == "__main__":
     else:
         nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 2
         dpp = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        # non-default shapes get their own artifact (the 2x4 file is the
+        # canonical one the docs cite; a 4x2 run must not clobber it)
+        suffix = "" if (nproc, dpp) == (2, 4) else f"_{nproc}x{dpp}"
         art = os.path.join(REPO, "benchmarks",
-                           "DISTRIBUTED_cpu_multiproc.json")
+                           f"DISTRIBUTED_cpu_multiproc{suffix}.json")
         sys.exit(main(nproc, dpp, art))
