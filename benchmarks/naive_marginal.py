@@ -5,7 +5,7 @@ The round-1 RESULTS rows for these were whole-call at 30 iters/dispatch,
 which bakes in ~40-60 ms of relay round-trip (see profile_flagship.py).
 Chained-dispatch methodology; factors stay on device.
 
-Usage: python benchmarks/naive_marginal.py {kl|cnmf|weighted}
+Usage: python benchmarks/naive_marginal.py {kl|cnmf|weighted} [--small]
 """
 # repo root on sys.path: these scripts run as 'python benchmarks/x.py'
 import pathlib as _pl
@@ -21,6 +21,16 @@ import jax.numpy as jnp
 
 ITERS = 100
 TRIALS = 4
+SMALL = "--small" in sys.argv  # CPU harness smoke: tiny shapes, few iters
+if SMALL:
+    ITERS = 5
+    TRIALS = 2
+    jax.config.update("jax_platforms", "cpu")  # never touch the relay
+
+
+def _dim(d):
+    """Full benchmark dim, or /50 (min 8) under --small."""
+    return max(8, d // 50) if SMALL else d
 
 
 def time_chained(fn, args0, tag):
@@ -42,14 +52,15 @@ def time_chained(fn, args0, tag):
 
 
 def main():
-    which = sys.argv[1]
+    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+    which = positional[0]
     print(f"device: {jax.devices()[0]}", flush=True)
     from nmf_toolbox_tpu.core import EPS
     r = {}
 
     if which in ("kl", "weighted"):
         from nmf_toolbox_tpu.models.nmf import _build_solver, _Spec
-        m, n, k = 40_000, 10_000, 100
+        m, n, k = _dim(40_000), _dim(10_000), _dim(100)
         kv, kw, kh = jax.random.split(jax.random.PRNGKey(0), 3)
         V = jax.random.uniform(kv, (m, n), jnp.float32, 0.05, 1.0)
         W0 = jax.random.uniform(kw, (m, k), jnp.float32)
@@ -64,8 +75,8 @@ def main():
             def fn(W, H):
                 out = solve(V, W, H, zeros, zeros, tol)
                 return out.state, out.cost_buf
-            r["kl_40k_10k_r100"] = time_chained(fn, (W0, H0),
-                                                "KL nmf 40k x 10k r100")
+            r[f"kl_{m}_{n}_r{k}"] = time_chained(fn, (W0, H0),
+                                                 f"KL nmf {m} x {n} r{k}")
         else:
             Mw = (jax.random.uniform(jax.random.PRNGKey(9), (m, n))
                   < 0.8).astype(jnp.float32)
@@ -74,13 +85,13 @@ def main():
             def fn(W, H):
                 out = solve(V, W, H, zeros, zeros, tol, Mw)
                 return out.state, out.cost_buf
-            r["weighted_kl_40k_10k_r100"] = time_chained(
-                fn, (W0, H0), "weighted-KL nmf 40k x 10k r100")
+            r[f"weighted_kl_{m}_{n}_r{k}"] = time_chained(
+                fn, (W0, H0), f"weighted-KL nmf {m} x {n} r{k}")
 
     if which == "cnmf":
         from nmf_toolbox_tpu.models.cnmf import (_build_solver as _cn_build,
                                                  _Spec as _CnSpec)
-        m, n, k, T = 513, 10_000, 64, 8
+        m, n, k, T = _dim(513), _dim(10_000), _dim(64), 4 if SMALL else 8
         kv, kw, kh = jax.random.split(jax.random.PRNGKey(0), 3)
         V = jax.random.uniform(kv, (m, n), jnp.float32, 0.05, 1.0)
         W0 = jax.random.uniform(kw, (m, k, T), jnp.float32)
@@ -95,8 +106,8 @@ def main():
         def fn(W, H):
             out = solve(V, W, H, zeros, zeros, tol)
             return out.state, out.cost_buf
-        r["cnmf_513_10k_r64_T8"] = time_chained(
-            fn, (W0, H0), "cnmf euclid-gram 513 x 10k r64 T8")
+        r[f"cnmf_{m}_{n}_r{k}_T{T}"] = time_chained(
+            fn, (W0, H0), f"cnmf euclid-gram {m} x {n} r{k} T{T}")
 
     print(json.dumps(r), flush=True)
 

@@ -44,6 +44,9 @@ N = int(os.environ.get("PF_N", 10_000))
 K = int(os.environ.get("PF_K", 200))
 ITERS = int(os.environ.get("PF_ITERS", 20))
 TRIALS = 4  # first discarded
+if "--small" in sys.argv:  # CPU harness smoke: tiny shapes, few iters
+    M, N, K, ITERS = 2048, 512, 16, 5
+    jax.config.update("jax_platforms", "cpu")  # never touch the relay
 
 
 def make_problem(data_dtype):
@@ -185,7 +188,8 @@ def job_hlo():
 
 
 def main():
-    jobs = sys.argv[1:] or ["f32", "bf16"]
+    jobs = [a for a in sys.argv[1:] if not a.startswith("-")] \
+        or ["f32", "bf16"]
     print(f"device: {jax.devices()[0]}", flush=True)
     r = {}
     for j in jobs:

@@ -36,10 +36,15 @@ if [ -z "${NMF_REDRIVE_NO_CACHE:-}" ]; then
   export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/nmf_tpu_jax_cache}"
 fi
 SUMMARY="$LOGDIR/summary.txt"
+# commit-message prefix distinguishes rehearsal commits in history
+MSGPFX="TPU redrive${NMF_REDRIVE_REHEARSAL:+ (rehearsal)}"
 : > "$SUMMARY"
 
 probe() {
   # Bounded retry probe: wait up to ~25 min for the worker, else fail.
+  # NMF_REDRIVE_FAKE_PROBE=1 bypasses it — REHEARSAL ONLY (CPU dry runs
+  # of the queue itself; see benchmarks/redrive_rehearsal.sh).
+  if [ -n "${NMF_REDRIVE_FAKE_PROBE:-}" ]; then return 0; fi
   python - <<'EOF'
 import sys
 from nmf_toolbox_tpu.utils.deviceprobe import probe_with_retry
@@ -51,9 +56,13 @@ EOF
 commit_paths() {  # commit_paths <message> <path...>
   # Auto-commit artifacts so an unattended recovery leaves committed
   # evidence.  Bounded retries in case another process holds the index.
+  # Paths are staged ONE AT A TIME: `git add -- a b` aborts ALL staging
+  # if any single path is outside the repo (found by the rehearsal when
+  # the logdir lived in /tmp) — one bad path must not block the rest.
   local msg="$1"; shift
-  local tries=0
-  git add -A -- "$@" 2>>"$SUMMARY" || true
+  local tries=0 p
+  stage() { for p in "$@"; do git add -A -- "$p" 2>>"$SUMMARY" || true; done; }
+  stage "$@"
   while ! git diff --cached --quiet; do
     if git commit -m "$msg" >>"$SUMMARY" 2>&1; then
       echo "COMMITTED: $msg" | tee -a "$SUMMARY"
@@ -65,7 +74,7 @@ commit_paths() {  # commit_paths <message> <path...>
       return 1
     fi
     sleep 7
-    git add -A -- "$@" 2>>"$SUMMARY" || true
+    stage "$@"
   done
 }
 
@@ -109,35 +118,42 @@ step() {  # step <name> <timeout_s> <cmd...>
   # capture the harness's final stdout JSON line as a per-step artifact
   grep '^{' "$LOGDIR/$name.log" 2>/dev/null | tail -n 1 > "$LOGDIR/$name.json" || true
   [ -s "$LOGDIR/$name.json" ] || rm -f "$LOGDIR/$name.json"
-  commit_paths "TPU redrive: $name step artifacts" \
+  commit_paths "$MSGPFX: $name step artifacts" \
     "$LOGDIR" benchmarks/*.json
   return $rc
 }
 
-step tpu_smoke       1800 python benchmarks/tpu_smoke.py
-step bench           3600 python bench.py
+# R: rehearsal-only extra flags (CPU dry run of the WHOLE queue incl.
+# auto-commit + transcription — set NMF_REDRIVE_REHEARSAL=1; real runs
+# get no extra flags).  Harnesses' --cpu/--small/--quick modes write
+# CPU-suffixed artifacts or skip artifact writes, so a rehearsal can
+# never clobber on-chip evidence.
+R() { if [ -n "${NMF_REDRIVE_REHEARSAL:-}" ]; then echo "$@"; fi; }
+
+step tpu_smoke       1800 python benchmarks/tpu_smoke.py $(R --cpu)
+step bench           3600 env NMF_TPU_BENCH_CPU="$(R 1)" python bench.py
 # alias the headline artifact under its historical name
 cp -f "$LOGDIR/bench.json" "$LOGDIR/bench_headline.json" 2>/dev/null || true
-step flagship_prof   1800 python benchmarks/profile_flagship.py f32
-step marg_lnmf       1800 python benchmarks/solver_marginal_sweep.py lnmf
-step marg_constr     1800 python benchmarks/solver_marginal_sweep.py constrainednmf
-step marg_nmf2d      1800 python benchmarks/solver_marginal_sweep.py nmf2d
-step marg_symnmf     1800 python benchmarks/solver_marginal_sweep.py symnmf
-step marg_nmfsc_ph   1800 python benchmarks/solver_marginal_sweep.py nmfsc_phased
-step audio           1800 python benchmarks/audio_tpu.py
-step batched_serving 1800 python benchmarks/batched_serving_tpu.py
-step serving_e2e     1800 python benchmarks/serving_e2e_tpu.py
-step marg_weighted   1800 python benchmarks/naive_marginal.py weighted
-step ckpt_soak       1800 python benchmarks/checkpoint_soak_tpu.py
+step flagship_prof   1800 python benchmarks/profile_flagship.py f32 $(R --small)
+step marg_lnmf       1800 python benchmarks/solver_marginal_sweep.py lnmf $(R --small)
+step marg_constr     1800 python benchmarks/solver_marginal_sweep.py constrainednmf $(R --small)
+step marg_nmf2d      1800 python benchmarks/solver_marginal_sweep.py nmf2d $(R --small)
+step marg_symnmf     1800 python benchmarks/solver_marginal_sweep.py symnmf $(R --small)
+step marg_nmfsc_ph   1800 python benchmarks/solver_marginal_sweep.py nmfsc_phased $(R --small)
+step audio           1800 python benchmarks/audio_tpu.py $(R --quick --cpu)
+step batched_serving 1800 python benchmarks/batched_serving_tpu.py $(R --quick --cpu)
+step serving_e2e     1800 python benchmarks/serving_e2e_tpu.py $(R --quick --cpu)
+step marg_weighted   1800 python benchmarks/naive_marginal.py weighted $(R --small)
+step ckpt_soak       1800 python benchmarks/checkpoint_soak_tpu.py $(R --small --cpu)
 
 # Mechanical transcription: fold parsed numbers into RESULTS_v5e.md.
 if python benchmarks/transcribe_results.py >> "$SUMMARY" 2>&1; then
-  commit_paths "TPU redrive: transcribe on-chip results into RESULTS_v5e.md" \
+  commit_paths "$MSGPFX: transcribe on-chip results into RESULTS_v5e.md" \
     benchmarks/RESULTS_v5e.md "$LOGDIR"
 else
   echo "TRANSCRIBE FAILED (see summary)" | tee -a "$SUMMARY"
 fi
 
 echo "---- sweep done $(date -u +%H:%M:%S) ----" | tee -a "$SUMMARY"
-commit_paths "TPU redrive: sweep summary" "$LOGDIR"
+commit_paths "$MSGPFX: sweep summary" "$LOGDIR"
 cat "$SUMMARY"
