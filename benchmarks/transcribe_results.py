@@ -14,9 +14,16 @@ import json
 import pathlib
 import sys
 
+import os
+
 HERE = pathlib.Path(__file__).parent
-LOGS = HERE / "redrive_logs"
-MD = HERE / "RESULTS_v5e.md"
+# env overrides exist for the unit tests (this code runs unattended —
+# a transcription bug would strand the round's results in raw logs)
+LOGS = pathlib.Path(os.environ.get("NMF_TRANSCRIBE_LOGS",
+                                   HERE / "redrive_logs"))
+ARTIFACTS = pathlib.Path(os.environ.get("NMF_TRANSCRIBE_ARTIFACTS", HERE))
+MD = pathlib.Path(os.environ.get("NMF_TRANSCRIBE_MD",
+                                 HERE / "RESULTS_v5e.md"))
 BEGIN = "<!-- ROUND5-ONCHIP:BEGIN -->"
 END = "<!-- ROUND5-ONCHIP:END -->"
 
@@ -67,13 +74,13 @@ def build_section():
             f"objective_within_1e5 {bench.get('objective_within_1e5')} "
             f"[redrive_logs/bench.json, {_stamp(LOGS / 'bench.json')}]")
 
-    smoke = _load(HERE / "TPU_SMOKE.json")
+    smoke = _load(ARTIFACTS / "TPU_SMOKE.json")
     if smoke:
         lines.append(
             f"* tpu_smoke: ok={smoke.get('ok')} on {smoke.get('platform')}"
             f" ({len(smoke.get('goldens', {}))} goldens, "
             f"{len(smoke.get('sharded_step', {}))} sharded steps) "
-            f"[TPU_SMOKE.json, {_stamp(HERE / 'TPU_SMOKE.json')}]")
+            f"[TPU_SMOKE.json, {_stamp(ARTIFACTS / 'TPU_SMOKE.json')}]")
 
     prof = _load(LOGS / "flagship_prof.json")
     if prof:
@@ -87,31 +94,31 @@ def build_section():
             lines.append(f"* {step}: {_fmt(r)} [redrive_logs/{step}.json, "
                          f"{_stamp(LOGS / (step + '.json'))}]")
 
-    audio = _load(HERE / "AUDIO_v5e.json")
+    audio = _load(ARTIFACTS / "AUDIO_v5e.json")
     if audio:
         rows = audio.get("rows", audio)
         lines.append(f"* audio front-end: {_fmt(rows)} [AUDIO_v5e.json, "
-                     f"{_stamp(HERE / 'AUDIO_v5e.json')}]")
+                     f"{_stamp(ARTIFACTS / 'AUDIO_v5e.json')}]")
 
-    served = _load(HERE / "BATCHED_SERVING_v5e.json")
+    served = _load(ARTIFACTS / "BATCHED_SERVING_v5e.json")
     if served:
         rows = served.get("rows", served)
         keys = list(rows)[:12] if isinstance(rows, dict) else None
         lines.append(f"* batched serving: "
                      f"{_fmt(rows, keys) if isinstance(rows, dict) else rows}"
-                     f" [BATCHED_SERVING_v5e.json, {_stamp(HERE / 'BATCHED_SERVING_v5e.json')}]")
+                     f" [BATCHED_SERVING_v5e.json, {_stamp(ARTIFACTS / 'BATCHED_SERVING_v5e.json')}]")
 
-    e2e = _load(HERE / "SERVING_E2E.json")
+    e2e = _load(ARTIFACTS / "SERVING_E2E.json")
     if e2e:
         rows = e2e.get("rows", e2e)
         lines.append(f"* serving e2e: "
                      f"{_fmt(rows) if isinstance(rows, dict) else rows}"
-                     f" [SERVING_E2E.json, {_stamp(HERE / 'SERVING_E2E.json')}]")
+                     f" [SERVING_E2E.json, {_stamp(ARTIFACTS / 'SERVING_E2E.json')}]")
 
-    soak = _load(HERE / "CKPT_SOAK.json")
+    soak = _load(ARTIFACTS / "CKPT_SOAK.json")
     if soak:
         lines.append(f"* checkpoint fault-injection soak: {_fmt(soak)} "
-                     f"[CKPT_SOAK.json, {_stamp(HERE / 'CKPT_SOAK.json')}]")
+                     f"[CKPT_SOAK.json, {_stamp(ARTIFACTS / 'CKPT_SOAK.json')}]")
 
     if len(lines) <= 5:
         lines.append("* (no artifacts found yet — queue has not run)")
