@@ -170,11 +170,19 @@ def run_goldens(nt, report, calibrate=False):
             print(f"    CAL {name}: {entry['devs']}", file=sys.stderr)
 
 
+# Sharded-vs-unsharded cost parity bound: both programs run on the same
+# device, so the only legal difference is XLA reassociation/layout noise
+# under the padding layer — 1e-3 relative is loose even for one-pass
+# bf16 matmuls at these tiny shapes.
+SHARDED_PARITY_THRESH = 1e-3
+
+
 def run_sharded(nt, report):
     """One NamedSharding step per placement family on a 1-device mesh of
     the current default backend — compiles and executes the sharded
     program (placements, padding, collective lowering) on the real
-    runtime."""
+    runtime — and asserts its cost trajectory matches the UNSHARDED run
+    of the identical config (parity, not just finiteness)."""
     import jax
     from nmf_toolbox_tpu.parallel import make_mesh
     mesh = make_mesh(1, devices=jax.devices()[:1])
@@ -187,49 +195,65 @@ def run_sharded(nt, report):
     Vc = (V * np.exp(1j * rng.uniform(size=(m, n)))).astype(np.complex64)
     S = V[:, rng.choice(n, 6, replace=False)].copy()
     G0 = rng.uniform(size=(6, k)).astype(np.float32)
+    G0c = rng.uniform(size=(6, k, 2)).astype(np.float32)
+    Gn0 = rng.uniform(size=(n, k)).astype(np.float32)
+    H2d0 = rng.uniform(size=(k, n, P2)).astype(np.float32)
     labels = np.full(n, -1)
     labels[rng.choice(n, 9, replace=False)] = rng.integers(0, 3, 9)
     Vb = rng.uniform(0.1, 1.0, (4, m, 11)).astype(np.float32)
     Asym = (V[:, :m] + V[:, :m].T) / 2
     steps = {
-        "nmf": lambda: nt.nmf(V, k, W_init=W0, H_init=H0, maxiter=1,
-                              tolerance=1e-12, mesh=mesh),
-        "cnmf": lambda: nt.cnmf(V, k, T, W_init=W0c, H_init=H0, maxiter=1,
-                                tolerance=1e-12, mesh=mesh),
-        "cmfwisa": lambda: nt.cmfwisa(Vc, k, maxiter=1, tolerance=1e-12,
-                                      seed=1, mesh=mesh),
-        "chcnmf": lambda: nt.chcnmf(V, k, 2, S_init=S,
-                                    G_init=rng.uniform(size=(6, k, 2)
-                                                       ).astype(np.float32),
-                                    H_init=H0, maxiter=1, tolerance=1e-12,
-                                    mesh=mesh),
-        "convexnmf": lambda: nt.convexnmf(V - 0.5, k, G_init=rng.uniform(
-            size=(n, k)).astype(np.float32), H_init=H0, maxiter=1,
-            tolerance=1e-12, mesh=mesh),
-        "constrainednmf": lambda: nt.constrainednmf(
+        "nmf": lambda mh: nt.nmf(V, k, W_init=W0, H_init=H0, maxiter=1,
+                                 tolerance=1e-12, mesh=mh),
+        "cnmf": lambda mh: nt.cnmf(V, k, T, W_init=W0c, H_init=H0,
+                                   maxiter=1, tolerance=1e-12, mesh=mh),
+        "cmfwisa": lambda mh: nt.cmfwisa(Vc, k, maxiter=1, tolerance=1e-12,
+                                         seed=1, mesh=mh),
+        "chcnmf": lambda mh: nt.chcnmf(V, k, 2, S_init=S, G_init=G0c,
+                                       H_init=H0, maxiter=1,
+                                       tolerance=1e-12, mesh=mh),
+        "convexnmf": lambda mh: nt.convexnmf(V - 0.5, k, G_init=Gn0,
+                                             H_init=H0, maxiter=1,
+                                             tolerance=1e-12, mesh=mh),
+        "constrainednmf": lambda mh: nt.constrainednmf(
             V, labels, k, W_init=W0, maxiter=1, tolerance=1e-12, seed=1,
-            mesh=mesh),
-        "nmf2d": lambda: nt.nmf2d(V, k, T, P2, W_init=W0c,
-                                  H_init=rng.uniform(size=(k, n, P2)
-                                                     ).astype(np.float32),
-                                  maxiter=1, tolerance=1e-12, mesh=mesh),
-        "symnmf": lambda: nt.symnmf(Asym, k, maxiter=1, tolerance=1e-12,
-                                    seed=1, mesh=mesh),
-        "nmf_encode": lambda: nt.nmf_encode(Vb, W0, maxiter=1, mesh=mesh,
-                                            seed=2),
+            mesh=mh),
+        "nmf2d": lambda mh: nt.nmf2d(V, k, T, P2, W_init=W0c, H_init=H2d0,
+                                     maxiter=1, tolerance=1e-12, mesh=mh),
+        "symnmf": lambda mh: nt.symnmf(Asym, k, maxiter=1, tolerance=1e-12,
+                                       seed=1, mesh=mh),
+        "nmf_encode": lambda mh: nt.nmf_encode(Vb, W0, maxiter=1, mesh=mh,
+                                               seed=2),
     }
+    del G0  # unused legacy init kept out of the closures
+
+    def _costs(r):
+        c = np.asarray(r.cost, np.float64)
+        if c.ndim > 1:          # batched encode: (B, iters)
+            c = c.reshape(-1)
+        n_it = max(int(np.max(np.asarray(r.n_iters))), 1)
+        return c[: max(n_it, 1)] if c.ndim == 1 else c
+
     for name, fn in steps.items():
         t0 = time.perf_counter()
         try:
-            r = fn()
-            c = np.asarray(r.cost)
-            ok = bool(np.all(np.isfinite(c[: max(int(r.n_iters), 1)])))
-            entry = {"ok": ok, "wall_s": round(time.perf_counter() - t0, 2)}
+            r = fn(mesh)
+            c = _costs(r)
+            finite = bool(np.all(np.isfinite(c)))
+            r0 = fn(None)       # identical config, no mesh
+            c0 = _costs(r0)
+            nn = min(len(c), len(c0))
+            dev = float(np.max(np.abs(c[:nn] - c0[:nn])
+                               / np.maximum(np.abs(c0[:nn]), 1e-300)))
+            entry = {"ok": bool(finite and dev <= SHARDED_PARITY_THRESH),
+                     "parity_rel_dev": dev,
+                     "wall_s": round(time.perf_counter() - t0, 2)}
         except Exception as e:
             entry = {"ok": False, "error": f"{type(e).__name__}: {e}",
                      "wall_s": round(time.perf_counter() - t0, 2)}
         report["sharded_step"][name] = entry
         print(f"  sharded {name:<16} {'OK' if entry['ok'] else 'FAIL'} "
+              f"parity={entry.get('parity_rel_dev', float('nan')):.2e} "
               f"({entry['wall_s']}s)"
               + (f"  {entry.get('error', '')}" if not entry["ok"] else ""),
               file=sys.stderr)
