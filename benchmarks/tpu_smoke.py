@@ -234,20 +234,28 @@ def run_sharded(nt, report):
         n_it = max(int(np.max(np.asarray(r.n_iters))), 1)
         return c[: max(n_it, 1)] if c.ndim == 1 else c
 
+    # The parity baselines double this process's compile count; the
+    # relay worker has crashed under many fresh compiles in one process
+    # before (verify SKILL.md), so NMF_SMOKE_NO_PARITY=1 falls back to
+    # finiteness-only if the first on-chip run proves too heavy.
+    parity = not os.environ.get("NMF_SMOKE_NO_PARITY")
     for name, fn in steps.items():
         t0 = time.perf_counter()
         try:
             r = fn(mesh)
             c = _costs(r)
             finite = bool(np.all(np.isfinite(c)))
-            r0 = fn(None)       # identical config, no mesh
-            c0 = _costs(r0)
-            nn = min(len(c), len(c0))
-            dev = float(np.max(np.abs(c[:nn] - c0[:nn])
-                               / np.maximum(np.abs(c0[:nn]), 1e-300)))
-            entry = {"ok": bool(finite and dev <= SHARDED_PARITY_THRESH),
-                     "parity_rel_dev": dev,
-                     "wall_s": round(time.perf_counter() - t0, 2)}
+            entry = {"ok": finite}
+            if parity:
+                r0 = fn(None)   # identical config, no mesh
+                c0 = _costs(r0)
+                nn = min(len(c), len(c0))
+                dev = float(np.max(np.abs(c[:nn] - c0[:nn])
+                                   / np.maximum(np.abs(c0[:nn]), 1e-300)))
+                entry = {"ok": bool(finite
+                                    and dev <= SHARDED_PARITY_THRESH),
+                         "parity_rel_dev": dev}
+            entry["wall_s"] = round(time.perf_counter() - t0, 2)
         except Exception as e:
             entry = {"ok": False, "error": f"{type(e).__name__}: {e}",
                      "wall_s": round(time.perf_counter() - t0, 2)}
