@@ -27,6 +27,9 @@ SOLVERS = ("nmf", "nmf_hals", "nmfsc", "cnmf", "cnmfsc", "cmfwisa", "lnmf",
 
 def build_parser():
     p = argparse.ArgumentParser(prog="nmf-tpu", description=__doc__)
+    from . import __version__
+    p.add_argument("--version", action="version",
+                   version=f"nmf-tpu {__version__}")
     p.add_argument("solver", choices=SOLVERS)
     p.add_argument("input", help=".npy matrix (or raw binary with --shape)")
     p.add_argument("--k", type=int, default=None,
