@@ -245,10 +245,8 @@ def _probe_device():
 
     ``--no-wait`` (interactive runs) probes ONCE instead of holding the
     25-minute driver window."""
-    from nmf_toolbox_tpu.utils.deviceprobe import probe_with_retry
-    window = 0.0 if "--no-wait" in sys.argv[1:] else None
-    plat, _ = (probe_with_retry() if window is None
-               else probe_with_retry(window_s=window))
+    from nmf_toolbox_tpu.utils.deviceprobe import probe_auto
+    plat, _ = probe_auto(no_wait="--no-wait" in sys.argv[1:])
     return plat
 
 

@@ -93,10 +93,8 @@ def main(argv):
         return child(argv[i + 1], argv[i + 2], argv[i + 3], small, cpu)
 
     if not cpu:
-        from nmf_toolbox_tpu.utils.deviceprobe import probe_with_retry
-        window = 0.0 if "--no-wait" in argv else None
-        plat, _ = (probe_with_retry(window_s=window) if window is not None
-                   else probe_with_retry())
+        from nmf_toolbox_tpu.utils.deviceprobe import probe_auto
+        plat, _ = probe_auto(no_wait="--no-wait" in argv)
         if plat != "tpu":
             print("no TPU (use --cpu to smoke on host)", file=sys.stderr)
             return 1

@@ -27,7 +27,14 @@
 #            <logdir>/<step>.json.
 set -u
 cd "$(dirname "$0")/.."
-LOGDIR="${1:-benchmarks/redrive_logs}"
+# A rehearsal must NEVER write into the real log dir: its CPU-forced
+# bench.json / marg_*.json would overwrite committed on-chip rows and
+# the transcriber would fold them into RESULTS_v5e.md.
+if [ -n "${NMF_REDRIVE_REHEARSAL:-}" ]; then
+  LOGDIR="${1:-benchmarks/redrive_rehearsal_logs}"
+else
+  LOGDIR="${1:-benchmarks/redrive_logs}"
+fi
 mkdir -p "$LOGDIR"
 # Persistent compile cache: a crashed-and-retried step then skips its
 # compiles (keyed per platform; harmless if the backend can't serialize —
@@ -42,8 +49,9 @@ MSGPFX="TPU redrive${NMF_REDRIVE_REHEARSAL:+ (rehearsal)}"
 
 probe() {
   # Bounded retry probe: wait up to ~25 min for the worker, else fail.
-  # NMF_REDRIVE_FAKE_PROBE=1 bypasses it — REHEARSAL ONLY (CPU dry runs
-  # of the queue itself; see benchmarks/redrive_rehearsal.sh).
+  # NMF_REDRIVE_FAKE_PROBE=1 bypasses it — REHEARSAL ONLY (CPU dry run
+  # of the queue itself: NMF_REDRIVE_REHEARSAL=1 NMF_REDRIVE_FAKE_PROBE=1
+  # bash benchmarks/redrive_tpu.sh).
   if [ -n "${NMF_REDRIVE_FAKE_PROBE:-}" ]; then return 0; fi
   python - <<'EOF'
 import sys
@@ -98,6 +106,9 @@ while :; do
     exit 1
   fi
   echo "re-arming gate (worker still down after arm $arm)" | tee -a "$SUMMARY"
+  # a probe that dies instantly (import error, bad venv) must not spin
+  # the loop at 100% CPU — pace the re-arm regardless of why it failed
+  sleep 60
 done
 echo "TPU up at $(date -u +%H:%M:%S); starting sweep" | tee -a "$SUMMARY"
 
@@ -147,6 +158,12 @@ step marg_weighted   1800 python benchmarks/naive_marginal.py weighted $(R --sma
 step ckpt_soak       1800 python benchmarks/checkpoint_soak_tpu.py $(R --small --cpu)
 
 # Mechanical transcription: fold parsed numbers into RESULTS_v5e.md.
+# (Still exercised in rehearsal — against the rehearsal logdir — but
+# the write target is a scratch copy so RESULTS_v5e.md is untouched.)
+if [ -n "${NMF_REDRIVE_REHEARSAL:-}" ]; then
+  cp benchmarks/RESULTS_v5e.md "$LOGDIR/RESULTS_rehearsal.md"
+  export NMF_TRANSCRIBE_LOGS="$LOGDIR"          NMF_TRANSCRIBE_MD="$LOGDIR/RESULTS_rehearsal.md"
+fi
 if python benchmarks/transcribe_results.py >> "$SUMMARY" 2>&1; then
   commit_paths "$MSGPFX: transcribe on-chip results into RESULTS_v5e.md" \
     benchmarks/RESULTS_v5e.md "$LOGDIR"

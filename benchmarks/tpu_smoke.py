@@ -229,10 +229,13 @@ def run_sharded(nt, report):
 
     def _costs(r):
         c = np.asarray(r.cost, np.float64)
-        if c.ndim > 1:          # batched encode: (B, iters)
-            c = c.reshape(-1)
+        if c.ndim > 1:          # batched encode: (B, iters) — keep ALL
+            # problems' traces (maxiter=1 here, so every entry is live);
+            # truncating to n_iters after flattening would silently drop
+            # problems 1..B-1 from the parity/finiteness check
+            return c.reshape(-1)
         n_it = max(int(np.max(np.asarray(r.n_iters))), 1)
-        return c[: max(n_it, 1)] if c.ndim == 1 else c
+        return c[:n_it]
 
     # The parity baselines double this process's compile count; the
     # relay worker has crashed under many fresh compiles in one process
@@ -284,11 +287,10 @@ def main(argv):
         import subprocess
         return subprocess.call([sys.executable, __file__, *argv], env=env)
     if not force_cpu:
-        from nmf_toolbox_tpu.utils.deviceprobe import probe_with_retry
+        from nmf_toolbox_tpu.utils.deviceprobe import probe_auto
         # --no-wait: interactive single probe instead of the 25-min
         # driver retry window (round-5 advice)
-        plat, _n = probe_with_retry(window_s=0.0) if "--no-wait" in argv \
-            else probe_with_retry()
+        plat, _n = probe_auto(no_wait="--no-wait" in argv)
         if plat is None or plat == "cpu":
             print("no live accelerator — rerun with --cpu for a "
                   "CPU-labeled calibration run", file=sys.stderr)

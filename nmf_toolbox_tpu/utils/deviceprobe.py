@@ -42,12 +42,23 @@ CACHE_PATH = os.environ.get("NMF_TPU_PROBE_CACHE",
 CACHE_MAX_AGE_S = float(os.environ.get("NMF_TPU_PROBE_CACHE_AGE_S", 600))
 
 
-def _cache_write(plat, n) -> None:
+def _cache_write(plat, n, timeout=None) -> None:
     try:
         import json
+        if plat is None and timeout is not None:
+            # A fresh dead verdict REFRESHES the strongest recent one:
+            # the gate's routine 60-s probes must not keep demoting a
+            # 240-s caller's dead entry (which would make that caller
+            # re-pay its long probe every invocation).  Sound because a
+            # worker that recovered would answer even the short probe.
+            prev = _cache_read(CACHE_MAX_AGE_S)
+            if (prev is not None and prev[0] is None
+                    and prev[2] is not None and float(prev[2]) > timeout):
+                timeout = float(prev[2])
         tmp = f"{CACHE_PATH}.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump({"ts": time.time(), "platform": plat, "n": n}, f)
+            json.dump({"ts": time.time(), "platform": plat, "n": n,
+                       "timeout": timeout}, f)
         os.replace(tmp, CACHE_PATH)
     except OSError:
         pass
@@ -59,7 +70,7 @@ def _cache_read(max_age_s):
         with open(CACHE_PATH) as f:
             d = json.load(f)
         if time.time() - float(d["ts"]) <= max_age_s:
-            return d["platform"], int(d["n"])
+            return d["platform"], int(d["n"]), d.get("timeout")
     except (OSError, ValueError, KeyError):
         pass
     return None
@@ -78,28 +89,32 @@ def probe_once(timeout: float = PROBE_TIMEOUT_S):
                            capture_output=True, text=True, timeout=timeout)
         if p.returncode == 0 and p.stdout.strip():
             plat, n = p.stdout.strip().splitlines()[-1].split()
-            _cache_write(plat, int(n))
+            _cache_write(plat, int(n), timeout)
             return plat, int(n)
     except Exception as e:
         print(f"device probe failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-    _cache_write(None, 0)
+    _cache_write(None, 0, timeout)
     return None, 0
 
 
 def cached_probe(timeout: float = PROBE_TIMEOUT_S,
                  max_age_s: float = CACHE_MAX_AGE_S):
-    """probe_once, but short-circuited by a fresh cross-process cache
-    entry (any probe in the last ``max_age_s`` seconds, including a
-    watcher's or another harness's).  A cached DEAD result skips the
-    full dead-worker timeout; a cached LIVE result skips the subprocess
-    spawn.  Callers that must see a recovery immediately should use
-    probe_once/probe_with_retry directly."""
+    """probe_once, short-circuited ONLY by a fresh cross-process DEAD
+    entry written by a probe whose budget was at least ours — so during
+    one outage, repeated callers skip re-paying the dead-worker timeout
+    without a 60-s probe's failure ever overriding a 240-s caller's
+    budget.  A cached LIVE entry is NEVER trusted: the worker may have
+    died since, and a caller acting on a stale LIVE verdict would hand
+    its unguarded jax backend init an unbounded hang — re-confirming a
+    genuinely live backend costs only seconds."""
     hit = _cache_read(max_age_s)
     if hit is not None:
-        plat, n = hit
-        print(f"device probe cache hit: {plat} x{n}", file=sys.stderr)
-        return plat, n
+        plat, n, t = hit
+        if plat is None and t is not None and float(t) >= timeout:
+            print(f"device probe cache hit: worker dead "
+                  f"(probed with {t:.0f}s budget)", file=sys.stderr)
+            return None, 0
     return probe_once(timeout)
 
 
@@ -132,3 +147,10 @@ def probe_with_retry(window_s: float = RETRY_WINDOW_S,
               f"retrying in {wait:.0f}s ({remaining:.0f}s left in window)",
               file=sys.stderr)
         time.sleep(wait)
+
+
+def probe_auto(no_wait: bool = False, timeout: float = PROBE_TIMEOUT_S):
+    """The harness entry-point policy in one place: a single bounded
+    probe for interactive runs (``no_wait``), the full driver retry
+    window otherwise.  Returns ``(platform, n_devices)``."""
+    return probe_once(timeout) if no_wait else probe_with_retry()

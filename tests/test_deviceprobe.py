@@ -41,33 +41,59 @@ def test_retry_window_gives_up_at_deadline(monkeypatch):
     assert calls["n"] >= 2  # retried at least once before surrendering
 
 
-def test_cached_probe_short_circuits(monkeypatch, tmp_path):
+def test_cached_probe_short_circuits_dead_only(monkeypatch, tmp_path):
     # round-5: repeated driver invocations during one outage must not
     # each re-pay the 240-s dead-worker timeout (VERDICT r4 weak 5)
     cache = str(tmp_path / "probe_cache.json")
     monkeypatch.setattr(dp, "CACHE_PATH", cache)
     calls = {"n": 0}
-    monkeypatch.setattr(dp, "probe_once",
-                        lambda timeout=None: (calls.__setitem__("n", calls["n"] + 1),
-                                              (None, 0))[1])
-    dp._cache_write(None, 0)                  # fresh dead entry
+
+    def fake_probe(timeout=None):
+        calls["n"] += 1
+        return ("tpu", 1)
+    monkeypatch.setattr(dp, "probe_once", fake_probe)
+    # fresh dead entry probed with an EQUAL-OR-LONGER budget: trusted
+    dp._cache_write(None, 0, timeout=240)
     assert dp.cached_probe(timeout=240) == (None, 0)
     assert calls["n"] == 0                    # no subprocess probe paid
-    dp._cache_write("tpu", 1)                 # fresh live entry
+    # dead entry from a WEAKER probe (60 s) must NOT satisfy a 240-s
+    # caller — a cold-but-live backend can outlast a short probe.
+    # (Start from an empty cache: with a prior strong dead entry the
+    # budget-merge would legitimately preserve the 240-s verdict.)
+    import os
+    os.unlink(cache)
+    dp._cache_write(None, 0, timeout=60)
     assert dp.cached_probe(timeout=240) == ("tpu", 1)
-    assert calls["n"] == 0
+    assert calls["n"] == 1
+    # a cached LIVE entry is NEVER trusted: the worker may have died
+    # since, and acting on a stale LIVE verdict hands the caller an
+    # unbounded backend-init hang
+    dp._cache_write("tpu", 1, timeout=240)
+    assert dp.cached_probe(timeout=240) == ("tpu", 1)
+    assert calls["n"] == 2                    # real probe paid
 
 
 def test_cached_probe_stale_entry_reprobes(monkeypatch, tmp_path):
     import json
     cache = str(tmp_path / "probe_cache.json")
     monkeypatch.setattr(dp, "CACHE_PATH", cache)
-    dp._cache_write("tpu", 1)
+    dp._cache_write(None, 0, timeout=999)
     d = json.load(open(cache))
     d["ts"] -= dp.CACHE_MAX_AGE_S + 1         # age it past the window
     json.dump(d, open(cache, "w"))
     monkeypatch.setattr(dp, "probe_once", lambda timeout=None: ("cpu", 8))
     assert dp.cached_probe(timeout=1) == ("cpu", 8)
+
+
+def test_cached_probe_legacy_entry_without_timeout(monkeypatch, tmp_path):
+    # an entry missing the timeout field (older writer) is not trusted
+    import json
+    cache = str(tmp_path / "probe_cache.json")
+    monkeypatch.setattr(dp, "CACHE_PATH", cache)
+    json.dump({"ts": __import__("time").time(), "platform": None, "n": 0},
+              open(cache, "w"))
+    monkeypatch.setattr(dp, "probe_once", lambda timeout=None: ("tpu", 1))
+    assert dp.cached_probe(timeout=240) == ("tpu", 1)
 
 
 def test_probe_once_writes_cache(monkeypatch, tmp_path):
@@ -81,4 +107,23 @@ def test_probe_once_writes_cache(monkeypatch, tmp_path):
     monkeypatch.setattr(dp.subprocess, "run",
                         lambda *a, **k: _P())
     assert dp.probe_once(timeout=5) == ("tpu", 1)
-    assert dp._cache_read(60) == ("tpu", 1)
+    assert dp._cache_read(60) == ("tpu", 1, 5)  # records its timeout
+
+
+def test_dead_verdict_refresh_keeps_strongest_budget(monkeypatch, tmp_path):
+    # the gate's routine short probes must not demote a long probe's
+    # dead entry (that would make dryrun re-pay its 240-s probe)
+    cache = str(tmp_path / "probe_cache.json")
+    monkeypatch.setattr(dp, "CACHE_PATH", cache)
+    dp._cache_write(None, 0, timeout=240)
+    dp._cache_write(None, 0, timeout=60)      # gate's 60-s re-probe
+    assert dp._cache_read(60)[2] == 240       # budget preserved
+    calls = {"n": 0}
+    monkeypatch.setattr(dp, "probe_once",
+                        lambda timeout=None: (calls.__setitem__(
+                            "n", calls["n"] + 1), ("tpu", 1))[1])
+    assert dp.cached_probe(timeout=240) == (None, 0)
+    assert calls["n"] == 0
+    # ...but a LIVE write resets everything (recovery!)
+    dp._cache_write("tpu", 1, timeout=60)
+    assert dp._cache_read(60) == ("tpu", 1, 60)
