@@ -1,0 +1,121 @@
+"""cost_every cadence: measured effect on the field-divergence hot loops.
+
+The objective feeds only the stopping rule (nmf.m:221-224), so
+``cost_every=N`` computes it on every Nth iteration and drops the
+objective's (m, n) reconstruction + divergence pass (for KL: one matmul
+plus a full log-field) from the other N-1.  This measures the actual
+marginal-rate effect at the RESULTS_v5e shapes:
+
+  * KL nmf (naive fields) 40k x 10k r100  — vs the 7.2 ms/iter row
+  * weighted-KL nmf, same shape           — vs the 17.3 ms/iter row
+  * nmf_encode KL, serving shape 256 x (257, 400) r16
+                                          — vs the 0.52 ms/problem row
+
+Chained-dispatch methodology (factors stay on device), ce in {1, 10}.
+
+Usage: python benchmarks/cost_every_tpu.py [--small]
+"""
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ITERS = 100
+TRIALS = 4
+SMALL = "--small" in sys.argv  # CPU harness smoke: tiny shapes, few iters
+if SMALL:
+    ITERS = 5
+    TRIALS = 2
+    jax.config.update("jax_platforms", "cpu")  # never touch the relay
+
+
+def _dim(d):
+    return max(8, d // 50) if SMALL else d
+
+
+def time_chained(fn, args0, tag):
+    out, fence = fn(*args0)
+    float(np.ravel(fence)[-1])
+    dts = []
+    for _ in range(TRIALS):
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out, fence = fn(*out)
+        f = float(np.ravel(fence)[-1])
+        dts.append(time.perf_counter() - t0)
+    dts = dts[1:]
+    med = sorted(dts)[len(dts) // 2]
+    ms = med * 1e3 / ITERS
+    print(f"{tag}: {ms:.3f} ms/iter ({ITERS/med:.1f} iters/s) "
+          f"fence={f:.4e}", flush=True)
+    return ms
+
+
+def main():
+    print(f"device: {jax.devices()[0]}", flush=True)
+    from nmf_toolbox_tpu.core import EPS
+    from nmf_toolbox_tpu.models.nmf import _build_solver, _Spec
+    r = {}
+
+    m, n, k = _dim(40_000), _dim(10_000), _dim(100)
+    kv, kw, kh = jax.random.split(jax.random.PRNGKey(0), 3)
+    V = jax.random.uniform(kv, (m, n), jnp.float32, 0.05, 1.0)
+    W0 = jax.random.uniform(kw, (m, k), jnp.float32)
+    H0 = jax.random.uniform(kh, (k, n), jnp.float32)
+    Mw = (jax.random.uniform(jax.random.PRNGKey(9), (m, n))
+          < 0.8).astype(jnp.float32)
+    jax.block_until_ready((V, Mw))
+    zeros = jnp.zeros((k,), jnp.float32)
+    tol = jnp.float32(1e-30)
+
+    for ce in (1, 10):
+        spec = _Spec("kl", 1.0, 1.0, "naive", ITERS,
+                     (False,), (False,), ((0, k),), EPS,
+                     cost_every=ce)
+        solve = _build_solver(spec)
+
+        def fn(*state):
+            out = solve(V, *state[:2], zeros, zeros, tol)
+            return out.state, out.cost_buf
+        r[f"kl_{m}_{n}_r{k}_ce{ce}"] = time_chained(
+            fn, (W0, H0), f"KL nmf {m} x {n} r{k} cost_every={ce}")
+
+        def fnw(*state):
+            out = solve(V, *state[:2], zeros, zeros, tol, Mw)
+            return out.state, out.cost_buf
+        r[f"weighted_kl_{m}_{n}_r{k}_ce{ce}"] = time_chained(
+            fnw, (W0, H0), f"weighted-KL nmf {m} x {n} r{k} cost_every={ce}")
+
+    # serving encode (the batched_serving_tpu kl shape)
+    import nmf_toolbox_tpu as nt
+    B, em, en, ek = (16, 65, 100, 8) if SMALL else (256, 257, 400, 16)
+    kv, kw, kh = jax.random.split(jax.random.PRNGKey(1), 3)
+    Vs = jax.random.uniform(kv, (B, em, en), jnp.float32, 0.05, 1.0)
+    Wd = jax.random.uniform(kw, (em, ek), jnp.float32)
+    H0s = jax.random.uniform(kh, (B, ek, en), jnp.float32)
+    jax.block_until_ready(Vs)
+    for ce in (1, 10):
+        def enc(H):
+            res = nt.nmf_encode(Vs, Wd, divergence="kl", H_init=H,
+                                maxiter=ITERS, cost_every=ce,
+                                device_output=True)
+            return (res.H,), res.cost
+
+        ms = time_chained(enc, (H0s,),
+                          f"nmf_encode KL B{B} {em}x{en} r{ek} "
+                          f"cost_every={ce}")
+        r[f"encode_kl_B{B}_{em}_{en}_r{ek}_ce{ce}"] = ms
+        # whole ITERS-iteration encode, per problem (the
+        # BATCHED_SERVING_v5e ms_per_problem_device basis)
+        r[f"encode_kl_ms_per_problem_ce{ce}"] = ms * ITERS / B
+    print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

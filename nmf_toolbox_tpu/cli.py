@@ -64,6 +64,12 @@ def build_parser():
     p.add_argument("--inner-iters", type=int, default=None,
                    help="accelerated-MU/HALS inner repetitions per V pass "
                         "(euclidean nmf / nmf_hals)")
+    p.add_argument("--cost-every", type=int, default=None,
+                   help="evaluate the objective every N iterations instead "
+                        "of every iteration (nmf only; factor trajectory is "
+                        "bit-identical, the tolerance check coarsens to "
+                        "N-iteration windows — skips the objective's "
+                        "reconstruction+divergence pass for kl/is/ab)")
     p.add_argument("--dtype", default=None, help="compute dtype override")
     p.add_argument("--shape", default=None, help="rows,cols for raw binary input")
     p.add_argument("--input-dtype", default="float32", help="raw binary dtype")
@@ -193,6 +199,7 @@ def _cmd_separate(args):
         ("--w-sparsity", args.w_sparsity),
         ("--init", args.init if args.init not in (None, "random") else None),
         ("--inner-iters", args.inner_iters),
+        ("--cost-every", args.cost_every),
         ("--dict (use --dicts for separate)", args.dictionary),
     ] if v is not None]
     if bad:
@@ -420,6 +427,7 @@ def main(argv=None):
             ("--init", args.init if args.init not in (None, "random")
              else None),
             ("--inner-iters", args.inner_iters),
+            ("--cost-every", args.cost_every),
             # the consensus sweep would np.asarray the memory-map
             # (materializing the out-of-core matrix in RAM); the svd
             # estimator streams (estimate_rank_svd block_size=) and is
@@ -498,6 +506,10 @@ def main(argv=None):
                       "input (complex batches use the in-memory "
                       "phase-aware engine)", file=sys.stderr)
                 return 2
+            if args.cost_every is not None:
+                print("error: --cost-every is not supported by "
+                      "nmf_encode_streaming", file=sys.stderr)
+                return 2
             try:
                 res = nt.nmf_encode_streaming(V, W,
                                               block_size=args.block_size,
@@ -522,6 +534,10 @@ def main(argv=None):
                 print("error: complex input takes magnitude dictionaries; "
                       "a convolutive (m, k, T) dictionary is not supported",
                       file=sys.stderr)
+                return 2
+            if args.cost_every is not None:
+                print("error: --cost-every is not supported by "
+                      "cmfwisa_encode", file=sys.stderr)
                 return 2
             parts = _load_dictionary_list(args.dictionary)
             try:
@@ -558,6 +574,14 @@ def main(argv=None):
             engine, engine_name = nt.cnmf_encode, "cnmf_encode"
         else:
             engine, engine_name = nt.nmf_encode, "nmf_encode"
+        if args.cost_every is not None:
+            # only the plain batched engine has the cadence knob; error
+            # rather than silently ignore (the CLI's convention)
+            if engine_name != "nmf_encode":
+                print(f"error: --cost-every is not supported by "
+                      f"{engine_name}", file=sys.stderr)
+                return 2
+            cfg["cost_every"] = args.cost_every
         try:
             res = engine(V, W, **cfg)
         except ValueError as e:
@@ -610,6 +634,12 @@ def main(argv=None):
                   file=sys.stderr)
             return 2
         cfg["inner_iters"] = args.inner_iters
+    if args.cost_every is not None:
+        if args.solver != "nmf" or args.streaming:
+            print("error: --cost-every is only supported for nmf "
+                  "(non-streaming)", file=sys.stderr)
+            return 2
+        cfg["cost_every"] = args.cost_every
     if args.weights is not None:
         if args.solver not in ("nmf", "cnmf", "constrainednmf", "nmf_hals"):
             print("error: --weights is only supported for "

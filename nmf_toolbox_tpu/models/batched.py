@@ -36,6 +36,31 @@ class _Spec(NamedTuple):
     eps: float
     div: str = "euclidean"
     inner: int = 1
+    cost_every: int = 1
+
+
+def _cadence(ce, iters):
+    """Iterations whose objective is actually evaluated under
+    ``cost_every=ce``: {1, ce, 2*ce, ...} plus the final one — the same
+    cadence as nmf()'s knob (models/nmf.py finish_step).  The batched
+    engines run a fixed-length scan with no stopping rule, so here the
+    knob only affects which trace entries are computed vs carried; for
+    the FIELD divergences (kl/is/ab, weighted) the skipped evaluations
+    drop a full (m, n) reconstruction + divergence pass per problem per
+    iteration — the serving win.  Euclidean's Gram-form objective is a
+    byproduct of the update, so its trace is cadence-selected for
+    uniform semantics but nothing is saved."""
+    def compute(i):
+        return ((i + 1) % ce == 0) | (i == 0) | (i + 1 >= iters)
+    return compute
+
+
+def _parse_cost_every(cfg):
+    ce = cfg.get("cost_every", 1)
+    ce = 1 if ce is None else int(ce)
+    if ce < 1:
+        raise ValueError("cost_every must be >= 1")
+    return ce
 
 
 def _make_euclid_step(eps_v, inner=1):
@@ -74,11 +99,21 @@ def _make_euclid_step(eps_v, inner=1):
     return one_step
 
 
-def _make_kl_step(eps_v, valid_m=None):
+def _kl_mask_of(V, valid_m):
+    m = V.shape[0]
+    if valid_m is not None and valid_m != m:
+        return (jnp.arange(m) < valid_m)[:, None]
+    return None
+
+
+def _make_kl_step(eps_v, valid_m=None, with_cost=True):
     """Field-form KL MU iteration on one (V, W, H) problem, matching
     models/nmf.py naive_step (nmf.m:147-199 with phi_pos = ones).
     ``valid_m`` masks the 0/0 ratio fields in mesh-padded rows; the
     ones-field sums are already exact (zero W rows contribute nothing).
+    ``with_cost=False`` returns the updated factors only (the
+    cost_every > 1 scan evaluates the objective via _make_kl_cost on
+    check iterations alone).
     """
     from .nmf import _kl_ones_b, _kl_ones_pos_h
 
@@ -86,9 +121,7 @@ def _make_kl_step(eps_v, valid_m=None):
         del v_sq
         eps = jnp.asarray(eps_v, V.dtype)
         m, n = V.shape
-        mask = None
-        if valid_m is not None and valid_m != m:
-            mask = (jnp.arange(m) < valid_m)[:, None]
+        mask = _kl_mask_of(V, valid_m)
         V_hat = W @ H
         phi_neg, _, _ = dv.fields("kl", V, V_hat, mask=mask)
         A = phi_neg @ H.T
@@ -102,30 +135,76 @@ def _make_kl_step(eps_v, valid_m=None):
         phi_neg, _, _ = dv.fields("kl", V, V_hat, mask=mask)
         H = H * ((W.T @ phi_neg)
                  / jnp.maximum(_kl_ones_pos_h(W, n), eps))
+        if not with_cost:
+            return W, H
         c = dv.cost("kl", V, W @ H, mask=mask)
         return W, H, c
     return one_step
 
 
+def _make_kl_cost(valid_m=None):
+    def one_cost(V, W, H):
+        return dv.cost("kl", V, W @ H, mask=_kl_mask_of(V, valid_m))
+    return one_cost
+
+
 @functools.lru_cache(maxsize=None)
 def _build_solver(spec: _Spec):
+    euclid = spec.div == "euclidean"
     one_step = (_make_euclid_step(spec.eps, spec.inner)
-                if spec.div == "euclidean" else _make_kl_step(spec.eps))
+                if euclid else _make_kl_step(spec.eps))
     step_b = jax.vmap(one_step, in_axes=(0, 0, 0, 0))
+    ce = int(spec.cost_every)
+
+    if ce == 1:
+        @jax.jit
+        def solve(Vs, W0, H0):
+            v_sq = jax.vmap(sq_norm)(Vs.astype(W0.dtype))  # nmf.py:227
+
+            def body(carry, _):
+                W, H = carry
+                W, H, c = step_b(Vs, v_sq, W, H)
+                return (W, H), c
+
+            (W, H), costs = jax.lax.scan(body, (W0, H0), None,
+                                         length=spec.iters)
+            return W, H, costs.T  # (B, iters)
+
+        return solve
+
+    compute = _cadence(ce, spec.iters)
+    upd_b = (None if euclid else
+             jax.vmap(_make_kl_step(spec.eps, with_cost=False),
+                      in_axes=(0, 0, 0, 0)))
+    cost_b = None if euclid else jax.vmap(_make_kl_cost(),
+                                          in_axes=(0, 0, 0))
 
     @jax.jit
-    def solve(Vs, W0, H0):
-        v_sq = jax.vmap(sq_norm)(Vs.astype(W0.dtype))  # nmf.py:227
+    def solve_ce(Vs, W0, H0):
+        cdt = jnp.promote_types(W0.dtype, jnp.float32)
+        v_sq = jax.vmap(sq_norm)(Vs.astype(W0.dtype))
+        cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
 
-        def body(carry, _):
-            W, H = carry
-            W, H, c = step_b(Vs, v_sq, W, H)
-            return (W, H), c
+        def body(carry, i):
+            W, H, cp = carry
+            if euclid:
+                # the Gram objective is a byproduct of the update —
+                # cadence-select the trace, nothing to skip
+                W, H, c = step_b(Vs, v_sq, W, H)
+                c = jnp.where(compute(i), c.astype(cdt), cp)
+            else:
+                W, H = upd_b(Vs, v_sq, W, H)
+                c = jax.lax.cond(
+                    compute(i),
+                    lambda W=W, H=H: cost_b(Vs, W, H).astype(cdt),
+                    lambda: cp)
+            return (W, H, c), c
 
-        (W, H), costs = jax.lax.scan(body, (W0, H0), None, length=spec.iters)
+        (W, H, _), costs = jax.lax.scan(body, (W0, H0, cp0),
+                                        jnp.arange(spec.iters))
         return W, H, costs.T  # (B, iters)
 
-    return solve
+    return solve_ce
 
 
 class _SeedSpec(NamedTuple):
@@ -356,6 +435,7 @@ class _EncSpec(NamedTuple):
     alpha: float = 1.0
     beta: float = 1.0
     weighted: str | None = None   # None | 'shared' (m, n) | 'batched' (B, m, n)
+    cost_every: int = 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -375,6 +455,8 @@ def _build_encode_solver(spec: _EncSpec):
     """
     euclid = spec.div == "euclidean"
     a, b = spec.alpha, spec.beta
+    ce = int(spec.cost_every)
+    compute = _cadence(ce, spec.iters)
 
     if spec.weighted is not None:
         # Per-entry weighted objective: every divergence goes through the
@@ -389,24 +471,49 @@ def _build_encode_solver(spec: _EncSpec):
             cdt = jnp.promote_types(W.dtype, jnp.float32)
             eps = jnp.asarray(spec.eps, cdt)
 
-            def one_step(V, Mwi, H):
+            def one_update(V, Mwi, H):
                 V_hat = W @ H
                 phi_neg, phi_pos, power = dv.fields(spec.div, V, V_hat,
                                                     a, b, weights=Mwi)
                 neg = dv.apply_power(W.T @ phi_neg, power)
                 pos = dv.apply_power(W.T @ phi_pos, power)
-                Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
+                return H * (neg / jnp.maximum(pos + hsp[:, None], eps))
+
+            def one_cost(V, Mwi, Hn):
                 c = dv.cost(spec.div, V, W @ Hn, a, b, weights=Mwi)
-                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
-                return Hn, c
+                return c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
 
-            step_b = jax.vmap(one_step, in_axes=(0, mw_axis, 0))
+            def one_step(V, Mwi, H):
+                Hn = one_update(V, Mwi, H)
+                return Hn, one_cost(V, Mwi, Hn)
 
-            def body(H, _):
-                H, c = step_b(Vs, Mw, H)
-                return H, c
+            if ce == 1:
+                step_b = jax.vmap(one_step, in_axes=(0, mw_axis, 0))
 
-            H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+                def body(H, _):
+                    H, c = step_b(Vs, Mw, H)
+                    return H, c
+
+                H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+                return H, costs.T  # (B, iters)
+
+            # cost_every > 1: the weighted fields re-read V and Mw for the
+            # objective; skip both on non-check iterations
+            upd_b = jax.vmap(one_update, in_axes=(0, mw_axis, 0))
+            cost_b = jax.vmap(one_cost, in_axes=(0, mw_axis, 0))
+            cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
+
+            def body(carry, i):
+                H, cp = carry
+                Hn = upd_b(Vs, Mw, H)
+                c = jax.lax.cond(
+                    compute(i),
+                    lambda: cost_b(Vs, Mw, Hn).astype(cdt),
+                    lambda: cp)
+                return (Hn, c), c
+
+            (H, _), costs = jax.lax.scan(body, (H0, cp0),
+                                         jnp.arange(spec.iters))
             return H, costs.T  # (B, iters)
 
         return solve_w
@@ -436,37 +543,81 @@ def _build_encode_solver(spec: _EncSpec):
 
             step_b = jax.vmap(one_step, in_axes=(0, 0, 0))
 
-            def body(H, _):
-                H, c = step_b(WtV, v_sq, H)
-                return H, c
-        else:
-            # General field divergence (kl/is/ab + dual), mirroring the
-            # single solver's naive_step with w_any=False.
-            from .nmf import _kl_ones_pos_h
-            n = Vs.shape[-1]
-            # KL's phi_pos is None (the implicit ones field): its H
-            # denominator W'1 is loop-invariant — hoist it.
-            kl_pos = _kl_ones_pos_h(W, n)
+            if ce == 1:
+                def body(H, _):
+                    H, c = step_b(WtV, v_sq, H)
+                    return H, c
 
-            def one_step(V, H):
-                V_hat = W @ H
-                phi_neg, phi_pos, power = dv.fields(spec.div, V, V_hat,
-                                                    a, b)
-                neg = dv.apply_power(W.T @ phi_neg, power)
-                pos = kl_pos if phi_pos is None else W.T @ phi_pos
-                pos = dv.apply_power(pos, power)
-                Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
-                c = dv.cost(spec.div, V, W @ Hn, a, b)
-                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
-                return Hn, c
+                H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+                return H, costs.T  # (B, iters)
 
+            # euclid encode is Gram-space: the objective is a byproduct —
+            # cadence-select the trace for uniform semantics
+            cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
+
+            def body(carry, i):
+                H, cp = carry
+                Hn, c = step_b(WtV, v_sq, H)
+                c = jnp.where(compute(i), c.astype(cdt), cp)
+                return (Hn, c), c
+
+            (H, _), costs = jax.lax.scan(body, (H0, cp0),
+                                         jnp.arange(spec.iters))
+            return H, costs.T  # (B, iters)
+
+        # General field divergence (kl/is/ab + dual), mirroring the
+        # single solver's naive_step with w_any=False.
+        from .nmf import _kl_ones_pos_h
+        n = Vs.shape[-1]
+        # KL's phi_pos is None (the implicit ones field): its H
+        # denominator W'1 is loop-invariant — hoist it.
+        kl_pos = _kl_ones_pos_h(W, n)
+
+        def one_update(V, H):
+            V_hat = W @ H
+            phi_neg, phi_pos, power = dv.fields(spec.div, V, V_hat,
+                                                a, b)
+            neg = dv.apply_power(W.T @ phi_neg, power)
+            pos = kl_pos if phi_pos is None else W.T @ phi_pos
+            pos = dv.apply_power(pos, power)
+            return H * (neg / jnp.maximum(pos + hsp[:, None], eps))
+
+        def one_cost(V, Hn):
+            c = dv.cost(spec.div, V, W @ Hn, a, b)
+            return c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+
+        def one_step(V, H):
+            Hn = one_update(V, H)
+            return Hn, one_cost(V, Hn)
+
+        if ce == 1:
             step_b = jax.vmap(one_step, in_axes=(0, 0))
 
             def body(H, _):
                 H, c = step_b(Vs, H)
                 return H, c
 
-        H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+            H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+            return H, costs.T  # (B, iters)
+
+        # cost_every > 1: the objective's reconstruction + divergence
+        # field drop out of the skipped iterations entirely — for KL
+        # encode that is nearly half the per-iteration work
+        upd_b = jax.vmap(one_update, in_axes=(0, 0))
+        cost_b = jax.vmap(one_cost, in_axes=(0, 0))
+        cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
+
+        def body(carry, i):
+            H, cp = carry
+            Hn = upd_b(Vs, H)
+            c = jax.lax.cond(
+                compute(i),
+                lambda: cost_b(Vs, Hn).astype(cdt),
+                lambda: cp)
+            return (Hn, c), c
+
+        (H, _), costs = jax.lax.scan(body, (H0, cp0),
+                                     jnp.arange(spec.iters))
         return H, costs.T  # (B, iters)
 
     return solve
@@ -496,7 +647,12 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
     against the dictionary, nmf.m:216-218 cost term), maxiter (100),
     seed, dtype, eps, data_dtype (bf16 V storage, euclid only), mesh
     (problems shard over the batch axis), device_output (True keeps H on
-    device).  W may be a LIST of per-source dictionaries (cell-array
+    device), cost_every (int, default 1: evaluate the objective trace
+    every N iterations, carrying the last value in between — the H
+    trajectory is bit-identical, and for the field divergences the
+    skipped evaluations drop the objective's (m, n) reconstruction +
+    divergence pass, nearly halving KL-encode per-iteration work).
+    W may be a LIST of per-source dictionaries (cell-array
     semantics, nmf.m:114-116): they concatenate along the basis axis and
     W/H return as per-source lists — the shape separate() consumes.
     Returns Result with W (m, k, the normalized dictionary), H (B, k, n),
@@ -565,7 +721,8 @@ def nmf_encode(Vs, W, config: dict | None = None, **kwargs):
     Mw, mw_mode = _encode_weights_of(cfg, B, m, n, mesh, "nmf_encode",
                                      "nmf_encode", dtype)
 
-    spec = _EncSpec(maxiter, eps, div, alpha, beta, mw_mode)
+    spec = _EncSpec(maxiter, eps, div, alpha, beta, mw_mode,
+                    _parse_cost_every(cfg))
     if Mw is None:
         H, costs = _build_encode_solver(spec)(Vs, W, H0, hsp)
     else:
@@ -831,7 +988,11 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
     (100), inner_iters (accelerated MU, euclid only), seed, dtype, eps,
     mesh (problems shard over the batch axis — B must divide the mesh
     size), device_output (True keeps W/H as jax arrays — no host
-    fetch).  Returns Result with W (B, m, k),
+    fetch), cost_every (int, default 1: evaluate the objective trace
+    every N iterations, carrying the last value in between — the factor
+    trajectory is bit-identical; for KL the skipped evaluations drop the
+    objective's (m, n) reconstruction + log pass).
+    Returns Result with W (B, m, k),
     H (B, k, n), and cost (B, maxiter) — one trace per problem.
     """
     cfg = merge_config(config, kwargs)
@@ -868,7 +1029,8 @@ def nmf_batched(Vs, num_basis_elems: int, config: dict | None = None,
     Vs, W0, H0 = apply_placements(cfg.get("mesh"), "nmf_batched",
                                   V=Vs, W=W0, H=H0)
 
-    spec = _Spec(maxiter, eps, div, _inner_of(cfg, div, 'nmf_batched'))
+    spec = _Spec(maxiter, eps, div, _inner_of(cfg, div, 'nmf_batched'),
+                 _parse_cost_every(cfg))
     W, H, costs = _build_solver(spec)(Vs, W0, H0)
     if cfg.get("device_output"):
         # Serving option: factors stay jax arrays (no host round trip).

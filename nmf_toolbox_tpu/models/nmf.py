@@ -54,6 +54,7 @@ class _Spec(NamedTuple):
     callback: object = None  # optional (i, cost) host logger
     valid: tuple = None      # (m, n) true sizes of a mesh-padded problem
     inner: int = 1           # accelerated-MU inner repetitions (gram only)
+    cost_every: int = 1      # objective cadence (1 = reference semantics)
 
 
 def _kl_ones_b(H, m):
@@ -94,6 +95,32 @@ def _build_solver_impl(spec: _Spec):
     h_mask = fixed_col_mask(spec.h_fixed, ks)
     w_all_free = not any(spec.w_fixed)
     h_all_free = not any(spec.h_fixed)
+    ce = int(spec.cost_every)
+
+    def finish_step(W, H, carry, i, cost_fn):
+        """Assemble a step's return value, honoring ``cost_every``.
+
+        The objective feeds ONLY the stopping rule (nmf.m:221-224), never
+        the factor updates, so with cost_every = N > 1 it is evaluated on
+        iterations {1, N, 2N, ..., maxiter} and carried forward in
+        between (same cadence trick sklearn's NMF uses, checking tol
+        every 10 iterations): the skipped iterations drop the extra
+        reconstruction matmul and the divergence-field pass entirely.
+        Carried entries repeat the last computed value, which can never
+        fire the strict `cost(i) < cost(i-1)` trigger, so the stop rule
+        degrades exactly to "decrease over the last N iterations < tol".
+        With cost_every == 1 (default) this is the reference semantics
+        and the carry/jaxpr are byte-identical to the pre-knob solver.
+        """
+        if ce == 1:
+            return (W, H), cost_fn(), jnp.asarray(False)
+        cp = carry[2]
+        compute = (((i + 1) % ce == 0) | (i == 0)
+                   | (i + 1 >= spec.maxiter))
+        c = jax.lax.cond(compute,
+                         lambda: jnp.asarray(cost_fn(), cp.dtype),
+                         lambda: cp)
+        return (W, H, c), c, jnp.asarray(False)
 
     def gram_step(V, v_sq, wsp, hsp, eps):
         cdt = jnp.promote_types(V.dtype, jnp.float32)  # accumulation dtype
@@ -105,7 +132,7 @@ def _build_solver_impl(spec: _Spec):
                                preferred_element_type=cdt)
 
         def step(carry, i):
-            W, H = carry
+            W, H = carry[0], carry[1]
             if w_any:
                 HHt = H @ H.T
                 VHt = vdot(V, H.T)                 # [mnk]
@@ -129,9 +156,11 @@ def _build_solver_impl(spec: _Spec):
                 for _ in range(spec.inner):
                     Hn = H * (WtV / jnp.maximum(WtW @ H + hsp[:, None], eps))
                     H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
-            c = euclidean_cost_gram(v_sq, WtV, WtW, H)
-            c = c + _sparsity_penalty(W, H, wsp, hsp)
-            return (W, H), c, jnp.asarray(False)
+
+            def cost_fn():
+                c = euclidean_cost_gram(v_sq, WtV, WtW, H)
+                return c + _sparsity_penalty(W, H, wsp, hsp)
+            return finish_step(W, H, carry, i, cost_fn)
         return step
 
     def naive_step(V, v_sq, wsp, hsp, eps, Mw=None):
@@ -139,7 +168,7 @@ def _build_solver_impl(spec: _Spec):
         mask = region_mask(V.shape, spec.valid)
 
         def step(carry, i):
-            W, H = carry
+            W, H = carry[0], carry[1]
             V_hat = W @ H
             if w_any:
                 phi_neg, phi_pos, power = dv.fields(div, V, V_hat, alpha, beta,
@@ -162,10 +191,18 @@ def _build_solver_impl(spec: _Spec):
                 pos = dv.apply_power(pos, power)
                 Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
                 H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
-                V_hat = W @ H
-            c = dv.cost(div, V, V_hat, alpha, beta, mask=mask, weights=Mw)
-            c = c + _sparsity_penalty(W, H, wsp, hsp)
-            return (W, H), c, jnp.asarray(False)
+
+            def cost_fn():
+                # The reconstruction here is the one m-by-n matmul whose
+                # ONLY consumer is the objective; with cost_every > 1 the
+                # skipped iterations drop it (and the divergence-field
+                # pass) entirely.  With cost_every == 1 XLA CSEs it
+                # against any identical dot above — bit-identical to the
+                # pre-knob step.
+                c = dv.cost(div, V, W @ H, alpha, beta, mask=mask,
+                            weights=Mw)
+                return c + _sparsity_penalty(W, H, wsp, hsp)
+            return finish_step(W, H, carry, i, cost_fn)
         return step
 
     def fused_step(V, v_sq, wsp, hsp, eps):
@@ -181,7 +218,7 @@ def _build_solver_impl(spec: _Spec):
             c_const = -jnp.sum(jnp.log(V)) - m * n          # nmf.m:212
 
         def step(carry, i):
-            W, H = carry
+            W, H = carry[0], carry[1]
             if w_any:
                 if kl:
                     A = plk.phi_dot_ht(V, W, H, "kl")
@@ -207,15 +244,16 @@ def _build_solver_impl(spec: _Spec):
                     neg, pos = plk.wt_dot_phi(V, W, H, "is")
                 Hn = H * (neg / jnp.maximum(pos + hsp[:, None], eps))
                 H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
-            if kl:
-                s = plk.cost_terms(V, W, H, "kl")
-                sum_vhat = jnp.sum(W, axis=0) @ jnp.sum(H, axis=1)
-                c = c_const - s + sum_vhat
-            else:
-                s1, s2 = plk.cost_terms(V, W, H, "is")
-                c = c_const + s1 + s2
-            c = c + _sparsity_penalty(W, H, wsp, hsp)
-            return (W, H), c, jnp.asarray(False)
+            def cost_fn():
+                if kl:
+                    s = plk.cost_terms(V, W, H, "kl")
+                    sum_vhat = jnp.sum(W, axis=0) @ jnp.sum(H, axis=1)
+                    c = c_const - s + sum_vhat
+                else:
+                    s1, s2 = plk.cost_terms(V, W, H, "is")
+                    c = c_const + s1 + s2
+                return c + _sparsity_penalty(W, H, wsp, hsp)
+            return finish_step(W, H, carry, i, cost_fn)
         return step
 
     make_step = {"gram": gram_step, "naive": naive_step,
@@ -230,7 +268,12 @@ def _build_solver_impl(spec: _Spec):
         else:
             # per-entry weights: naive path only (wrapper enforces)
             step = make_step(V, v_sq, wsp, hsp, eps, Mw)
-        return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
+        init = ((W0, H0) if ce == 1
+                # third carry slot: the last computed objective, carried
+                # across the skipped iterations (+inf until the first
+                # evaluation so no comparison can fire early)
+                else (W0, H0, jnp.asarray(jnp.inf, W0.dtype)))
+        return looplib.run(step, init, spec.maxiter, tolerance,
                            cost_dtype=W0.dtype, callback=spec.callback)
 
     return solve
@@ -247,7 +290,15 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
     ``method`` ('auto' | 'gram' | 'naive'), ``eps``, ``init``
     ('nndsvd*' seeding), ``inner_iters`` (accelerated MU, euclidean Gram
     path), ``weights`` ((m, n) nonnegative per-entry weights — minimizes
-    sum(weights * d(V, WH)); zero weights mark missing entries).
+    sum(weights * d(V, WH)); zero weights mark missing entries),
+    ``cost_every`` (int, default 1: evaluate the objective every N
+    iterations instead of every iteration — the objective feeds only the
+    stopping rule (nmf.m:221-224), never the updates, so the factor
+    trajectory is bit-identical while KL/IS/AB/weighted iterations drop
+    the objective's reconstruction matmul and divergence-field pass on
+    the skipped steps; the stop rule becomes "decrease over the last N
+    iterations < tolerance" (sklearn's NMF uses the same every-10 cadence)
+    and ``Result.cost`` repeats the last computed value in between).
 
     Returns a :class:`Result` unpacking as (W, H, cost).
     """
@@ -385,8 +436,13 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
             "method: the KL/IS/AB fields are nonlinear in W @ H, so inner "
             "repetitions would still need the full-size reconstruction")
 
+    cost_every = cfg.get("cost_every", 1)
+    cost_every = 1 if cost_every is None else int(cost_every)
+    if cost_every < 1:
+        raise ValueError("cost_every must be >= 1")
+
     spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps,
-                 cfg.get("callback"), valid, inner)
+                 cfg.get("callback"), valid, inner, cost_every)
     solve = _build_solver(spec)
     tol = jnp.asarray(tolerance, dtype)
     if weights is None:
@@ -394,7 +450,7 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
     else:
         out = solve(V, W0, H0, wsp, hsp, tol, weights)
 
-    W, H = out.state
+    W, H = out.state[0], out.state[1]
     if valid is not None:
         W, H = W[:m], H[:, :n]
     cost = looplib.trim_cost(out, maxiter)

@@ -1,0 +1,193 @@
+"""cost_every: objective-cadence knob (beyond-reference perf option).
+
+The objective feeds ONLY the stopping rule (nmf.m:221-224), never the
+multiplicative updates, so any cadence must leave the factor trajectory
+BIT-identical to the default — that is the load-bearing invariant here.
+The cost trace holds the last computed value on skipped iterations, and
+the computed entries must equal the default trace's entries at the same
+indices exactly (same ops, same order — XLA CSE, not a reimplementation).
+"""
+import numpy as np
+import pytest
+
+import nmf_toolbox_tpu as nt
+
+M, N, K = 26, 34, 5
+
+
+def _problem(seed=0):
+    rng = np.random.default_rng(seed)
+    V = rng.uniform(0.1, 1.0, (M, N))
+    W0 = rng.uniform(0.1, 1.0, (M, K))
+    H0 = rng.uniform(0.1, 1.0, (K, N))
+    return V, W0, H0
+
+
+@pytest.mark.parametrize("div,method", [
+    ("euclidean", "gram"), ("euclidean", "naive"), ("kl", "naive"),
+    ("is", "naive"), ("ab", "naive"),
+])
+def test_factors_bitexact_and_trace_cadence(div, method):
+    V, W0, H0 = _problem()
+    kw = dict(W_init=W0, H_init=H0, divergence=div, method=method,
+              maxiter=20, tolerance=0.0, dtype=np.float64)
+    if div == "ab":
+        kw.update(alpha=1.5, beta=0.5)
+    r1 = nt.nmf(V, K, **kw)
+    r2 = nt.nmf(V, K, cost_every=7, **kw)
+    assert np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    # computed at iterations 1, 7, 14 and the final one (i=0, 6, 13, 19)
+    for idx in (0, 6, 13, 19):
+        assert c1[idx] == c2[idx]
+    # carried (repeated) in between
+    assert np.all(c2[1:6] == c2[0])
+    assert np.all(c2[7:13] == c2[6])
+    assert np.all(c2[14:19] == c2[13])
+
+
+def test_weighted_bitexact():
+    V, W0, H0 = _problem(3)
+    Mw = np.random.default_rng(4).uniform(0.0, 1.0, (M, N))
+    kw = dict(W_init=W0, H_init=H0, divergence="kl", weights=Mw,
+              maxiter=15, tolerance=0.0, dtype=np.float64)
+    r1 = nt.nmf(V, K, **kw)
+    r2 = nt.nmf(V, K, cost_every=4, **kw)
+    assert np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+
+
+def test_early_stop_still_fires():
+    V, W0, H0 = _problem(7)
+    kw = dict(W_init=W0, H_init=H0, maxiter=400, tolerance=1e-3,
+              dtype=np.float64)
+    r_ce = nt.nmf(V, K, cost_every=5, **kw)
+    r_d = nt.nmf(V, K, **kw)
+    assert r_d.converged
+    assert r_ce.converged
+    # the cadence rule stops at the first CHECK where the decrease over
+    # the whole 5-iteration window is < tol — a strictly harder bar than
+    # the per-iteration rule, so it can only stop at/after the default
+    # (measured here: 345 vs 215)
+    assert r_ce.n_iters >= r_d.n_iters
+    # stop must land on a check iteration (1, 5, 10, ... or maxiter)
+    n = r_ce.n_iters
+    assert n == 1 or n % 5 == 0 or n == 400
+    # final cost entry is a real (computed) objective at the stop point:
+    # non-increasing vs the previous computed entry
+    c = np.asarray(r_ce.cost)
+    assert c[-1] <= c[max(n - 5, 0)]
+
+
+def test_fixed_factor_and_multisource():
+    V, W0, H0 = _problem(11)
+    kw = dict(W_init=[W0[:, :2], W0[:, 2:]], H_init=[H0[:2], H0[2:]],
+              divergence="kl", maxiter=12, tolerance=0.0,
+              W_fixed=[True, False], dtype=np.float64)
+    r1 = nt.nmf(V, [2, K - 2], **kw)
+    r2 = nt.nmf(V, [2, K - 2], cost_every=3, **kw)
+    for a, b in zip(r1.W, r2.W):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(r1.H, r2.H):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_validation():
+    V, _, _ = _problem()
+    with pytest.raises(ValueError, match="cost_every"):
+        nt.nmf(V, K, cost_every=0)
+    with pytest.raises(ValueError, match="cost_every"):
+        nt.nmf_encode(np.stack([V, V]), np.ones((M, 2)), cost_every=-1)
+
+
+def test_cli_cost_every(tmp_path):
+    from nmf_toolbox_tpu.cli import main
+    V, _, _ = _problem(31)
+    vp = tmp_path / "v.npy"
+    np.save(vp, V.astype(np.float32))
+    out1, out2 = tmp_path / "a.npz", tmp_path / "b.npz"
+    base = ["nmf", str(vp), "--k", "4", "--divergence", "kl",
+            "--maxiter", "8", "--seed", "3"]
+    assert main(base + ["--out", str(out1), "--quiet"]) == 0
+    assert main(base + ["--cost-every", "4", "--out", str(out2),
+                        "--quiet"]) == 0
+    a, b = np.load(out1), np.load(out2)
+    assert np.array_equal(a["W"], b["W"])
+    assert np.array_equal(a["H"], b["H"])
+    # unsupported targets error (the CLI's no-silent-ignore convention)
+    assert main(["lnmf", str(vp), "--k", "4", "--cost-every", "4",
+                 "--out", str(out2), "--quiet"]) == 2
+    assert main(base + ["--streaming", "--cost-every", "4",
+                        "--out", str(out2), "--quiet"]) == 2
+
+
+@pytest.mark.parametrize("div", ["euclidean", "kl"])
+def test_batched_bitexact(div):
+    rng = np.random.default_rng(21)
+    B = 3
+    Vs = rng.uniform(0.1, 1.0, (B, 12, 15))
+    W0 = rng.uniform(0.1, 1.0, (B, 12, 4))
+    H0 = rng.uniform(0.1, 1.0, (B, 4, 15))
+    kw = dict(W_init=W0, H_init=H0, divergence=div, maxiter=11,
+              dtype=np.float64)
+    r1 = nt.nmf_batched(Vs, 4, **kw)
+    r2 = nt.nmf_batched(Vs, 4, cost_every=4, **kw)
+    assert np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    # computed at i = 0, 3, 7, 10 (cadence 4 + first + last); carried
+    # in between
+    for idx in (0, 3, 7, 10):
+        np.testing.assert_allclose(c2[:, idx], c1[:, idx], rtol=0, atol=0)
+    assert np.all(c2[:, 1:3] == c2[:, :1])
+    assert np.all(c2[:, 4:7] == c2[:, 3:4])
+
+
+@pytest.mark.parametrize("div", ["euclidean", "kl", "is"])
+def test_encode_bitexact(div):
+    rng = np.random.default_rng(23)
+    B = 4
+    Vs = rng.uniform(0.1, 1.0, (B, 10, 14))
+    W = rng.uniform(0.1, 1.0, (10, 3))
+    H0 = rng.uniform(0.1, 1.0, (B, 3, 14))
+    kw = dict(H_init=H0, divergence=div, maxiter=9, H_sparsity=0.05,
+              dtype=np.float64)
+    r1 = nt.nmf_encode(Vs, W, **kw)
+    r2 = nt.nmf_encode(Vs, W, cost_every=3, **kw)
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    for idx in (0, 2, 5, 8):
+        assert np.array_equal(c2[:, idx], c1[:, idx])
+    assert np.all(c2[:, 1:2] == c2[:, :1])
+    assert np.all(c2[:, 3:5] == c2[:, 2:3])
+
+
+def test_encode_weighted_bitexact():
+    rng = np.random.default_rng(29)
+    B = 3
+    Vs = rng.uniform(0.1, 1.0, (B, 10, 14))
+    W = rng.uniform(0.1, 1.0, (10, 3))
+    H0 = rng.uniform(0.1, 1.0, (B, 3, 14))
+    Mw = rng.uniform(0.0, 1.0, (B, 10, 14))
+    kw = dict(H_init=H0, divergence="kl", weights=Mw, maxiter=8,
+              dtype=np.float64)
+    r1 = nt.nmf_encode(Vs, W, **kw)
+    r2 = nt.nmf_encode(Vs, W, cost_every=4, **kw)
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    for idx in (0, 3, 7):
+        assert np.array_equal(c2[:, idx], c1[:, idx])
+
+
+def test_cost_every_larger_than_maxiter():
+    V, W0, H0 = _problem(5)
+    kw = dict(W_init=W0, H_init=H0, divergence="kl", maxiter=6,
+              tolerance=0.0, dtype=np.float64)
+    r1 = nt.nmf(V, K, **kw)
+    r2 = nt.nmf(V, K, cost_every=100, **kw)
+    assert np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    # computed at the first and last iteration only
+    assert c2[0] == c1[0] and c2[-1] == c1[-1]
+    assert np.all(c2[1:5] == c2[0])
