@@ -63,6 +63,55 @@ def _parse_cost_every(cfg):
     return ce
 
 
+# Above ~this many objective evaluations the segmented form would trace
+# one update-only lax.scan per check (trace and compile size grow with
+# the check count), so dense cadences fall back to the per-step
+# lax.cond form, whose relative overhead is small by construction when
+# the objective runs nearly every iteration anyway.
+_SEGMENT_MAX_CHECKS = 128
+
+
+def _check_iters(ce, iters):
+    """Static (0-indexed) iterations whose objective is computed under
+    ``cost_every=ce``: {0} | {ce-1, 2*ce-1, ...} | {iters-1} — the same
+    set ``_cadence`` selects dynamically."""
+    return sorted({0, iters - 1} | set(range(ce - 1, iters, ce)))
+
+
+def _segmented_costs(update, eval_cost, state0, ce, iters, cdt):
+    """Run ``iters`` update iterations evaluating the objective only at
+    the check iterations, with NO per-step lax.cond: the loop is split
+    into update-only ``lax.scan`` segments punctuated by one evaluation
+    each.  At small per-problem shapes (serving encode) a per-step cond
+    costs MORE than the (m, n) objective pass it skips — measured +12%
+    at the B256 257x400 r16 KL-encode shape on v5e — while segments
+    make the knob a strict win at every shape.  The update op sequence
+    is unchanged, so factors stay bit-identical to cost_every=1.
+
+    ``update(state) -> state`` is one objective-free iteration;
+    ``eval_cost(state) -> (B,)`` the objective of the current state.
+    Returns ``(state, costs)`` with costs (B, iters); carried entries
+    repeat the last computed value (models/nmf.py finish_step
+    semantics).
+    """
+    checks = _check_iters(ce, iters)
+
+    def seg(state, length):
+        return jax.lax.scan(lambda st, _: (update(st), None), state,
+                            None, length=length)[0]
+
+    state, prev, cols = state0, -1, []
+    for c in checks:
+        state = seg(state, c - prev)   # includes the check iteration
+        cols.append(eval_cost(state).astype(cdt))
+        prev = c
+    at_checks = jnp.stack(cols, axis=-1)               # (B, n_checks)
+    # trace entry i repeats the objective of the latest check <= i
+    expand = np.searchsorted(np.asarray(checks), np.arange(iters),
+                             side="right") - 1
+    return state, at_checks[:, expand]
+
+
 def _make_euclid_step(eps_v, inner=1):
     """Gram-form euclid MU iteration on one (V, W, H) problem — the
     kernel both batched engines vmap (nmf.m:149-186 update structure,
@@ -178,12 +227,20 @@ def _build_solver(spec: _Spec):
                       in_axes=(0, 0, 0, 0)))
     cost_b = None if euclid else jax.vmap(_make_kl_cost(),
                                           in_axes=(0, 0, 0))
+    use_seg = len(_check_iters(ce, spec.iters)) <= _SEGMENT_MAX_CHECKS
 
     @jax.jit
     def solve_ce(Vs, W0, H0):
         cdt = jnp.promote_types(W0.dtype, jnp.float32)
         v_sq = jax.vmap(sq_norm)(Vs.astype(W0.dtype))
         cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
+
+        if not euclid and use_seg:
+            (W, H), costs = _segmented_costs(
+                lambda st: upd_b(Vs, v_sq, *st),
+                lambda st: cost_b(Vs, *st),
+                (W0, H0), ce, spec.iters, cdt)
+            return W, H, costs
 
         def body(carry, i):
             W, H, cp = carry
@@ -193,6 +250,8 @@ def _build_solver(spec: _Spec):
                 W, H, c = step_b(Vs, v_sq, W, H)
                 c = jnp.where(compute(i), c.astype(cdt), cp)
             else:
+                # dense-cadence fallback (check count past the
+                # segmented form's trace-size cap)
                 W, H = upd_b(Vs, v_sq, W, H)
                 c = jax.lax.cond(
                     compute(i),
@@ -457,6 +516,7 @@ def _build_encode_solver(spec: _EncSpec):
     a, b = spec.alpha, spec.beta
     ce = int(spec.cost_every)
     compute = _cadence(ce, spec.iters)
+    use_seg = len(_check_iters(ce, spec.iters)) <= _SEGMENT_MAX_CHECKS
 
     if spec.weighted is not None:
         # Per-entry weighted objective: every divergence goes through the
@@ -501,6 +561,14 @@ def _build_encode_solver(spec: _EncSpec):
             # objective; skip both on non-check iterations
             upd_b = jax.vmap(one_update, in_axes=(0, mw_axis, 0))
             cost_b = jax.vmap(one_cost, in_axes=(0, mw_axis, 0))
+
+            if use_seg:
+                H, costs = _segmented_costs(
+                    lambda H: upd_b(Vs, Mw, H),
+                    lambda H: cost_b(Vs, Mw, H),
+                    H0, ce, spec.iters, cdt)
+                return H, costs
+
             cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
 
             def body(carry, i):
@@ -602,9 +670,16 @@ def _build_encode_solver(spec: _EncSpec):
 
         # cost_every > 1: the objective's reconstruction + divergence
         # field drop out of the skipped iterations entirely — for KL
-        # encode that is nearly half the per-iteration work
+        # encode that is nearly half the per-iteration flops
         upd_b = jax.vmap(one_update, in_axes=(0, 0))
         cost_b = jax.vmap(one_cost, in_axes=(0, 0))
+
+        if use_seg:
+            H, costs = _segmented_costs(lambda H: upd_b(Vs, H),
+                                        lambda H: cost_b(Vs, H),
+                                        H0, ce, spec.iters, cdt)
+            return H, costs
+
         cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
 
         def body(carry, i):

@@ -180,6 +180,43 @@ def test_encode_weighted_bitexact():
         assert np.array_equal(c2[:, idx], c1[:, idx])
 
 
+def test_segmented_equals_cond_fallback(monkeypatch):
+    """The segmented-scan cadence (the default) and the per-step
+    lax.cond fallback (dense cadences past _SEGMENT_MAX_CHECKS) must
+    produce identical factors AND identical cost traces — carried
+    entries included."""
+    from nmf_toolbox_tpu.models import batched as mod
+    rng = np.random.default_rng(41)
+    B = 3
+    Vs = rng.uniform(0.1, 1.0, (B, 12, 15))
+    W0 = rng.uniform(0.1, 1.0, (B, 12, 4))
+    H0 = rng.uniform(0.1, 1.0, (B, 4, 15))
+    Wd = rng.uniform(0.1, 1.0, (12, 4))
+    H0e = rng.uniform(0.1, 1.0, (B, 4, 15))
+    kw = dict(divergence="kl", maxiter=13, dtype=np.float64)
+
+    r_seg = nt.nmf_batched(Vs, 4, W_init=W0, H_init=H0, cost_every=5, **kw)
+    e_seg = nt.nmf_encode(Vs, Wd, H_init=H0e, cost_every=5, **kw)
+
+    monkeypatch.setattr(mod, "_SEGMENT_MAX_CHECKS", 0)
+    mod._build_solver.cache_clear()
+    mod._build_encode_solver.cache_clear()
+    try:
+        r_cond = nt.nmf_batched(Vs, 4, W_init=W0, H_init=H0,
+                                cost_every=5, **kw)
+        e_cond = nt.nmf_encode(Vs, Wd, H_init=H0e, cost_every=5, **kw)
+    finally:
+        # evict the solvers compiled under the patched threshold
+        mod._build_solver.cache_clear()
+        mod._build_encode_solver.cache_clear()
+
+    assert np.array_equal(np.asarray(r_seg.W), np.asarray(r_cond.W))
+    assert np.array_equal(np.asarray(r_seg.H), np.asarray(r_cond.H))
+    assert np.array_equal(np.asarray(r_seg.cost), np.asarray(r_cond.cost))
+    assert np.array_equal(np.asarray(e_seg.H), np.asarray(e_cond.H))
+    assert np.array_equal(np.asarray(e_seg.cost), np.asarray(e_cond.cost))
+
+
 def test_cost_every_larger_than_maxiter():
     V, W0, H0 = _problem(5)
     kw = dict(W_init=W0, H_init=H0, divergence="kl", maxiter=6,
