@@ -10,8 +10,20 @@ marginal-rate effect at the RESULTS_v5e shapes:
   * weighted-KL nmf, same shape           — vs the 17.3 ms/iter row
   * nmf_encode KL, serving shape 256 x (257, 400) r16
                                           — vs the 0.52 ms/problem row
+  * cnmf KL + euclid-gram 513 x 10k r64 T8 — BASELINE #3's shape (the
+    KL objective pays a full T-shift reconstruction per iteration; the
+    Gram objective pays the WW/HH cross-Gram recompute)
+  * cnmf_encode KL B256 257x400 r16 T4    — the conv serving row
 
 Chained-dispatch methodology (factors stay on device), ce in {1, 10}.
+
+NOTE: the cnmf-KL rows' completion fence reads inf on TPU — after a few
+hundred chained iterations on uniform-random data some V_hat entries
+underflow to 0 in f32 and the REFERENCE-semantics unguarded objective
+(V .* log(V ./ V_hat), nmf.m:210 / cnmf.m:239-248 — by design, an inf
+cost just never fires the stop rule) saturates.  The readback still
+fences completion; trajectory equality for cnmf is pinned by
+tests/test_cost_every.py and the finite fences of the other rows.
 
 Usage: python benchmarks/cost_every_tpu.py [--small]
 """
@@ -114,6 +126,47 @@ def main():
         # whole ITERS-iteration encode, per problem (the
         # BATCHED_SERVING_v5e ms_per_problem_device basis)
         r[f"encode_kl_ms_per_problem_ce{ce}"] = ms * ITERS / B
+
+    # convolutive training at BASELINE #3's shape (cnmf.m:175-251)
+    from nmf_toolbox_tpu.models.cnmf import (_build_solver as _cnmf_solver,
+                                             _Spec as _CSpec)
+    cm, cn, ck, cT = _dim(513), _dim(10_000), _dim(64), 8 if not SMALL else 3
+    kv, kw, kh = jax.random.split(jax.random.PRNGKey(2), 3)
+    Vc = jax.random.uniform(kv, (cm, cn), jnp.float32, 0.05, 1.0)
+    Wc = jax.random.uniform(kw, (cm, ck, cT), jnp.float32)
+    Hc = jax.random.uniform(kh, (ck, cn), jnp.float32)
+    jax.block_until_ready(Vc)
+    zc = jnp.zeros((ck,), jnp.float32)
+    for div, method in (("kl", "naive"), ("euclidean", "gram")):
+        for ce in (1, 10):
+            spec = _CSpec(div, 1.0, 1.0, cT, ITERS, (False,), (False,),
+                          ((0, ck),), EPS, method, None, ce)
+            solve = _cnmf_solver(spec)
+
+            def fnc(*state):
+                out = solve(Vc, state[0], state[1], zc, zc, tol)
+                return out.state[:2], out.cost_buf
+            ms = time_chained(
+                fnc, (Wc, Hc),
+                f"cnmf {div}/{method} {cm} x {cn} r{ck} T{cT} "
+                f"cost_every={ce}")
+            r[f"cnmf_{div}_{cm}_{cn}_r{ck}_T{cT}_ce{ce}"] = ms
+
+    # convolutive serving encode (BATCHED_SERVING_v5e conv_encode shape)
+    ceT = 4 if not SMALL else 2
+    kw2 = jax.random.PRNGKey(3)
+    Wcd = jax.random.uniform(kw2, (em, ek, ceT), jnp.float32)
+    for ce in (1, 10):
+        def cenc(H):
+            res = nt.cnmf_encode(Vs, Wcd, divergence="kl", H_init=H,
+                                 maxiter=ITERS, cost_every=ce,
+                                 device_output=True)
+            return (res.H,), res.cost
+
+        ms = time_chained(cenc, (H0s,),
+                          f"cnmf_encode KL B{B} {em}x{en} r{ek} T{ceT} "
+                          f"cost_every={ce}")
+        r[f"conv_encode_kl_B{B}_{em}_{en}_r{ek}_T{ceT}_ce{ce}"] = ms
     print(json.dumps(r), flush=True)
 
 

@@ -25,4 +25,4 @@ __all__ = ["EPS", "Result", "reconstruct", "reconstruct_from_decomposition",
            "nmf_hals", "nmf_streaming", "nmf_encode_streaming", "nmf_batched", "nmf_multiseed", "nmf_encode", "cnmf_encode", "cmfwisa_encode", "nmf2d", "nmf2d_encode", "symnmf",
            "wiener_masks", "separate", "separate_waveforms", "stft", "istft", "griffinlim", "magnitude",
            "pick_rank", "consensus_stability", "estimate_rank_svd"]
-__version__ = "1.0.0"
+__version__ = "1.1.0"

@@ -66,10 +66,10 @@ def build_parser():
                         "(euclidean nmf / nmf_hals)")
     p.add_argument("--cost-every", type=int, default=None,
                    help="evaluate the objective every N iterations instead "
-                        "of every iteration (nmf only; factor trajectory is "
-                        "bit-identical, the tolerance check coarsens to "
+                        "of every iteration (nmf/cnmf; the factor updates "
+                        "are unchanged, the tolerance check coarsens to "
                         "N-iteration windows — skips the objective's "
-                        "reconstruction+divergence pass for kl/is/ab)")
+                        "reconstruction+divergence pass)")
     p.add_argument("--dtype", default=None, help="compute dtype override")
     p.add_argument("--shape", default=None, help="rows,cols for raw binary input")
     p.add_argument("--input-dtype", default="float32", help="raw binary dtype")
@@ -575,9 +575,8 @@ def main(argv=None):
         else:
             engine, engine_name = nt.nmf_encode, "nmf_encode"
         if args.cost_every is not None:
-            # only the plain batched engine has the cadence knob; error
-            # rather than silently ignore (the CLI's convention)
-            if engine_name != "nmf_encode":
+            # error rather than silently ignore (the CLI's convention)
+            if engine_name not in ("nmf_encode", "cnmf_encode"):
                 print(f"error: --cost-every is not supported by "
                       f"{engine_name}", file=sys.stderr)
                 return 2
@@ -635,8 +634,8 @@ def main(argv=None):
             return 2
         cfg["inner_iters"] = args.inner_iters
     if args.cost_every is not None:
-        if args.solver != "nmf" or args.streaming:
-            print("error: --cost-every is only supported for nmf "
+        if args.solver not in ("nmf", "cnmf") or args.streaming:
+            print("error: --cost-every is only supported for nmf/cnmf "
                   "(non-streaming)", file=sys.stderr)
             return 2
         cfg["cost_every"] = args.cost_every

@@ -47,6 +47,19 @@ def common_scalars(cfg) -> tuple:
     return maxiter, tolerance, eps, key
 
 
+def parse_cost_every(cfg) -> int:
+    """``cost_every`` config key (objective cadence, beyond-reference):
+    evaluate the objective every N iterations instead of every one.  The
+    objective feeds only the stopping rule (nmf.m:221-224), never the
+    multiplicative updates, so the factor trajectory is bit-identical at
+    any cadence; see ops/loop.cost_cadence."""
+    ce = cfg.get("cost_every", 1)
+    ce = 1 if ce is None else int(ce)
+    if ce < 1:
+        raise ValueError("cost_every must be >= 1")
+    return ce
+
+
 def resolve_dtype(V, dtype):
     """Pick the compute dtype: explicit override > input dtype > float32."""
     if dtype is not None:

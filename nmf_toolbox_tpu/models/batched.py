@@ -21,7 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import (as_list, common_scalars, merge_config, per_column,
+from ..core import (as_list, common_scalars, merge_config,
+                    parse_cost_every as _parse_cost_every, per_column,
                     promote_per_source, resolve_dtype, source_blocks,
                     uniform_init, unwrap_sources, Result)
 from ..ops import divergence as dv
@@ -40,27 +41,17 @@ class _Spec(NamedTuple):
 
 
 def _cadence(ce, iters):
-    """Iterations whose objective is actually evaluated under
-    ``cost_every=ce``: {1, ce, 2*ce, ...} plus the final one — the same
-    cadence as nmf()'s knob (models/nmf.py finish_step).  The batched
-    engines run a fixed-length scan with no stopping rule, so here the
-    knob only affects which trace entries are computed vs carried; for
-    the FIELD divergences (kl/is/ab, weighted) the skipped evaluations
-    drop a full (m, n) reconstruction + divergence pass per problem per
-    iteration — the serving win.  Euclidean's Gram-form objective is a
-    byproduct of the update, so its trace is cadence-selected for
-    uniform semantics but nothing is saved."""
+    """Dynamic predicate for the iterations whose objective is evaluated
+    under ``cost_every=ce``: {1, ce, 2*ce, ...} plus the final one — the
+    same cadence as nmf()'s knob (ops/loop.cost_cadence) and the same
+    set ``_check_iters`` enumerates statically.  The batched engines run
+    a fixed-length scan with no stopping rule, so here the knob affects
+    which trace entries are computed vs carried; the skipped evaluations
+    drop the objective's (m, n) reconstruction + divergence pass (field
+    divergences) or its <WtW H, H> quadratic-form matmul (Gram paths)."""
     def compute(i):
         return ((i + 1) % ce == 0) | (i == 0) | (i + 1 >= iters)
     return compute
-
-
-def _parse_cost_every(cfg):
-    ce = cfg.get("cost_every", 1)
-    ce = 1 if ce is None else int(ce)
-    if ce < 1:
-        raise ValueError("cost_every must be >= 1")
-    return ce
 
 
 # Above ~this many objective evaluations the segmented form would trace
@@ -110,6 +101,29 @@ def _segmented_costs(update, eval_cost, state0, ce, iters, cdt):
     expand = np.searchsorted(np.asarray(checks), np.arange(iters),
                              side="right") - 1
     return state, at_checks[:, expand]
+
+
+def _cadenced_encode(upd_b, cost_b, H0, ce, iters, cdt):
+    """cost_every > 1 driver shared by every H-only encode engine:
+    segmented scan by default, per-step lax.cond fallback when the check
+    count would blow up the segmented form's trace size.
+    ``upd_b(H) -> H`` one objective-free batched iteration;
+    ``cost_b(H) -> (B,)``.  Returns (H, costs (B, iters))."""
+    if len(_check_iters(ce, iters)) <= _SEGMENT_MAX_CHECKS:
+        return _segmented_costs(upd_b, cost_b, H0, ce, iters, cdt)
+    compute = _cadence(ce, iters)
+    cp0 = jnp.full((H0.shape[0],), jnp.inf, cdt)
+
+    def body(carry, i):
+        H, cp = carry
+        Hn = upd_b(H)
+        c = jax.lax.cond(compute(i),
+                         lambda: cost_b(Hn).astype(cdt),
+                         lambda: cp)
+        return (Hn, c), c
+
+    (H, _), costs = jax.lax.scan(body, (H0, cp0), jnp.arange(iters))
+    return H, costs.T  # (B, iters)
 
 
 def _make_euclid_step(eps_v, inner=1):
@@ -515,8 +529,6 @@ def _build_encode_solver(spec: _EncSpec):
     euclid = spec.div == "euclidean"
     a, b = spec.alpha, spec.beta
     ce = int(spec.cost_every)
-    compute = _cadence(ce, spec.iters)
-    use_seg = len(_check_iters(ce, spec.iters)) <= _SEGMENT_MAX_CHECKS
 
     if spec.weighted is not None:
         # Per-entry weighted objective: every divergence goes through the
@@ -561,28 +573,9 @@ def _build_encode_solver(spec: _EncSpec):
             # objective; skip both on non-check iterations
             upd_b = jax.vmap(one_update, in_axes=(0, mw_axis, 0))
             cost_b = jax.vmap(one_cost, in_axes=(0, mw_axis, 0))
-
-            if use_seg:
-                H, costs = _segmented_costs(
-                    lambda H: upd_b(Vs, Mw, H),
-                    lambda H: cost_b(Vs, Mw, H),
-                    H0, ce, spec.iters, cdt)
-                return H, costs
-
-            cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
-
-            def body(carry, i):
-                H, cp = carry
-                Hn = upd_b(Vs, Mw, H)
-                c = jax.lax.cond(
-                    compute(i),
-                    lambda: cost_b(Vs, Mw, Hn).astype(cdt),
-                    lambda: cp)
-                return (Hn, c), c
-
-            (H, _), costs = jax.lax.scan(body, (H0, cp0),
-                                         jnp.arange(spec.iters))
-            return H, costs.T  # (B, iters)
+            return _cadenced_encode(lambda H: upd_b(Vs, Mw, H),
+                                    lambda H: cost_b(Vs, Mw, H),
+                                    H0, ce, spec.iters, cdt)
 
         return solve_w
 
@@ -603,15 +596,20 @@ def _build_encode_solver(spec: _EncSpec):
             WtV = jax.vmap(lambda V: vdot(V.T, W).T)(Vs)   # (B, k, n)
             WtW = W.T @ W
 
-            def one_step(wtv, vsq, H):
-                Hn = H * (wtv / jnp.maximum(WtW @ H + hsp[:, None], eps))
-                c = euclidean_cost_gram(vsq, wtv, WtW, Hn)
-                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
-                return Hn, c
+            def one_update(wtv, H):
+                return H * (wtv / jnp.maximum(WtW @ H + hsp[:, None], eps))
 
-            step_b = jax.vmap(one_step, in_axes=(0, 0, 0))
+            def one_cost(wtv, vsq, Hn):
+                c = euclidean_cost_gram(vsq, wtv, WtW, Hn)
+                return c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
 
             if ce == 1:
+                def one_step(wtv, vsq, H):
+                    Hn = one_update(wtv, H)
+                    return Hn, one_cost(wtv, vsq, Hn)
+
+                step_b = jax.vmap(one_step, in_axes=(0, 0, 0))
+
                 def body(H, _):
                     H, c = step_b(WtV, v_sq, H)
                     return H, c
@@ -619,19 +617,15 @@ def _build_encode_solver(spec: _EncSpec):
                 H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
                 return H, costs.T  # (B, iters)
 
-            # euclid encode is Gram-space: the objective is a byproduct —
-            # cadence-select the trace for uniform semantics
-            cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
-
-            def body(carry, i):
-                H, cp = carry
-                Hn, c = step_b(WtV, v_sq, H)
-                c = jnp.where(compute(i), c.astype(cdt), cp)
-                return (Hn, c), c
-
-            (H, _), costs = jax.lax.scan(body, (H0, cp0),
-                                         jnp.arange(spec.iters))
-            return H, costs.T  # (B, iters)
+            # cost_every > 1: even in Gram space the objective is not
+            # free — its quadratic form <WtW @ Hn, Hn> is one extra
+            # (k, k) x (k, n) matmul per problem, comparable to the
+            # update itself; the skipped iterations drop it
+            upd_b = jax.vmap(one_update, in_axes=(0, 0))
+            cost_b = jax.vmap(one_cost, in_axes=(0, 0, 0))
+            return _cadenced_encode(lambda H: upd_b(WtV, H),
+                                    lambda H: cost_b(WtV, v_sq, H),
+                                    H0, ce, spec.iters, cdt)
 
         # General field divergence (kl/is/ab + dual), mirroring the
         # single solver's naive_step with w_any=False.
@@ -673,27 +667,9 @@ def _build_encode_solver(spec: _EncSpec):
         # encode that is nearly half the per-iteration flops
         upd_b = jax.vmap(one_update, in_axes=(0, 0))
         cost_b = jax.vmap(one_cost, in_axes=(0, 0))
-
-        if use_seg:
-            H, costs = _segmented_costs(lambda H: upd_b(Vs, H),
-                                        lambda H: cost_b(Vs, H),
-                                        H0, ce, spec.iters, cdt)
-            return H, costs
-
-        cp0 = jnp.full((Vs.shape[0],), jnp.inf, cdt)
-
-        def body(carry, i):
-            H, cp = carry
-            Hn = upd_b(Vs, H)
-            c = jax.lax.cond(
-                compute(i),
-                lambda: cost_b(Vs, Hn).astype(cdt),
-                lambda: cp)
-            return (Hn, c), c
-
-        (H, _), costs = jax.lax.scan(body, (H0, cp0),
-                                     jnp.arange(spec.iters))
-        return H, costs.T  # (B, iters)
+        return _cadenced_encode(lambda H: upd_b(Vs, H),
+                                lambda H: cost_b(Vs, H),
+                                H0, ce, spec.iters, cdt)
 
     return solve
 
@@ -825,6 +801,7 @@ class _ConvEncSpec(NamedTuple):
     alpha: float = 1.0
     beta: float = 1.0
     weighted: str | None = None   # None | 'shared' | 'batched'
+    cost_every: int = 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -854,6 +831,8 @@ def _build_conv_encode_solver(spec: _ConvEncSpec):
     # matrix and must be treated like any other field (cnmf.py step).
     kl_fast = spec.div == "kl" and not weighted
 
+    ce = int(spec.cost_every)
+
     if weighted:
         mw_axis = 0 if spec.weighted == "batched" else None
 
@@ -861,18 +840,31 @@ def _build_conv_encode_solver(spec: _ConvEncSpec):
         def solve_w(Vs, W, H0, hsp, Mw):
             dt = W.dtype
             eps = jnp.asarray(spec.eps, dt)
+            cdt = jnp.promote_types(dt, jnp.float32)
 
-            def one_step(V, Mwi, H):
+            def one_update(V, Mwi, H):
                 V_hat = conv_reconstruct(W, H, None)
                 phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b,
                                                    weights=Mwi)
                 gneg = dv.apply_power(conv_wt_phi(W, phi_neg), power)
                 gpos = dv.apply_power(conv_wt_phi(W, phi_pos), power)
-                Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+                return H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+
+            def one_cost(V, Mwi, Hn):
                 c = dv.cost(spec.div, V, conv_reconstruct(W, Hn, None),
                             a, b, weights=Mwi)
-                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
-                return Hn, c
+                return c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+
+            if ce > 1:
+                upd_b = jax.vmap(one_update, in_axes=(0, mw_axis, 0))
+                cost_b = jax.vmap(one_cost, in_axes=(0, mw_axis, 0))
+                return _cadenced_encode(lambda H: upd_b(Vs, Mw, H),
+                                        lambda H: cost_b(Vs, Mw, H),
+                                        H0, ce, spec.iters, cdt)
+
+            def one_step(V, Mwi, H):
+                Hn = one_update(V, Mwi, H)
+                return Hn, one_cost(V, Mwi, Hn)
 
             step_b = jax.vmap(one_step, in_axes=(0, mw_axis, 0))
 
@@ -889,26 +881,41 @@ def _build_conv_encode_solver(spec: _ConvEncSpec):
     def solve(Vs, W, H0, hsp):
         dt = W.dtype
         eps = jnp.asarray(spec.eps, dt)
+        cdt = jnp.promote_types(dt, jnp.float32)
         WW = conv_cross_grams_w(W)  # (T, T, k, k), loop-invariant
 
         if euclid:
             v_sqs = jax.vmap(sq_norm)(Vs)
             Gneg = jax.vmap(lambda V: conv_wt_phi(W, V))(Vs)  # one-time
 
-            def one_step(gneg, vsq, H):
+            def one_update(gneg, H):
                 Hs = stack_shifts_right(H, T)
                 gpos = jnp.zeros_like(gneg)
                 for t in range(T):
                     gpos = gpos + shift_left(
                         jnp.einsum("skl,sln->kn", WW[t], Hs,
                                    preferred_element_type=dt), t)
-                Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+                return H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+
+            def one_cost(gneg, vsq, Hn):
+                # the cross-Gram HH is the objective's OWN (T, T, k, k)
+                # recomputation — skipped under cost_every > 1
                 HH = conv_cross_grams_h(stack_shifts_right(Hn, T))
                 c = jnp.maximum(
                     0.5 * (vsq - 2.0 * jnp.sum(gneg * Hn)
                            + jnp.sum(WW * HH)), 0.0)
-                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
-                return Hn, c
+                return c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+
+            if ce > 1:
+                upd_b = jax.vmap(one_update, in_axes=(0, 0))
+                cost_b = jax.vmap(one_cost, in_axes=(0, 0, 0))
+                return _cadenced_encode(lambda H: upd_b(Gneg, H),
+                                        lambda H: cost_b(Gneg, v_sqs, H),
+                                        H0, ce, spec.iters, cdt)
+
+            def one_step(gneg, vsq, H):
+                Hn = one_update(gneg, H)
+                return Hn, one_cost(gneg, vsq, Hn)
 
             step_b = jax.vmap(one_step, in_axes=(0, 0, 0))
 
@@ -922,7 +929,7 @@ def _build_conv_encode_solver(spec: _ConvEncSpec):
             # quirk cnmf.m:220-224) is loop-invariant — hoist it.
             w_sum = jnp.sum(W, axis=(0, 2))  # (k,)
 
-            def one_step(V, H):
+            def one_update(V, H):
                 V_hat = conv_reconstruct(W, H, None)
                 phi_neg, phi_pos, _ = dv.ab_fields(V, V_hat, a, b)
                 gneg = conv_wt_phi(W, phi_neg)
@@ -932,11 +939,26 @@ def _build_conv_encode_solver(spec: _ConvEncSpec):
                     gpos = conv_wt_phi(W, phi_pos)
                 gneg = dv.apply_power(gneg, power)
                 gpos = dv.apply_power(gpos, power)
-                Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+                return H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
+
+            def one_cost(V, Hn):
+                # the objective's own T-shift reconstruction — the
+                # expensive half of a convolutive encode iteration,
+                # skipped under cost_every > 1
                 c = dv.cost(spec.div, V, conv_reconstruct(W, Hn, None),
                             a, b)
-                c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
-                return Hn, c
+                return c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=1))
+
+            if ce > 1:
+                upd_b = jax.vmap(one_update, in_axes=(0, 0))
+                cost_b = jax.vmap(one_cost, in_axes=(0, 0))
+                return _cadenced_encode(lambda H: upd_b(Vs, H),
+                                        lambda H: cost_b(Vs, H),
+                                        H0, ce, spec.iters, cdt)
+
+            def one_step(V, H):
+                Hn = one_update(V, H)
+                return Hn, one_cost(V, Hn)
 
             step_b = jax.vmap(one_step, in_axes=(0, 0))
 
@@ -968,8 +990,12 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
     Parameters: divergence ('euclidean' | 'kl' | 'is' | 'ab' — cnmf's
     full AB family, cnmf.m:137-147), alpha/beta (AB), H_init (B, k, n),
     H_sparsity (scalar-or-per-source), maxiter (100), seed, dtype, eps,
-    mesh (problems shard over the batch axis), device_output.  W may be
-    a LIST of per-source dictionaries sharing one T (cell-array
+    mesh (problems shard over the batch axis), device_output,
+    cost_every (int, default 1: objective trace every N iterations — H
+    trajectory bit-identical; skipped evaluations drop the objective's
+    own T-shift reconstruction + divergence pass for the field
+    divergences, or its (T, T, k, k) cross-Gram for euclidean).  W may
+    be a LIST of per-source dictionaries sharing one T (cell-array
     semantics); W/H return as per-source lists.  Returns Result with
     W (m, k, T, normalized), H (B, k, n), cost (B, maxiter).
     """
@@ -1036,7 +1062,8 @@ def cnmf_encode(Vs, W, config: dict | None = None, **kwargs):
     Mw, mw_mode = _encode_weights_of(cfg, B, m, n, mesh, "cnmf_encode",
                                      "cnmf_encode", dtype)
 
-    spec = _ConvEncSpec(maxiter, eps, div, T, alpha, beta, mw_mode)
+    spec = _ConvEncSpec(maxiter, eps, div, T, alpha, beta, mw_mode,
+                        _parse_cost_every(cfg))
     if Mw is None:
         H, costs = _build_conv_encode_solver(spec)(Vs, W, H0, hsp)
     else:

@@ -21,7 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import (common_scalars, Result, as_list, merge_config, per_column,
+from ..core import (common_scalars, Result, as_list, merge_config,
+                    parse_cost_every, per_column,
                     fixed_col_mask, promote_inits, promote_per_source,
                     resolve_dtype, source_blocks, unwrap_sources,
                     uniform_init)
@@ -48,6 +49,7 @@ class _Spec(NamedTuple):
     eps: float
     method: str          # 'gram' (euclidean only) | 'naive'
     valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
+    cost_every: int = 1  # objective cadence (1 = reference semantics)
 
 
 @functools.lru_cache(maxsize=None)
@@ -64,6 +66,12 @@ def _build_solver(spec: _Spec):
     w_all_free = not any(spec.w_fixed)
     h_all_free = not any(spec.h_fixed)
     kl = spec.divergence == "kl"
+    ce = int(spec.cost_every)
+    # cost_every tail (ops/loop.cost_cadence): on skipped iterations the
+    # naive path drops the objective's full convolutive reconstruction
+    # (T shifted (m, k) x (k, n) matmuls) + divergence pass, and the
+    # Gram path drops the post-update WW/HH cross-Gram recomputation.
+    finish = looplib.cost_cadence(ce, spec.maxiter)
 
     @jax.jit
     def solve(V, W0, H0, wsp, hsp, tolerance, Mw=None):
@@ -84,7 +92,7 @@ def _build_solver(spec: _Spec):
             # touch V (conv_phi_ht(V, H) and conv_wt_phi(W, V)); the
             # V_hat-dependent terms are assembled from (T, T, k, k)
             # cross-Grams.  Mathematically identical to cnmf.m:175-251.
-            W, H = carry
+            W, H = carry[0], carry[1]
             if w_any:
                 HH = cross_grams_h(H)                    # HH[s, t]
                 A = conv_phi_ht(V, H, T, nv)             # (m, k, T) [big]
@@ -109,18 +117,20 @@ def _build_solver(spec: _Spec):
                                    preferred_element_type=dt), t)
                 Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
                 H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
-            # cost with the UPDATED factors, all in Gram space:
-            # <V, conv(W, H)> = <conv_wt_phi(W, V), H>.
-            WW = conv_cross_grams_w(W)
-            HH = cross_grams_h(H)
-            c = jnp.maximum(  # clamp: see ops/gram.euclidean_cost_gram
-                0.5 * (v_sq - 2.0 * jnp.sum(gneg * H) + jnp.sum(WW * HH)), 0.0)
-            c = c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
-                     + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
-            return (W, H), c, jnp.asarray(False)
+            def cost_fn(W=W, H=H, gneg=gneg):
+                # cost with the UPDATED factors, all in Gram space:
+                # <V, conv(W, H)> = <conv_wt_phi(W, V), H>.
+                WW = conv_cross_grams_w(W)
+                HH = cross_grams_h(H)
+                c = jnp.maximum(  # clamp: see ops/gram.euclidean_cost_gram
+                    0.5 * (v_sq - 2.0 * jnp.sum(gneg * H)
+                           + jnp.sum(WW * HH)), 0.0)
+                return c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
+                            + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
+            return finish((W, H), carry, i, cost_fn)
 
         def step(carry, i):
-            W, H = carry  # W: (m, k, T), H: (k, n)
+            W, H = carry[0], carry[1]  # W: (m, k, T), H: (k, n)
             # With per-entry weights the KL ones-field shortcuts below do
             # not apply (the positive field becomes the weight matrix and
             # must be shifted like any other field — the paper-correct
@@ -174,15 +184,19 @@ def _build_solver(spec: _Spec):
                 gpos = dv.apply_power(gpos, power)
                 Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None], eps))
                 H = Hn if h_all_free else jnp.where(h_mask[:, None], H, Hn)
-            V_hat = conv_reconstruct(W, H, nv)
-            c = dv.cost(spec.divergence, V, V_hat, a, b, mask=mask,
-                        weights=Mw)
-            c = c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
-                     + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
-            return (W, H), c, jnp.asarray(False)
+            def cost_fn(W=W, H=H):
+                # the objective's OWN reconstruction — the only consumer
+                # of this T-shift matmul chain; skipped iterations under
+                # cost_every > 1 drop it entirely
+                c = dv.cost(spec.divergence, V, conv_reconstruct(W, H, nv),
+                            a, b, mask=mask, weights=Mw)
+                return c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
+                            + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=1)))
+            return finish((W, H), carry, i, cost_fn)
 
         body = gram_step if spec.method == "gram" else step
-        return looplib.run(body, (W0, H0), spec.maxiter, tolerance,
+        return looplib.run(body, looplib.cadence_state((W0, H0), ce, dt),
+                           spec.maxiter, tolerance,
                            cost_dtype=V.dtype)
     return solve
 
@@ -203,6 +217,27 @@ def cnmf(V, num_basis_elems, context_len: int,
     the position-independent ones field) — so ``weights=ones`` matches
     the unweighted run exactly for euclidean/IS/AB but differs near the
     right time boundary for KL.
+
+    ``cost_every`` (int, default 1): evaluate the objective every N
+    iterations — the update math is unchanged (bit-exact on CPU;
+    tests/test_cost_every.py), the tolerance check coarsens to
+    N-iteration windows (ops/loop.cost_cadence).  On TPU the cadence
+    variant is a different compiled program and the cond boundary
+    blocks XLA from fusing the objective with the update fields, so
+    f32 matmul rounding differs and compounds through the MU chain:
+    measured max rel deviation ~1e-4 (KL) / ~8e-4 (euclid Gram) in W
+    after 30 iters at a 257x400 r6 T4 probe — the same order as the
+    chip's bf16-matmul deviation from the f64 oracle, and far inside
+    MU's own trajectory sensitivity.  (Plain ``nmf`` measured
+    bit-exact on chip at the same cadences.)  The
+    convolutive objective is expensive (a full T-shift reconstruction
+    plus the divergence pass for the naive path; the WW/HH cross-Gram
+    recomputation for the Gram path) and feeds only the stopping rule.
+    Measured caveat (COST_EVERY_v5e.json): at BASELINE #3's 513x10k
+    r64 T8 shape iterations are sub-ms and the while-loop's per-step
+    cond overhead offsets the saving (a wash); the knob pays on
+    larger shapes, weighted modes, and the batched ``cnmf_encode``
+    engine (+18% at the serving shape), which is cond-free.
     """
     cfg = merge_config(config, kwargs)
     dtype = resolve_dtype(V, cfg.get("dtype"))
@@ -286,14 +321,14 @@ def cnmf(V, num_basis_elems, context_len: int,
         raise ValueError("method='gram' is only valid for the euclidean divergence")
 
     spec = _Spec(div, alpha, beta, T, maxiter, w_fx, h_fx, blocks, eps, method,
-                 valid)
+                 valid, parse_cost_every(cfg))
     solve = _build_solver(spec)
     tol = jnp.asarray(tolerance, dtype)
     if weights is None:
         out = solve(V, W0, H0, wsp, hsp, tol)
     else:
         out = solve(V, W0, H0, wsp, hsp, tol, weights)
-    W, H = out.state
+    W, H = out.state[0], out.state[1]
     if valid is not None:
         W, H = W[:m], H[:, :n]
     return Result(

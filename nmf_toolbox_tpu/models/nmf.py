@@ -29,9 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core import (common_scalars, Result, as_list, default_h_init, default_w_init,
-                    fixed_col_mask, merge_config, per_column, promote_inits,
-                    promote_per_source, resolve_dtype, source_blocks,
-                    unwrap_sources)
+                    fixed_col_mask, merge_config, parse_cost_every, per_column,
+                    promote_inits, promote_per_source, resolve_dtype,
+                    source_blocks, unwrap_sources)
 from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.gram import euclidean_cost_gram, sq_norm
@@ -96,31 +96,13 @@ def _build_solver_impl(spec: _Spec):
     w_all_free = not any(spec.w_fixed)
     h_all_free = not any(spec.h_fixed)
     ce = int(spec.cost_every)
+    # ``cost_every`` tail: evaluate the objective only on check
+    # iterations, carrying the last value in between (see
+    # ops/loop.cost_cadence for the cadence + stop-rule semantics).
+    cadence = looplib.cost_cadence(ce, spec.maxiter)
 
     def finish_step(W, H, carry, i, cost_fn):
-        """Assemble a step's return value, honoring ``cost_every``.
-
-        The objective feeds ONLY the stopping rule (nmf.m:221-224), never
-        the factor updates, so with cost_every = N > 1 it is evaluated on
-        iterations {1, N, 2N, ..., maxiter} and carried forward in
-        between (same cadence trick sklearn's NMF uses, checking tol
-        every 10 iterations): the skipped iterations drop the extra
-        reconstruction matmul and the divergence-field pass entirely.
-        Carried entries repeat the last computed value, which can never
-        fire the strict `cost(i) < cost(i-1)` trigger, so the stop rule
-        degrades exactly to "decrease over the last N iterations < tol".
-        With cost_every == 1 (default) this is the reference semantics
-        and the carry/jaxpr are byte-identical to the pre-knob solver.
-        """
-        if ce == 1:
-            return (W, H), cost_fn(), jnp.asarray(False)
-        cp = carry[2]
-        compute = (((i + 1) % ce == 0) | (i == 0)
-                   | (i + 1 >= spec.maxiter))
-        c = jax.lax.cond(compute,
-                         lambda: jnp.asarray(cost_fn(), cp.dtype),
-                         lambda: cp)
-        return (W, H, c), c, jnp.asarray(False)
+        return cadence((W, H), carry, i, cost_fn)
 
     def gram_step(V, v_sq, wsp, hsp, eps):
         cdt = jnp.promote_types(V.dtype, jnp.float32)  # accumulation dtype
@@ -268,12 +250,9 @@ def _build_solver_impl(spec: _Spec):
         else:
             # per-entry weights: naive path only (wrapper enforces)
             step = make_step(V, v_sq, wsp, hsp, eps, Mw)
-        init = ((W0, H0) if ce == 1
-                # third carry slot: the last computed objective, carried
-                # across the skipped iterations (+inf until the first
-                # evaluation so no comparison can fire early)
-                else (W0, H0, jnp.asarray(jnp.inf, W0.dtype)))
-        return looplib.run(step, init, spec.maxiter, tolerance,
+        return looplib.run(step, looplib.cadence_state((W0, H0), ce,
+                                                       W0.dtype),
+                           spec.maxiter, tolerance,
                            cost_dtype=W0.dtype, callback=spec.callback)
 
     return solve
@@ -436,13 +415,8 @@ def nmf(V, num_basis_elems, config: dict | None = None, **kwargs):
             "method: the KL/IS/AB fields are nonlinear in W @ H, so inner "
             "repetitions would still need the full-size reconstruction")
 
-    cost_every = cfg.get("cost_every", 1)
-    cost_every = 1 if cost_every is None else int(cost_every)
-    if cost_every < 1:
-        raise ValueError("cost_every must be >= 1")
-
     spec = _Spec(div, alpha, beta, method, maxiter, w_fx, h_fx, blocks, eps,
-                 cfg.get("callback"), valid, inner, cost_every)
+                 cfg.get("callback"), valid, inner, parse_cost_every(cfg))
     solve = _build_solver(spec)
     tol = jnp.asarray(tolerance, dtype)
     if weights is None:

@@ -77,6 +77,53 @@ def run(step_fn: Callable, init_state, maxiter: int, tolerance,
     return LoopOut(state, buf, n, stopped, terminated)
 
 
+def cadence_state(state: tuple, ce: int, dtype) -> tuple:
+    """Initial carry for a ``run`` step using :func:`cost_cadence`:
+    with cost_every > 1 the carry grows a trailing slot holding the last
+    computed objective (+inf until the first evaluation, so no stop-rule
+    comparison can fire early)."""
+    if int(ce) == 1:
+        return state
+    return tuple(state) + (jnp.asarray(jnp.inf, dtype),)
+
+
+def cost_cadence(ce: int, maxiter: int):
+    """Build the ``finish(state, carry, i, cost_fn)`` tail for a ``run``
+    step function implementing the ``cost_every`` knob.
+
+    The objective feeds ONLY the stopping rule (nmf.m:221-224), never
+    the factor updates, so with cost_every = N > 1 it is evaluated on
+    iterations {1, N, 2N, ..., maxiter} and carried forward in between
+    (the same cadence trick sklearn's NMF uses, checking tol every 10
+    iterations): the skipped iterations drop the objective's
+    reconstruction and divergence-field pass entirely.  Carried entries
+    repeat the last computed value, which can never fire the strict
+    ``cost(i) < cost(i-1)`` trigger, so the stop rule degrades exactly
+    to "decrease over the last N iterations < tolerance".  With
+    cost_every == 1 (default) this is the reference semantics and the
+    carry/jaxpr are byte-identical to the knob-free step.
+
+    ``state`` is the updated factor tuple, ``carry`` the incoming loop
+    carry (whose trailing slot is the last computed objective when
+    ce > 1), ``cost_fn()`` the objective of the updated state.  Returns
+    the ``(new_carry, cost, terminate)`` triple ``run`` expects.
+    """
+    ce = int(ce)
+
+    def finish(state, carry, i, cost_fn):
+        if ce == 1:
+            return tuple(state), cost_fn(), jnp.asarray(False)
+        cp = carry[-1]
+        compute = (((i + 1) % ce == 0) | (i == 0)
+                   | (i + 1 >= maxiter))
+        c = jax.lax.cond(compute,
+                         lambda: jnp.asarray(cost_fn(), cp.dtype),
+                         lambda: cp)
+        return tuple(state) + (c,), c, jnp.asarray(False)
+
+    return finish
+
+
 def trim_cost(out: LoopOut, maxiter: int, *, offset: int = 0,
               trim: bool = True):
     """Host-side cost-vector trimming matching each solver's semantics.

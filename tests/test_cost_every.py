@@ -115,6 +115,15 @@ def test_cli_cost_every(tmp_path):
     a, b = np.load(out1), np.load(out2)
     assert np.array_equal(a["W"], b["W"])
     assert np.array_equal(a["H"], b["H"])
+    # cnmf accepts the knob too (bit-identical factors)
+    cb = ["cnmf", str(vp), "--k", "3", "--context-len", "2",
+          "--divergence", "kl", "--maxiter", "6", "--seed", "3"]
+    assert main(cb + ["--out", str(out1), "--quiet"]) == 0
+    assert main(cb + ["--cost-every", "3", "--out", str(out2),
+                      "--quiet"]) == 0
+    a, b = np.load(out1), np.load(out2)
+    assert np.array_equal(a["W"], b["W"])
+    assert np.array_equal(a["H"], b["H"])
     # unsupported targets error (the CLI's no-silent-ignore convention)
     assert main(["lnmf", str(vp), "--k", "4", "--cost-every", "4",
                  "--out", str(out2), "--quiet"]) == 2
@@ -215,6 +224,96 @@ def test_segmented_equals_cond_fallback(monkeypatch):
     assert np.array_equal(np.asarray(r_seg.cost), np.asarray(r_cond.cost))
     assert np.array_equal(np.asarray(e_seg.H), np.asarray(e_cond.H))
     assert np.array_equal(np.asarray(e_seg.cost), np.asarray(e_cond.cost))
+
+
+@pytest.mark.parametrize("div,method", [
+    ("euclidean", "gram"), ("euclidean", "naive"), ("kl", "naive"),
+    ("is", "naive"),
+])
+def test_cnmf_bitexact_and_trace_cadence(div, method):
+    V, _, _ = _problem(13)
+    rng = np.random.default_rng(14)
+    T = 3
+    W0 = rng.uniform(0.1, 1.0, (M, K, T))
+    H0 = rng.uniform(0.1, 1.0, (K, N))
+    kw = dict(W_init=W0, H_init=H0, divergence=div, method=method,
+              maxiter=15, tolerance=0.0, dtype=np.float64)
+    r1 = nt.cnmf(V, K, T, **kw)
+    r2 = nt.cnmf(V, K, T, cost_every=6, **kw)
+    assert np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    # computed at iterations 1, 6, 12 and the final one (i=0, 5, 11, 14)
+    for idx in (0, 5, 11, 14):
+        assert c1[idx] == c2[idx]
+    assert np.all(c2[1:5] == c2[0])
+    assert np.all(c2[6:11] == c2[5])
+
+
+def test_cnmf_weighted_and_fixed_bitexact():
+    V, _, _ = _problem(17)
+    rng = np.random.default_rng(18)
+    T = 2
+    W0 = rng.uniform(0.1, 1.0, (M, K, T))
+    H0 = rng.uniform(0.1, 1.0, (K, N))
+    Mw = rng.uniform(0.0, 1.0, (M, N))
+    kw = dict(W_init=W0, H_init=H0, divergence="kl", maxiter=10,
+              tolerance=0.0, dtype=np.float64)
+    r1 = nt.cnmf(V, K, T, weights=Mw, **kw)
+    r2 = nt.cnmf(V, K, T, weights=Mw, cost_every=4, **kw)
+    assert np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    r3 = nt.cnmf(V, K, T, W_fixed=True, **kw)
+    r4 = nt.cnmf(V, K, T, W_fixed=True, cost_every=4, **kw)
+    assert np.array_equal(np.asarray(r3.H), np.asarray(r4.H))
+
+
+def test_cnmf_early_stop_still_fires():
+    V, _, _ = _problem(19)
+    # the windowed rule needs the 5-iteration decrease < tol, a strictly
+    # harder bar than the per-iteration rule (measured: 57 vs 145 here)
+    kw = dict(maxiter=300, tolerance=5e-2, seed=2, dtype=np.float64)
+    r_d = nt.cnmf(V, K, 2, **kw)
+    r_ce = nt.cnmf(V, K, 2, cost_every=5, **kw)
+    assert r_d.converged and r_ce.converged
+    assert r_ce.n_iters >= r_d.n_iters
+    n = r_ce.n_iters
+    assert n == 1 or n % 5 == 0 or n == 300
+
+
+@pytest.mark.parametrize("div", ["euclidean", "kl", "is"])
+def test_cnmf_encode_bitexact(div):
+    rng = np.random.default_rng(33)
+    B, m, n, k, T = 3, 14, 20, 4, 3
+    Vs = rng.uniform(0.1, 1.0, (B, m, n))
+    W = rng.uniform(0.1, 1.0, (m, k, T))
+    H0 = rng.uniform(0.1, 1.0, (B, k, n))
+    kw = dict(H_init=H0, divergence=div, maxiter=9, H_sparsity=0.03,
+              dtype=np.float64)
+    r1 = nt.cnmf_encode(Vs, W, **kw)
+    r2 = nt.cnmf_encode(Vs, W, cost_every=3, **kw)
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    for idx in (0, 2, 5, 8):
+        assert np.array_equal(c2[:, idx], c1[:, idx])
+    assert np.all(c2[:, 3:5] == c2[:, 2:3])
+
+
+def test_cnmf_encode_weighted_bitexact():
+    rng = np.random.default_rng(37)
+    B, m, n, k, T = 3, 14, 20, 4, 2
+    Vs = rng.uniform(0.1, 1.0, (B, m, n))
+    W = rng.uniform(0.1, 1.0, (m, k, T))
+    H0 = rng.uniform(0.1, 1.0, (B, k, n))
+    Mw = rng.uniform(0.0, 1.0, (B, m, n))
+    kw = dict(H_init=H0, divergence="kl", weights=Mw, maxiter=8,
+              dtype=np.float64)
+    r1 = nt.cnmf_encode(Vs, W, **kw)
+    r2 = nt.cnmf_encode(Vs, W, cost_every=4, **kw)
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    for idx in (0, 3, 7):
+        assert np.array_equal(c2[:, idx], c1[:, idx])
 
 
 def test_cost_every_larger_than_maxiter():
