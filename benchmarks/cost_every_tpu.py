@@ -167,6 +167,47 @@ def main():
                           f"cnmf_encode KL B{B} {em}x{en} r{ek} T{ceT} "
                           f"cost_every={ce}")
         r[f"conv_encode_kl_B{B}_{em}_{en}_r{ek}_T{ceT}_ce{ce}"] = ms
+
+    # 2-D deconvolutive training + serving encode: the objective is an
+    # EXTRA full T*P-shift reconstruction per iteration in both (the
+    # third for training, the second for encode), so the knob's ceiling
+    # is ~1/3 resp. ~1/2 of per-iteration work (models/nmf2d.py,
+    # models/batched.py _build_nmf2d_encode_solver)
+    from nmf_toolbox_tpu.models.nmf2d import (_build_solver as _n2d_solver,
+                                              _Spec as _N2dSpec)
+    dP = 2 if SMALL else 5
+    kw3, kh3 = jax.random.split(jax.random.PRNGKey(4))
+    W2 = jax.random.uniform(kw3, (cm, ck, cT), jnp.float32)
+    H2 = jax.random.uniform(kh3, (ck, cn, dP), jnp.float32)
+    for ce in (1, 10):
+        spec = _N2dSpec("kl", 1.0, 1.0, cT, dP, ITERS, False, False, EPS,
+                        None, ce)
+        solve = _n2d_solver(spec)
+
+        def fn2(*state):
+            out = solve(Vc, state[0], state[1], zc, zc, tol)
+            return out.state[:2], out.cost_buf
+        ms = time_chained(
+            fn2, (W2, H2),
+            f"nmf2d kl {cm} x {cn} r{ck} T{cT} P{dP} cost_every={ce}")
+        r[f"nmf2d_kl_{cm}_{cn}_r{ck}_T{cT}_P{dP}_ce{ce}"] = ms
+
+    W2d = jax.random.uniform(jax.random.PRNGKey(5), (em, ek, ceT),
+                             jnp.float32)
+    H02d = jax.random.uniform(jax.random.PRNGKey(6), (B, ek, en, dP),
+                              jnp.float32)
+    jax.block_until_ready((W2d, H02d))
+    for ce in (1, 10):
+        def enc2(H):
+            res = nt.nmf2d_encode(Vs, W2d, dP, divergence="kl", H_init=H,
+                                  maxiter=ITERS, cost_every=ce,
+                                  device_output=True)
+            return (res.H,), res.cost
+
+        ms = time_chained(enc2, (H02d,),
+                          f"nmf2d_encode KL B{B} {em}x{en} r{ek} T{ceT} "
+                          f"P{dP} cost_every={ce}")
+        r[f"nmf2d_encode_kl_B{B}_{em}_{en}_r{ek}_T{ceT}_P{dP}_ce{ce}"] = ms
     print(json.dumps(r), flush=True)
 
 

@@ -1402,6 +1402,7 @@ class _Nmf2dEncSpec(NamedTuple):
     P: int
     alpha: float = 1.0
     beta: float = 1.0
+    cost_every: int = 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -1424,6 +1425,7 @@ def _build_nmf2d_encode_solver(spec: _Nmf2dEncSpec):
     power = (1.0 / b) if dual else (None if a == 1.0 else 1.0 / a)
     euclid = spec.div == "euclidean" and a == 1.0 and b == 1.0
     kl = spec.div == "kl"
+    ce = int(spec.cost_every)
 
     @jax.jit
     def solve(Vs, W, H0, hsp):
@@ -1440,26 +1442,36 @@ def _build_nmf2d_encode_solver(spec: _Nmf2dEncSpec):
             ones = jnp.ones(Vs.shape[1:], dt)
             gpos_kl = h_grad(ones)       # paper-correct shifted ones-field
 
-        def one_step(V, gneg_v, H):
+        def one_update(V, gneg_v, H):
             Lam = conv_reconstruct_2d(W, H)
             phi_neg, phi_pos, _ = dv.ab_fields(V, Lam, a, b)
             gneg = gneg_v if euclid else h_grad(phi_neg)
             gpos = gpos_kl if kl else h_grad(phi_pos)
             gneg = dv.apply_power(gneg, power)
             gpos = dv.apply_power(gpos, power)
-            Hn = H * (gneg / jnp.maximum(gpos + hsp[:, None, None], eps))
+            return H * (gneg / jnp.maximum(gpos + hsp[:, None, None], eps))
+
+        def one_cost(V, Hn):
+            # the objective's own 2-D reconstruction — a SECOND full
+            # T*P-shift pass per iteration; cost_every > 1 drops it on
+            # skipped steps
             c = dv.cost(spec.div, V, conv_reconstruct_2d(W, Hn), a, b)
-            c = c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=(1, 2)))
-            return Hn, c
+            return c + jnp.sum(hsp * jnp.sum(jnp.abs(Hn), axis=(1, 2)))
 
-        step_b = jax.vmap(one_step, in_axes=(0, 0 if euclid else None, 0))
+        upd_b = jax.vmap(one_update, in_axes=(0, 0 if euclid else None, 0))
+        cost_b = jax.vmap(one_cost, in_axes=(0, 0))
 
-        def body(H, _):
-            H, c = step_b(Vs, Gneg if euclid else None, H)
-            return H, c
+        if ce == 1:
+            def body(H, _):
+                Hn = upd_b(Vs, Gneg if euclid else None, H)
+                return Hn, cost_b(Vs, Hn)
 
-        H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
-        return H, costs.T  # (B, iters)
+            H, costs = jax.lax.scan(body, H0, None, length=spec.iters)
+            return H, costs.T  # (B, iters)
+
+        return _cadenced_encode(
+            lambda H: upd_b(Vs, Gneg if euclid else None, H),
+            lambda H: cost_b(Vs, H), H0, ce, spec.iters, dt)
 
     return solve
 
@@ -1488,8 +1500,12 @@ def nmf2d_encode(Vs, W, pitch_len: int, config: dict | None = None,
     Parameters: divergence ('euclidean' | 'kl' | 'is' | 'ab' +
     alpha/beta incl. the alpha=0 dual), H_init (B, k, n, P), H_sparsity
     (scalar), maxiter (100), seed, dtype, eps, mesh (problems shard over
-    the batch axis), device_output.  Returns Result with W (m, k, T,
-    normalized), H (B, k, n, P), cost (B, maxiter).
+    the batch axis), device_output, cost_every (int, default 1:
+    objective trace every N iterations — the objective is a SECOND full
+    T*P-shift reconstruction per iteration, so skipped evaluations
+    roughly halve euclid/KL per-iteration work; update math unchanged).
+    Returns Result with W (m, k, T, normalized), H (B, k, n, P),
+    cost (B, maxiter).
     """
     from ..ops.normalize import cross_frame_norm
     cfg = merge_config(config, kwargs)
@@ -1539,7 +1555,8 @@ def nmf2d_encode(Vs, W, pitch_len: int, config: dict | None = None,
     mesh = cfg.get("mesh")
     Vs, W, H0 = apply_placements(mesh, "nmf2d_encode", V=Vs, W=W, H=H0)
 
-    spec = _Nmf2dEncSpec(maxiter, eps, div, T, P, alpha, beta)
+    spec = _Nmf2dEncSpec(maxiter, eps, div, T, P, alpha, beta,
+                         _parse_cost_every(cfg))
     H, costs = _build_nmf2d_encode_solver(spec)(Vs, W, H0, hsp)
     if cfg.get("device_output"):
         return Result(fields=("W", "H", "cost"), W=W, H=H,

@@ -47,8 +47,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import (common_scalars, Result, merge_config, resolve_dtype,
-                    uniform_init)
+from ..core import (common_scalars, Result, merge_config, parse_cost_every,
+                    resolve_dtype, uniform_init)
 from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.masking import region_mask
@@ -68,6 +68,7 @@ class _Spec(NamedTuple):
     h_fixed: bool
     eps: float
     valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
+    cost_every: int = 1  # objective cadence (1 = reference semantics)
 
 
 def _renorm(W, H, T):
@@ -86,6 +87,12 @@ def _build_solver(spec: _Spec):
     T, P = spec.T, spec.P
     dual = a == 0.0
     power = (1.0 / b) if dual else (None if a == 1.0 else 1.0 / a)
+    ce = int(spec.cost_every)
+    # cost_every tail (ops/loop.cost_cadence): the objective is the
+    # THIRD full 2-D reconstruction of the iteration (the W and H
+    # updates each build their own); skipped iterations drop it plus
+    # the divergence pass.
+    finish = looplib.cost_cadence(ce, spec.maxiter)
 
     @jax.jit
     def solve(V, W0, H0, wsp, hsp, tolerance):
@@ -112,7 +119,7 @@ def _build_solver(spec: _Spec):
             return out
 
         def step(carry, i):
-            W, H = carry  # W: (m, k, T), H: (k, n, P)
+            W, H = carry[0], carry[1]  # W: (m, k, T), H: (k, n, P)
             if not spec.w_fixed:
                 Lam = reconstruct2d(W, H)
                 phi_neg, phi_pos, _ = dv.ab_fields(V, Lam, a, b, mask=mask)
@@ -136,13 +143,15 @@ def _build_solver(spec: _Spec):
                 gneg = dv.apply_power(gneg, power)
                 gpos = dv.apply_power(gpos, power)
                 H = H * (gneg / jnp.maximum(gpos + hsp[:, None, None], eps))
-            Lam = reconstruct2d(W, H)
-            c = dv.cost(spec.divergence, V, Lam, a, b, mask=mask)
-            c = c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
-                     + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=(1, 2))))
-            return (W, H), c, jnp.asarray(False)
+            def cost_fn(W=W, H=H):
+                c = dv.cost(spec.divergence, V, reconstruct2d(W, H), a, b,
+                            mask=mask)
+                return c + (jnp.sum(wsp * jnp.sum(jnp.abs(W), axis=(0, 2)))
+                            + jnp.sum(hsp * jnp.sum(jnp.abs(H), axis=(1, 2))))
+            return finish((W, H), carry, i, cost_fn)
 
-        return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
+        return looplib.run(step, looplib.cadence_state((W0, H0), ce, dt),
+                           spec.maxiter, tolerance,
                            cost_dtype=V.dtype)
     return solve
 
@@ -161,7 +170,12 @@ def nmf2d(V, num_basis_elems: int, context_len: int, pitch_len: int,
     shifted fields), W_init (m, k, T), H_init (k, n, P),
     W_sparsity/H_sparsity (L1), W_fixed/H_fixed, maxiter (100),
     tolerance (1e-3), seed, dtype, eps, mesh (samples axis; the feature
-    axis stays replicated so pitch shifts are device-local).
+    axis stays replicated so pitch shifts are device-local),
+    cost_every (int, default 1: evaluate the objective every N
+    iterations — the objective is the iteration's THIRD full 2-D
+    reconstruction, so skipped iterations drop ~1/3 of the T*P-shift
+    matmul work; update math unchanged, tolerance check coarsens to
+    N-iteration windows, ops/loop.cost_cadence).
     Returns Result with W (m, k, T), H (k, n, P), cost.
     """
     cfg = merge_config(config, kwargs)
@@ -222,10 +236,11 @@ def nmf2d(V, num_basis_elems: int, context_len: int, pitch_len: int,
         H0 = pad_axes(H0, {1: pad_n})
     V, W0, H0 = apply_placements(mesh, "nmf2d", V=V, W=W0, H=H0)
 
-    spec = _Spec(div, alpha, beta, T, P, maxiter, w_fx, h_fx, eps, valid)
+    spec = _Spec(div, alpha, beta, T, P, maxiter, w_fx, h_fx, eps, valid,
+                 parse_cost_every(cfg))
     out = _build_solver(spec)(V, W0, H0, wsp, hsp,
                               jnp.asarray(tolerance, dtype))
-    W, H = out.state
+    W, H = out.state[0], out.state[1]
     if valid is not None:
         H = H[:, :n]
     return Result(

@@ -316,6 +316,56 @@ def test_cnmf_encode_weighted_bitexact():
         assert np.array_equal(c2[:, idx], c1[:, idx])
 
 
+@pytest.mark.parametrize("div", ["euclidean", "kl", "is"])
+def test_nmf2d_bitexact_and_trace_cadence(div):
+    V, _, _ = _problem(43)
+    rng = np.random.default_rng(44)
+    T, P = 3, 2
+    W0 = rng.uniform(0.1, 1.0, (M, K, T))
+    H0 = rng.uniform(0.1, 1.0, (K, N, P))
+    kw = dict(W_init=W0, H_init=H0, divergence=div, maxiter=12,
+              tolerance=0.0, dtype=np.float64)
+    r1 = nt.nmf2d(V, K, T, P, **kw)
+    r2 = nt.nmf2d(V, K, T, P, cost_every=5, **kw)
+    assert np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    # computed at iterations 1, 5, 10 and the final one (i=0, 4, 9, 11)
+    for idx in (0, 4, 9, 11):
+        assert c1[idx] == c2[idx]
+    assert np.all(c2[1:4] == c2[0])
+    assert np.all(c2[5:9] == c2[4])
+
+
+def test_nmf2d_early_stop_still_fires():
+    V, _, _ = _problem(47)
+    kw = dict(maxiter=200, tolerance=5e-2, seed=6, dtype=np.float64)
+    r_d = nt.nmf2d(V, K, 2, 2, **kw)
+    r_ce = nt.nmf2d(V, K, 2, 2, cost_every=4, **kw)
+    assert r_d.converged and r_ce.converged
+    assert r_ce.n_iters >= r_d.n_iters
+    n = r_ce.n_iters
+    assert n == 1 or n % 4 == 0 or n == 200
+
+
+@pytest.mark.parametrize("div", ["euclidean", "kl", "is"])
+def test_nmf2d_encode_bitexact(div):
+    rng = np.random.default_rng(51)
+    B, m, n, k, T, P = 3, 14, 20, 4, 3, 2
+    Vs = rng.uniform(0.1, 1.0, (B, m, n))
+    W = rng.uniform(0.1, 1.0, (m, k, T))
+    H0 = rng.uniform(0.1, 1.0, (B, k, n, P))
+    kw = dict(H_init=H0, divergence=div, maxiter=9, H_sparsity=0.03,
+              dtype=np.float64)
+    r1 = nt.nmf2d_encode(Vs, W, P, **kw)
+    r2 = nt.nmf2d_encode(Vs, W, P, cost_every=3, **kw)
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    for idx in (0, 2, 5, 8):
+        assert np.array_equal(c2[:, idx], c1[:, idx])
+    assert np.all(c2[:, 3:5] == c2[:, 2:3])
+
+
 def test_cost_every_larger_than_maxiter():
     V, W0, H0 = _problem(5)
     kw = dict(W_init=W0, H_init=H0, divergence="kl", maxiter=6,
