@@ -107,3 +107,13 @@ def test_api_md_documents_every_public_symbol():
     missing = sorted(s for s in symbols
                      if not re.search(r"\b" + re.escape(s) + r"\b", api))
     assert not missing, f"undocumented public symbols: {missing}"
+
+
+def test_version_consistency():
+    """pyproject.toml's [project] version must match the package
+    __version__ (the CLI --version source) — they drifted once in 1.1.0."""
+    import pathlib
+    import re
+    pj = (pathlib.Path(__file__).parent.parent / "pyproject.toml").read_text()
+    m = re.search(r'^version = "([^"]+)"', pj, re.M)
+    assert m and m.group(1) == nt.__version__
