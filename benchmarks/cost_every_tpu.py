@@ -208,6 +208,51 @@ def main():
                           f"nmf2d_encode KL B{B} {em}x{en} r{ek} T{ceT} "
                           f"P{dP} cost_every={ce}")
         r[f"nmf2d_encode_kl_B{B}_{em}_{en}_r{ek}_T{ceT}_P{dP}_ce{ce}"] = ms
+
+    # lnmf at the marginal-sweep shape: the objective's V_hat = W @ H is
+    # a THIRD full (m, k)x(k, n) matmul per iteration plus a log-field
+    # pass, all of it stop-rule-only work (lnmf.m:83-88) — the knob's
+    # ceiling is ~1/3 of the iteration (models/lnmf.py)
+    from nmf_toolbox_tpu.models.lnmf import (_build_solver as _lnmf_solver,
+                                             _Spec as _LSpec)
+    from nmf_toolbox_tpu.ops.normalize import unit_sum_columns
+    W0l = unit_sum_columns(W0)
+    for ce in (1, 10):
+        spec = _LSpec(ITERS, False, False, EPS, None, ce)
+        solve = _lnmf_solver(spec)
+
+        def fnl(*state):
+            out = solve(V, state[0], state[1], tol)
+            return out.state[:2], out.cost_buf
+        r[f"lnmf_{m}_{n}_r{k}_ce{ce}"] = time_chained(
+            fnl, (W0l, H0), f"lnmf {m} x {n} r{k} cost_every={ce}")
+
+    # constrainednmf KL at the same shape (vs the 6.89 ms/iter marginal
+    # row): the objective is one full KL divergence-field pass over the
+    # (m, n) reconstruction (constrainednmf.m cost; models/constrainednmf.py)
+    from nmf_toolbox_tpu.models.constrainednmf import (
+        _build_solver as _cons_solver, _Spec as _ConsSpec)
+    C = 10 if not SMALL else 3
+    n_lab = n // 2
+    n_u = n - n_lab
+    lab = np.asarray(jax.random.randint(jax.random.PRNGKey(7), (n_lab,),
+                                        0, C))
+    onehot = jnp.asarray(np.eye(C, dtype=np.float32)[lab].T)  # (C, n_lab)
+    Z0c = jax.random.uniform(jax.random.PRNGKey(8), (k, n_u + C),
+                             jnp.float32)
+    zsc = jnp.float32(0.0)
+    jax.block_until_ready((onehot, Z0c))
+    for ce in (1, 10):
+        spec = _ConsSpec("kl", 1.0, 1.0, ITERS, False, False, n_u, C,
+                         EPS, None, ce)
+        solve = _cons_solver(spec)
+
+        def fncs(*state):
+            out = solve(V, state[0], state[1], onehot, zsc, zsc, tol)
+            return out.state[:2], out.cost_buf
+        r[f"constrainednmf_kl_{m}_{n}_r{k}_ce{ce}"] = time_chained(
+            fncs, (W0, Z0c),
+            f"constrainednmf KL {m} x {n} r{k} cost_every={ce}")
     print(json.dumps(r), flush=True)
 
 

@@ -634,9 +634,11 @@ def main(argv=None):
             return 2
         cfg["inner_iters"] = args.inner_iters
     if args.cost_every is not None:
-        if args.solver not in ("nmf", "cnmf") or args.streaming:
-            print("error: --cost-every is only supported for nmf/cnmf "
-                  "(non-streaming)", file=sys.stderr)
+        if args.solver not in ("nmf", "cnmf", "nmf2d", "lnmf",
+                               "constrainednmf") or args.streaming:
+            print("error: --cost-every is only supported for "
+                  "nmf/cnmf/nmf2d/lnmf/constrainednmf (non-streaming)",
+                  file=sys.stderr)
             return 2
         cfg["cost_every"] = args.cost_every
     if args.weights is not None:

@@ -26,7 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
+from ..core import (common_scalars, Result, merge_config, parse_cost_every,
+                    resolve_dtype, uniform_init)
 from ..ops import divergence as dv
 from ..ops import loop as looplib
 from ..ops.masking import region_mask
@@ -46,6 +47,7 @@ class _Spec(NamedTuple):
     num_classes: int
     eps: float
     valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
+    cost_every: int = 1  # objective cadence (1 = reference semantics)
 
 
 @functools.lru_cache(maxsize=None)
@@ -71,8 +73,11 @@ def _build_solver(spec: _Spec):
             return jnp.concatenate(
                 [X[:, :n_u], X[:, n_u:] @ class_onehot.T], axis=1)
 
+        ce = int(spec.cost_every)
+        cadence = looplib.cost_cadence(ce, spec.maxiter)
+
         def step(carry, i):
-            W, Z = carry
+            W, Z = carry[0], carry[1]
             H = apply_A(Z)
             V_hat = W @ H
             if not spec.w_fixed:
@@ -106,12 +111,21 @@ def _build_solver(spec: _Spec):
                 Z = Z * (neg / jnp.maximum(pos + zsp, eps))
                 H = apply_A(Z)
                 V_hat = W @ H
-            c = dv.cost(div, V, V_hat, alpha, beta, mask=mask, weights=Mw)
-            c = c + wsp * jnp.sum(jnp.abs(W)) + zsp * jnp.sum(jnp.abs(Z))
-            return (W, Z), c, jnp.asarray(False)
+            def cost_fn(W=W, Z=Z, V_hat=V_hat):
+                # The objective's divergence-field pass over the m x n
+                # reconstruction exists only for the stop rule;
+                # cost_every > 1 skips it (the updates' own dv.fields
+                # passes are untouched).
+                c = dv.cost(div, V, V_hat, alpha, beta, mask=mask,
+                            weights=Mw)
+                return (c + wsp * jnp.sum(jnp.abs(W))
+                        + zsp * jnp.sum(jnp.abs(Z)))
 
-        return looplib.run(step, (W0, Z0), spec.maxiter, tolerance,
-                           cost_dtype=dt)
+            return cadence((W, Z), carry, i, cost_fn)
+
+        return looplib.run(step, looplib.cadence_state((W0, Z0), ce, dt),
+                           spec.maxiter, tolerance,
+                           cost_dtype=dt, cost_every=ce)
     return solve
 
 
@@ -123,7 +137,8 @@ def constrainednmf(V, labels, num_basis_elems: int,
     W_init, Z_init, W_sparsity, Z_sparsity, W_fixed, Z_fixed,
     maxiter (100), tolerance (1e-3).  ``labels`` is length-n; -1 marks
     unlabeled samples.  A and H are returned in the ORIGINAL sample order
-    (constrainednmf.m:260-267).
+    (constrainednmf.m:260-267).  Extras: cost_every (objective cadence —
+    skips the objective's divergence-field pass on non-check iterations).
     """
     cfg = merge_config(config, kwargs)
     dtype = resolve_dtype(V, cfg.get("dtype"))
@@ -199,14 +214,15 @@ def constrainednmf(V, labels, num_basis_elems: int,
                               "constrainednmf", pad_m, pad_n, valid)
 
     spec = _Spec(div, alpha, beta, maxiter, bool(cfg.get("W_fixed", False)),
-                 bool(cfg.get("Z_fixed", False)), n_u, num_classes, eps, valid)
+                 bool(cfg.get("Z_fixed", False)), n_u, num_classes, eps, valid,
+                 parse_cost_every(cfg))
     solve = _build_solver(spec)
     solve_args = (V_sorted, W0, Z0, onehot_in,
                   jnp.asarray(wsp, dtype), jnp.asarray(zsp, dtype),
                   jnp.asarray(tolerance, dtype))
     out = solve(*solve_args) if weights is None else \
         solve(*solve_args, weights)
-    W, Z = out.state
+    W, Z = out.state[0], out.state[1]
     if valid is not None:
         W = W[:m]
 

@@ -17,7 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import common_scalars, Result, merge_config, resolve_dtype, uniform_init
+from ..core import (common_scalars, Result, merge_config, parse_cost_every,
+                    resolve_dtype, uniform_init)
 from ..ops import loop as looplib
 from ..ops.masking import region_mask
 from ..ops.normalize import unit_sum_columns
@@ -30,6 +31,7 @@ class _Spec(NamedTuple):
     h_fixed: bool
     eps: float
     valid: tuple = None  # (m, n) true sizes of a mesh-padded problem
+    cost_every: int = 1  # objective cadence (1 = reference semantics)
 
 
 @functools.lru_cache(maxsize=None)
@@ -50,8 +52,11 @@ def _build_solver(spec: _Spec):
             vlv = jnp.where(mask, vlv, zero)
         v_logv = jnp.sum(vlv) - jnp.sum(V)
 
+        ce = int(spec.cost_every)
+        cadence = looplib.cost_cadence(ce, spec.maxiter)
+
         def step(carry, i):
-            W, H = carry
+            W, H = carry[0], carry[1]
             if not spec.w_fixed:
                 V_hat = W @ H
                 h_rowsum = jnp.sum(H, axis=1)  # ones(m,n) @ H' (lnmf.m:74)
@@ -60,15 +65,27 @@ def _build_solver(spec: _Spec):
             if not spec.h_fixed:
                 V_hat = W @ H
                 H = jnp.sqrt(H * (W.T @ ratio(V_hat)))  # lnmf.m:81
-            V_hat = W @ H
-            vlvh = V * jnp.log(V_hat)
-            if mask is not None:
-                vlvh = jnp.where(mask, vlvh, zero)
-            c = v_logv - jnp.sum(vlvh) + jnp.sum(V_hat)
-            return (W, H), c, jnp.asarray(False)
 
-        return looplib.run(step, (W0, H0), spec.maxiter, tolerance,
-                           inclusive=True, cost_dtype=V.dtype)
+            def cost_fn(W=W, H=H):
+                # The objective's V_hat = W @ H is a THIRD full matmul
+                # each iteration (plus the log-field pass) whose only
+                # consumer is the stop rule — cost_every > 1 skips all
+                # of it.  NOTE: run() gates the inclusive <= stop rule
+                # to check points (a carried cost would satisfy
+                # 0 <= tol every skipped iteration otherwise).
+                V_hat = W @ H
+                vlvh = V * jnp.log(V_hat)
+                if mask is not None:
+                    vlvh = jnp.where(mask, vlvh, zero)
+                return v_logv - jnp.sum(vlvh) + jnp.sum(V_hat)
+
+            return cadence((W, H), carry, i, cost_fn)
+
+        return looplib.run(step, looplib.cadence_state((W0, H0), ce,
+                                                       V.dtype),
+                           spec.maxiter, tolerance,
+                           inclusive=True, cost_dtype=V.dtype,
+                           cost_every=ce)
     return solve
 
 
@@ -76,7 +93,10 @@ def lnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     """Local NMF; returns Result unpacking as (W, H, cost).
 
     Parameters (lnmf.m:96-134): W_init, H_init, W_fixed, H_fixed,
-    maxiter (100), tolerance (1e-3).  Extras: dtype, seed, eps.
+    maxiter (100), tolerance (1e-3).  Extras: dtype, seed, eps,
+    cost_every (objective cadence — the objective's V_hat is a third
+    full matmul per iteration, all stop-rule-only work; the inclusive
+    <= stop rule is checked only on computed objectives).
     """
     cfg = merge_config(config, kwargs)
     dtype = resolve_dtype(V, cfg.get("dtype"))
@@ -106,9 +126,10 @@ def lnmf(V, num_basis_elems: int, config: dict | None = None, **kwargs):
     V, W0, H0 = apply_placements(mesh, "lnmf", V=V, W=W0, H=H0)
 
     spec = _Spec(maxiter, bool(cfg.get("W_fixed", False)),
-                 bool(cfg.get("H_fixed", False)), eps, valid)
+                 bool(cfg.get("H_fixed", False)), eps, valid,
+                 parse_cost_every(cfg))
     out = _build_solver(spec)(V, W0, H0, jnp.asarray(tolerance, dtype))
-    W, H = out.state
+    W, H = out.state[0], out.state[1]
     if valid is not None:
         W, H = W[:m], H[:, :n]
     return Result(fields=("W", "H", "cost"),

@@ -33,7 +33,8 @@ class LoopOut(NamedTuple):
 
 def run(step_fn: Callable, init_state, maxiter: int, tolerance,
         *, offset: int = 0, initial_cost=None, inclusive: bool = False,
-        cost_dtype=None, callback: Callable | None = None) -> LoopOut:
+        cost_dtype=None, callback: Callable | None = None,
+        cost_every: int = 1) -> LoopOut:
     """Run the MU loop.
 
     ``step_fn(state, i) -> (state, cost, terminate)`` performs one full
@@ -44,6 +45,13 @@ def run(step_fn: Callable, init_state, maxiter: int, tolerance,
     offset=1 reserves index 0 of the cost buffer for ``initial_cost``
     (nmfsc-family semantics).  ``inclusive`` switches both comparisons of
     the stop rule to <= (lnmf.m:89).
+
+    ``cost_every`` must match the cadence the step's :func:`cost_cadence`
+    tail was built with: when > 1 the stop rule is checked only on the
+    iterations that computed a fresh objective.  Strict-rule solvers don't
+    need this (a carried cost repeats the previous entry, so
+    ``c < prev`` can't fire), but the inclusive ``<=`` rule (lnmf) WOULD
+    fire spuriously on every skipped iteration (0 <= tol) without it.
     """
     if cost_dtype is None:
         cost_dtype = jnp.result_type(initial_cost) if initial_cost is not None else jnp.float32
@@ -69,6 +77,13 @@ def run(step_fn: Callable, init_state, maxiter: int, tolerance,
         else:
             trigger = (c < prev) & (prev - c < tol)
         trigger = trigger & (i >= 1) & (~term)
+        if int(cost_every) > 1:
+            # Same check-point predicate as cost_cadence: only fresh
+            # objectives may stop the loop.
+            ce = jnp.int32(cost_every)
+            is_check = (((i + 1) % ce == 0) | (i == 0)
+                        | (i + 1 >= maxiter))
+            trigger = trigger & is_check
         return state, buf, i + 1, trigger, term
 
     state, buf, n, stopped, terminated = jax.lax.while_loop(

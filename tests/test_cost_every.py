@@ -124,8 +124,18 @@ def test_cli_cost_every(tmp_path):
     a, b = np.load(out1), np.load(out2)
     assert np.array_equal(a["W"], b["W"])
     assert np.array_equal(a["H"], b["H"])
-    # unsupported targets error (the CLI's no-silent-ignore convention)
-    assert main(["lnmf", str(vp), "--k", "4", "--cost-every", "4",
+    # lnmf accepts the knob too (bit-identical factors; inclusive rule)
+    lb = ["lnmf", str(vp), "--k", "4", "--maxiter", "6", "--seed", "3"]
+    assert main(lb + ["--out", str(out1), "--quiet"]) == 0
+    assert main(lb + ["--cost-every", "4", "--out", str(out2),
+                      "--quiet"]) == 0
+    a, b = np.load(out1), np.load(out2)
+    assert np.array_equal(a["W"], b["W"])
+    assert np.array_equal(a["H"], b["H"])
+    # unsupported targets error (the CLI's no-silent-ignore convention):
+    # symnmf's Gram-identity objective rides the update's own products,
+    # so the knob is deliberately absent there
+    assert main(["symnmf", str(vp), "--k", "4", "--cost-every", "4",
                  "--out", str(out2), "--quiet"]) == 2
     assert main(base + ["--streaming", "--cost-every", "4",
                         "--out", str(out2), "--quiet"]) == 2
@@ -377,3 +387,84 @@ def test_cost_every_larger_than_maxiter():
     # computed at the first and last iteration only
     assert c2[0] == c1[0] and c2[-1] == c1[-1]
     assert np.all(c2[1:5] == c2[0])
+
+
+def test_lnmf_bitexact_and_no_spurious_inclusive_stop():
+    """lnmf's inclusive <= stop rule (lnmf.m:89) is the regression this
+    guards: a carried (repeated) cost satisfies ``c <= prev`` and
+    ``prev - c <= tol`` on EVERY skipped iteration, so without the
+    check-point gating in ops/loop.run the ce>1 solver would stop at
+    iteration 2 unconditionally."""
+    V, W0, H0 = _problem(11)
+    kw = dict(W_init=W0, H_init=H0, maxiter=20, tolerance=0.0,
+              dtype=np.float64)
+    r1 = nt.lnmf(V, K, **kw)
+    r2 = nt.lnmf(V, K, cost_every=7, **kw)
+    # tolerance=0 + strictly decreasing computed costs -> neither stops
+    assert r1.n_iters == 20 and r2.n_iters == 20
+    assert np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    # computed at iterations 1, 7, 14, 20 (i = 0, 6, 13, 19)
+    for idx in (0, 6, 13, 19):
+        assert c1[idx] == c2[idx]
+    assert np.all(c2[1:6] == c2[0])
+    assert np.all(c2[7:13] == c2[6])
+    assert np.all(c2[14:19] == c2[13])
+
+
+def test_lnmf_early_stop_lands_on_check_iteration():
+    V, W0, H0 = _problem(13)
+    kw = dict(W_init=W0, H_init=H0, maxiter=300, tolerance=5e-2,
+              dtype=np.float64)
+    r_d = nt.lnmf(V, K, **kw)
+    r_ce = nt.lnmf(V, K, cost_every=5, **kw)
+    assert r_d.converged and r_ce.converged
+    assert r_ce.n_iters >= r_d.n_iters
+    n = r_ce.n_iters
+    assert n == 1 or n % 5 == 0 or n == 300
+    # lnmf quirk: the cost vector is never trimmed (lnmf.m:89-91)
+    assert len(np.asarray(r_ce.cost)) == 300
+
+
+def _constrained_problem(seed=17):
+    rng = np.random.default_rng(seed)
+    m, n, k = 18, 30, 4
+    V = rng.uniform(0.1, 1, (m, n))
+    labels = rng.integers(0, 3, n)
+    labels[rng.choice(n, 10, replace=False)] = -1
+    W0 = rng.uniform(size=(m, k))
+    nu = n - int((labels > -1).sum())
+    ncls = len(np.unique(labels)) - 1
+    Z0 = rng.uniform(size=(k, nu + ncls))
+    return V, labels, k, W0, Z0
+
+
+@pytest.mark.parametrize("div", ["euclidean", "kl"])
+def test_constrainednmf_bitexact_and_trace_cadence(div):
+    V, labels, k, W0, Z0 = _constrained_problem()
+    kw = dict(W_init=W0, Z_init=Z0, divergence=div, maxiter=15,
+              tolerance=0.0, dtype=np.float64)
+    r1 = nt.constrainednmf(V, labels, k, **kw)
+    r2 = nt.constrainednmf(V, labels, k, cost_every=6, **kw)
+    assert np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    assert np.array_equal(np.asarray(r1.Z), np.asarray(r2.Z))
+    assert np.array_equal(np.asarray(r1.H), np.asarray(r2.H))
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    # computed at iterations 1, 6, 12, 15 (i = 0, 5, 11, 14)
+    for idx in (0, 5, 11, 14):
+        assert c1[idx] == c2[idx]
+    assert np.all(c2[1:5] == c2[0])
+    assert np.all(c2[6:11] == c2[5])
+
+
+def test_constrainednmf_early_stop_still_fires():
+    V, labels, k, W0, Z0 = _constrained_problem(19)
+    kw = dict(W_init=W0, Z_init=Z0, maxiter=400, tolerance=1e-2,
+              dtype=np.float64)
+    r_d = nt.constrainednmf(V, labels, k, **kw)
+    r_ce = nt.constrainednmf(V, labels, k, cost_every=5, **kw)
+    assert r_d.converged and r_ce.converged
+    assert r_ce.n_iters >= r_d.n_iters
+    n = r_ce.n_iters
+    assert n == 1 or n % 5 == 0 or n == 400
